@@ -1,0 +1,10 @@
+package graft.queries
+
+/** All oracle-checked queries, one per operator claimed in SURVEY.md §2. */
+object Registry {
+  val all: Seq[Q] =
+    EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, mirroring a production ANN stack:
+  *   - brute-force exact top-k (the small-query baseline): broadcast the
+  *     query set against a single scan of the corpus — at 100 TB this is a
+  *     map-only job, no shuffle except the final per-query top-k, which
+  *     Spark executes as TakeOrdered-style partial top-k per partition;
+  *   - IVF-Flat (the scale path): a deterministic coarse quantizer
+  *     (centroid set) partitions the corpus into buckets; queries probe
+  *     only the nearest `nprobe` buckets, turning the scan into a
+  *     partition-pruned equi-join on bucket id.
+  *
+  * All cosines are computed in double precision with an identical
+  * fold order on both engines.
+  */
+object SimilarityQueries {
+
+  private val nQueries = 8
+  private val topK = 10
+  private val nCentroids = 32
+  private val nProbe = 4
+
+  /** corpus with double vector + precomputed squared norm */
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+  private val duckCorpus =
+    """SELECT vec_id, embedding::DOUBLE[] AS v,
+              list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
+       FROM embeddings"""
+
+  private def duckDot(a: String, b: String) =
+    s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
+
+  /** Brute-force exact cosine top-k for a deterministic query set. */
+  val knnBrute = Q(
+    "q_knn_brute",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+                  WHERE vec_id < $nQueries),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ${duckDot("q.qv", "e.v")} / sqrt(q.qn * e.nrm) AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $topK
+            ORDER BY query_id, rnk"""),
+    bench = true)
+
+  /** IVF-Flat ANN: deterministic centroids (vec_id < nCentroids), corpus
+    * bucketed by nearest centroid, queries probe the nProbe nearest
+    * buckets and run exact search inside them.
+    */
+  val knnIvf = Q(
+    "q_knn_ivf",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val cent = e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("qv"), col("nrm").as("qn"))
+      // bucket assignment: nearest centroid per corpus vector
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("bucket"))
+      // query probes: nProbe nearest centroids per query
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("probe_qv"),
+          col("nrm").as("probe_qn"))
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("pcos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("pcos",
+          expr("aggregate(zip_with(probe_qv, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+            / sqrt(col("probe_qn") * col("qn")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nProbe)
+        .select(col("query_id"), col("probe_qv").as("qv"),
+          col("probe_qn").as("qn"), col("cid").as("bucket"))
+      // exact search within probed buckets
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(probes, "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                     WHERE vec_id < $nCentroids),
+            assigned AS (
+              SELECT vec_id, v, nrm, cid AS bucket FROM (
+                SELECT e.vec_id, e.v, e.nrm, cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${duckDot("e.v", "cent.cv")} / sqrt(e.nrm * cent.cn) DESC,
+                                  cent.cid) AS arn
+                FROM e CROSS JOIN cent)
+              WHERE arn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+                  WHERE vec_id < $nQueries),
+            probes AS (
+              SELECT query_id, qv, qn, cid AS bucket FROM (
+                SELECT q.query_id, q.qv, q.qn, cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY ${duckDot("q.qv", "cent.cv")} / sqrt(q.qn * cent.cn) DESC,
+                                  cent.cid) AS prn
+                FROM q CROSS JOIN cent)
+              WHERE prn <= $nProbe),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     ${duckDot("p.qv", "a.v")} / sqrt(p.qn * a.nrm) AS cos
+              FROM assigned a JOIN probes p ON a.bucket = p.bucket
+              WHERE a.vec_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $topK
+            ORDER BY query_id, rnk"""))
+
+  val all: Seq[Q] = Seq(knnBrute, knnIvf)
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * All heavy lifting happens in codegen'd built-in/higher-order expressions
+  * over a single scan: no UDFs, no shuffle except the final global sort for
+  * the deterministic output contract. Corpus facts used: text is lowercase
+  * `[a-z ]` with single spaces (verified against testdata).
+  */
+object TextQueries {
+
+  /** Deterministic 60-bit hash from md5, identical in Spark and DuckDB:
+    * first 15 hex chars of md5 parsed as a base-16 long.
+    */
+  def md5numSql(inner: String): String =
+    s"cast(conv(substr(md5($inner), 1, 15), 16, 10) as bigint)"
+  def duckMd5num(inner: String): String =
+    s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Token counting: whitespace tokens + regex (BPE-ish pre-tokenizer)
+    * counts, pushed down to a projection-only scan.
+    */
+  val tokenCount = Q(
+    "q_token_count",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long").as("re_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+                   n_chars
+            FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  /** Quality scoring: length + stopword-density heuristic. The arithmetic
+    * is written in the identical operation order on both engines so the
+    * doubles match bit-for-bit.
+    */
+  val qualityScore = Q(
+    "q_quality_score",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr(s"size(filter(split(text, ' '), w -> w in ($stopList)))")
+          .cast("long").as("stop_hits"))
+      .withColumn("avg_word_len",
+        round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double")
+          / col("n_tokens").cast("double"), 4))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 4))
+      .withColumn("quality",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.6)
+            + (col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+            * lit(0.4), 4))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     w -> w in ($stopList))) AS BIGINT) AS stop_hits,
+                   ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len,
+                   ROUND(CAST(len(list_filter(string_split(text, ' '),
+                       w -> w in ($stopList))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+                   ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.6
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                         w -> w in ($stopList))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4, 4) AS quality
+            FROM documents ORDER BY doc_id"""))
+
+  /** Language ID via marker-word counts (n-gram-heuristic family): count
+    * distinctive function words per language, argmax with a fixed
+    * precedence chain. Deterministic CASE in both engines.
+    */
+  val langId = Q(
+    "q_lang_id",
+    (s, dir) => {
+      def hits(words: Seq[String]) = {
+        val list = words.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(split(text, ' '), w -> w in ($list)))").cast("long")
+      }
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          hits(Seq("the", "of", "and", "is")).as("en_hits"),
+          hits(Seq("el", "la", "los", "es")).as("es_hits"),
+          hits(Seq("der", "und", "das", "ist")).as("de_hits"),
+          hits(Seq("le", "les", "des", "est")).as("fr_hits"))
+        .withColumn("pred_lang",
+          when(col("es_hits") > col("en_hits") &&
+            col("es_hits") >= col("de_hits") &&
+            col("es_hits") >= col("fr_hits"), "es")
+            .when(col("de_hits") > col("en_hits") &&
+              col("de_hits") >= col("fr_hits"), "de")
+            .when(col("fr_hits") > col("en_hits"), "fr")
+            .otherwise("en"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("boolean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+             SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text,' '), w -> w in ('the','of','and','is'))) AS BIGINT) AS en_hits,
+               CAST(len(list_filter(string_split(text,' '), w -> w in ('el','la','los','es'))) AS BIGINT) AS es_hits,
+               CAST(len(list_filter(string_split(text,' '), w -> w in ('der','und','das','ist'))) AS BIGINT) AS de_hits,
+               CAST(len(list_filter(string_split(text,' '), w -> w in ('le','les','des','est'))) AS BIGINT) AS fr_hits
+             FROM documents)
+            SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+                   CASE WHEN es_hits > en_hits AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits > en_hits AND de_hits >= fr_hits THEN 'de'
+                        WHEN fr_hits > en_hits THEN 'fr'
+                        ELSE 'en' END AS pred_lang,
+                   (CASE WHEN es_hits > en_hits AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                         WHEN de_hits > en_hits AND de_hits >= fr_hits THEN 'de'
+                         WHEN fr_hits > en_hits THEN 'fr'
+                         ELSE 'en' END = lang) AS is_match
+            FROM h ORDER BY doc_id"""))
+
+  /** Document fingerprinting: whole-document content hash plus a rolling
+    * min-hash over 5-gram word shingles (winnowing-style minimum).
+    */
+  val fingerprint = Q(
+    "q_fingerprint",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+        expr(
+          s"""case when size(split(text, ' ')) < 5
+                then ${md5numSql("text")}
+                else array_min(transform(
+                  sequence(1, size(split(text, ' ')) - 4),
+                  i -> ${md5numSql("concat_ws(' ', slice(split(text, ' '), i, 5))")}))
+              end""").as("min_shingle_hash"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, md5(text) AS fp_md5,
+                   CASE WHEN len(string_split(text, ' ')) < 5
+                     THEN ${duckMd5num("text")}
+                     ELSE list_min([${duckMd5num(
+      "list_aggr(list_slice(string_split(text, ' '), i, i + 4), 'string_agg', ' ')")}
+                       for i in generate_series(1, len(string_split(text, ' ')) - 4)])
+                   END AS min_shingle_hash
+            FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  /** Multimodal plumbing: treat content as an opaque binary column with
+    * typed metadata and extract deterministic "features" (the real
+    * decode/resize path is stubbed in graft.ops.Multimodal — image/audio
+    * libs are out of scope — but the schema/partitioning/batch shape is
+    * exercised here end-to-end on binary data).
+    */
+  val multimodalFeatures = Q(
+    "q_multimodal_features",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        md5(col("blob")).as("content_hash"),
+        (length(col("blob")) % 640).cast("long").as("fake_width"),
+        (length(col("blob")) % 480).cast("long").as("fake_height"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_hash,
+                   CAST(octet_length(text::BLOB) % 640 AS BIGINT) AS fake_width,
+                   CAST(octet_length(text::BLOB) % 480 AS BIGINT) AS fake_height
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
+    multimodalFeatures)
+}

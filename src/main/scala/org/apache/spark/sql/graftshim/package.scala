@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to Spark's `private[sql]` Expression↔Column converters.
+  *
+  * Spark 4 moved `Column` to the engine-agnostic sql-api module; wrapping a
+  * custom Catalyst `Expression` into a `Column` now goes through
+  * `classic.ExpressionUtils`, which is `private[sql]`. Exposing it from a
+  * subpackage of `org.apache.spark.sql` is the standard pattern used by
+  * Spark-extension libraries.
+  */
+package object graftshim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
