@@ -1,0 +1,97 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.LogSchema
+
+/** Read-side query surface over a log directory (SURVEY §2.6, Q1–Q9).
+  *
+  * A thin, composable layer: every method returns a lazy DataFrame so
+  * Catalyst plans the whole pipeline (scan → pushed filter → JSON project)
+  * as one job. Reading the partitioned directory gets partition discovery,
+  * pruning, predicate pushdown and column pruning for free.
+  */
+final class LogTable private (val df: DataFrame) {
+
+  /** Q2: typed payload projection. */
+  def parsed: DataFrame =
+    df.withColumn("p", from_json(col("payload"), LogSchema.payloadSchema))
+
+  /** Q1: filter by event type (pushed to the parquet scan). */
+  def byEventType(types: String*): LogTable =
+    new LogTable(df.filter(col("event_type").isin(types: _*)))
+
+  /** Q7: per-event-type counts. */
+  def eventCounts: DataFrame =
+    df.groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+
+  /** Q6: distinct event types. */
+  def distinctEventTypes: DataFrame =
+    df.select("event_type").distinct().orderBy("event_type")
+
+  /** Q2+Q3 composed: token usage per custom_id with null-safe defaults
+    * (README.md:221-224, examples/batch_run_example.py:100-130).
+    */
+  def tokenUsageByCustomId: DataFrame =
+    byEventType("llm_end").parsed
+      .select(
+        col("custom_id"),
+        coalesce(col("p.data.usage_metadata.total_tokens"),
+          element_at(col("p.data.usage"), "total_tokens"),
+          lit(0L)).as("total_tokens"))
+      .groupBy("custom_id")
+      .agg(sum("total_tokens").as("total_tokens"), count(lit(1)).as("n_calls"))
+      .orderBy("custom_id")
+
+  /** Q5: all events of one trace: run itself + direct children
+    * (AGENTS.md:237-258 semantics).
+    */
+  def trace(runId: String): DataFrame =
+    df.filter(col("run_id") === runId || col("parent_run_id") === runId)
+
+  /** Q5: root events (no parent — empty string, never null). */
+  def roots: DataFrame = df.filter(col("parent_run_id") === "")
+
+  /** Q5: direct children of a run. */
+  def childrenOf(runId: String): DataFrame =
+    df.filter(col("parent_run_id") === runId)
+
+  /** Q5: full subtree via iterative BFS self-join (levels of the run-id
+    * hierarchy). Each level is one broadcast-able semi-join of the log
+    * against the previous frontier; `maxDepth` bounds the iteration.
+    */
+  def subtree(runId: String, maxDepth: Int = 10): DataFrame = {
+    var frontier = df.filter(col("run_id") === runId)
+      .select(col("run_id")).distinct()
+    var acc = df.filter(col("run_id") === runId)
+    var depth = 0
+    var grew = true
+    while (grew && depth < maxDepth) {
+      val children = df.join(
+        broadcast(frontier.withColumnRenamed("run_id", "__parent")),
+        col("parent_run_id") === col("__parent"))
+        .drop("__parent")
+      val newFrontier = children.select("run_id").distinct()
+      val n = newFrontier.limit(1).count()
+      if (n == 0) grew = false
+      else {
+        acc = acc.unionByName(children).dropDuplicates("run_id", "event_type",
+          "timestamp")
+        frontier = newFrontier
+        depth += 1
+      }
+    }
+    acc
+  }
+}
+
+object LogTable {
+  /** S5: recursive read of a partitioned log directory. */
+  def read(spark: SparkSession, dir: String): LogTable =
+    new LogTable(spark.read.schema(
+      LogSchema.schema.add("date", org.apache.spark.sql.types.DateType))
+      .parquet(dir))
+
+  def apply(df: DataFrame): LogTable = new LogTable(df)
+}

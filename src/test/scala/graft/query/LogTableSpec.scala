@@ -1,0 +1,77 @@
+package graft.query
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.{EventType, FixedClock}
+import graft.ingest.ParquetLogger
+import graft.sink.{BufferedSink, ParquetDirSink}
+
+class LogTableSpec extends SparkSpec {
+
+  /** Write a small trace through the real ingest path, then query it. */
+  private lazy val logDir: String = {
+    val dir = Files.createTempDirectory("logq").toString
+    val clock = FixedClock(1700000000000000L)
+    val logger = new ParquetLogger(
+      new BufferedSink(new ParquetDirSink(spark, dir).write, 100),
+      EventType.All, Map("job" -> "test"), clock)
+    def usage(total: Long) = Map(
+      "llm_output" -> Map("token_usage" -> Map("total_tokens" -> total)))
+    logger.onChainStart(Map("name" -> "c"), Map("q" -> "x"), "chain-1")
+    clock.advance(1000)
+    logger.onLlmStart(Map.empty, Seq("p1"), "llm-1", Some("chain-1"),
+      tags = Seq("logger_custom_id:alice"))
+    clock.advance(1000)
+    logger.onLlmEnd(usage(10), "llm-1", Some("chain-1"),
+      tags = Seq("logger_custom_id:alice"))
+    clock.advance(1000)
+    logger.onToolStart(Map("name" -> "t"), "in", "tool-1", Some("llm-1"))
+    clock.advance(1000)
+    logger.onLlmStart(Map.empty, Seq("p2"), "llm-2", Some("chain-1"),
+      tags = Seq("logger_custom_id:bob"))
+    clock.advance(1000)
+    logger.onLlmEnd(usage(32), "llm-2", Some("chain-1"),
+      tags = Seq("logger_custom_id:bob"))
+    clock.advance(1000)
+    logger.onLlmEnd(usage(5), "llm-3", None,
+      tags = Seq("logger_custom_id:alice"))
+    logger.onChainEnd(Map("a" -> 1), "chain-1")
+    logger.close()
+    dir
+  }
+
+  private lazy val logs = LogTable.read(spark, logDir)
+
+  test("Q1/Q7/Q6: filter, counts, distinct") {
+    assert(logs.byEventType("llm_end").df.count() === 3L)
+    val counts = logs.eventCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("llm_end") === 3L && counts("chain_start") === 1L)
+    // chain_start, llm_start, llm_end, tool_start, chain_end
+    assert(logs.distinctEventTypes.count() === 5L)
+  }
+
+  test("Q2/Q3 flagship: token usage per custom id from parsed payload") {
+    val rows = logs.tokenUsageByCustomId.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Array(("alice", 15L, 2L), ("bob", 32L, 1L)))
+  }
+
+  test("Q5: trace, roots, children, subtree") {
+    assert(logs.roots.count() === 3L) // chain-1 start+end, llm-3 end
+    assert(logs.childrenOf("chain-1").count() === 4L)
+    assert(logs.trace("chain-1").count() === 6L)
+    val sub = logs.subtree("chain-1")
+    // chain-1 (2 events) + its llm children (4 events) + tool-1 (1 event)
+    assert(sub.count() === 7L)
+    assert(logs.subtree("llm-1").count() === 3L) // llm-1 x2 + tool-1
+  }
+
+  test("partition pruning on date survives the read path") {
+    val plan = logs.df
+      .filter(org.apache.spark.sql.functions.col("date") === "2023-11-14")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+  }
+}
