@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration for the engine's native expressions, so they compose
+  * inside `expr(...)` strings and `spark.sql` alongside built-ins.
+  */
+object GraftFunctions {
+
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val key = System.identityHashCode(classic).toString
+    if (registered.add(key)) {
+      val reg = classic.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("md5num",
+        exprs => Md5Prefix60(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("extract_custom_id",
+        exprs => ExtractCustomId(exprs.head), "scala_udf")
+    }
+  }
+}

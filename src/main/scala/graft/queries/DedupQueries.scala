@@ -82,20 +82,39 @@ object DedupQueries {
                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
             ORDER BY ai, bi"""))
 
-  /** MinHash + LSH near-dup — the 100 TB path. 16 salted-md5 min-hashes per
-    * doc, banded 4×4; docs sharing any band become candidates (equi-join on
-    * the band value — a co-partitioned shuffle, never all-pairs); candidates
-    * are verified with exact Jaccard ≥ 0.5.
+  /** MinHash + LSH near-dup — the 100 TB path. One 60-bit md5 hash per
+    * shingle, from which 16 min-hash functions are derived as affine maps
+    * `(a_j·h + b_j) mod (2^31−1)` (exact long arithmetic, identical in
+    * DuckDB — and 16× fewer md5 calls than salting). Signatures are banded
+    * 4×4; docs sharing any band become candidates (equi-join on the band
+    * value — a co-partitioned shuffle, never all-pairs); candidates are
+    * verified with exact Jaccard ≥ 0.5. The signature and shingle frames
+    * are persisted: both sides of the self-join and the verify step reuse
+    * them instead of recomputing the scan→shingle→hash lineage.
     */
+  private val P = 2147483647L // 2^31 - 1
+  private val A = Seq(1769021L, 3043321L, 4987523L, 6291469L, 7368787L,
+    9437189L, 11823443L, 13007111L, 15485863L, 17825791L, 19891591L,
+    23456789L, 25165843L, 27644437L, 29986577L, 32452843L)
+  private val B = Seq(12289L, 24593L, 49157L, 98317L, 196613L, 393241L,
+    786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L,
+    50331653L, 100663319L, 201326611L, 402653189L)
+
   val minhashLsh = Q(
     "q_dedup_minhash",
     (s, dir) => {
+      val aArr = A.mkString("array(", "L, ", "L)")
+      val bArr = B.mkString("array(", "L, ", "L)")
       val sh = shingled(s, dir)
-      val sig = sh.select(col("doc_id"), col("s"),
-        expr(s"""transform(sequence(0, 15), j ->
-                   array_min(transform(s, x ->
-                     ${md5numSql("concat(x, '#', cast(j as string))")})))""")
-          .as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = sh.select(col("doc_id"),
+        expr(s"transform(s, x -> ${md5numSql("x")} % $P)").as("bases"))
+        .select(col("doc_id"),
+          expr(s"""transform(sequence(0, 15), j ->
+                     array_min(transform(bases, h ->
+                       (element_at($aArr, j + 1) * h
+                        + element_at($bArr, j + 1)) % $P)))""").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> slice(sig, b * 4 + 1, 4))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bvals")
@@ -117,11 +136,16 @@ object DedupQueries {
         .orderBy("ai", "bi")
     },
     Some(s"""WITH sh AS ($duckShingled),
-            sig AS (
-              SELECT doc_id, s,
-                     [list_min([${duckMd5num("x || '#' || j::VARCHAR")} for x in s])
-                      for j in generate_series(0, 15)] AS sig
+            based AS (
+              SELECT doc_id, [${duckMd5num("x")} % $P for x in s] AS bases
               FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     [list_min([(([${A.mkString(", ")}])[j + 1] * h
+                                 + ([${B.mkString(", ")}])[j + 1]) % $P
+                                for h in bases])
+                      for j in generate_series(0, 15)] AS sig
+              FROM based),
             bands AS (
               SELECT doc_id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bvals
               FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** Deterministic 60-bit hash from md5, identical in Spark and DuckDB:
-    * first 15 hex chars of md5 parsed as a base-16 long.
+    * first 15 hex chars of md5 parsed as a base-16 long. Backed by the
+    * native codegen'd [[graft.functions.Md5Prefix60]] expression
+    * (registered as `md5num` by `tbl`).
     */
-  def md5numSql(inner: String): String =
-    s"cast(conv(substr(md5($inner), 1, 15), 16, 10) as bigint)"
+  def md5numSql(inner: String): String = s"md5num($inner)"
   def duckMd5num(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
 
@@ -131,13 +132,15 @@ object TextQueries {
   val fingerprint = Q(
     "q_fingerprint",
     (s, dir) => tbl(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp_md5"),
+        split(col("text"), " ").as("w")) // split once, reused 3×
+      .select(col("doc_id"), col("fp_md5"),
         expr(
-          s"""case when size(split(text, ' ')) < 5
+          s"""case when size(w) < 5
                 then ${md5numSql("text")}
                 else array_min(transform(
-                  sequence(1, size(split(text, ' ')) - 4),
-                  i -> ${md5numSql("concat_ws(' ', slice(split(text, ' '), i, 5))")}))
+                  sequence(1, size(w) - 4),
+                  i -> ${md5numSql("concat_ws(' ', slice(w, i, 5))")}))
               end""").as("min_shingle_hash"))
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id, md5(text) AS fp_md5,

@@ -32,6 +32,7 @@ package object queries {
     // default; read it as a ns-epoch long and derive µs/timestamps
     // explicitly (DuckDB oracle side uses epoch_us for the same floor).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s.read.parquet(s"$dir/$name.parquet")
   }
 
