@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Production registration route: inject the engine's native expressions
+  * into every session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (the
+  * per-session `GraftFunctions.ensureRegistered` covers ad-hoc sessions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("md5num"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5num"),
+      exprs => Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("extract_custom_id"),
+      new ExpressionInfo(classOf[ExtractCustomId].getName, "extract_custom_id"),
+      exprs => ExtractCustomId(exprs.head)))
+  }
+}

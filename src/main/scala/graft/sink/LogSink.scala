@@ -80,7 +80,13 @@ final class ParquetDirSink(
   def write(entries: Seq[LogEntry]): Unit = {
     if (entries.isEmpty) return
     import spark.implicits._
-    val df = spark.createDataset(entries).toDF()
+    writeDataset(spark.createDataset(entries).toDF())
+  }
+
+  /** Distributed variant: land an already-distributed Dataset of entries
+    * without routing rows through the driver.
+    */
+  def writeDataset(df: org.apache.spark.sql.DataFrame): Unit = {
     val writer = (if (partitionOnDate) {
       df.withColumn("date", to_date(col("timestamp")))
         .write.partitionBy("date")

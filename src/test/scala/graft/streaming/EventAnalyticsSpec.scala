@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventAnalytics.{Ev, Session}
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed aggregation over a stream matches incremental batches") {
+    import spark.implicits._
+    val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
+    val q = EventAnalytics.windowedCounts(stream.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win").start()
+    try {
+      stream.addData(
+        Ev(1, ts(0), "click", 1.0), Ev(1, ts(1), "click", 2.0),
+        Ev(2, ts(11), "view", 3.0))
+      q.processAllAvailable()
+      stream.addData(Ev(1, ts(12), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length === 3)
+      assert(rows.map(_.getLong(2)).toSeq === Seq(2L, 1L, 1L))
+      assert(rows(0).getDouble(3) === 3.0) // 1.0 + 2.0 in first window
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions when the watermark passes " +
+    "the gap") {
+    import spark.implicits._
+    val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
+    val q = EventAnalytics.sessionize(stream.toDS(), gapMinutes = 5)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    try {
+      // session 1: two events 1 min apart
+      stream.addData(Ev(7, ts(0), "click", 1.0), Ev(7, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      // 20 minutes later: advances the watermark past session 1's gap AND
+      // starts session 2 (the in-batch gap split also fires)
+      stream.addData(Ev(7, ts(20), "click", 5.0))
+      q.processAllAvailable()
+      stream.addData(Ev(7, ts(40), "click", 9.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[Session]
+        .collect().sortBy(_.start_us)
+      assert(sessions.length >= 2)
+      assert(sessions(0).n_events === 2L)
+      assert(sessions(0).sum_value === 3.0)
+      assert(sessions(1).n_events === 1L)
+      assert(sessions(1).sum_value === 5.0)
+    } finally q.stop()
+  }
+}
