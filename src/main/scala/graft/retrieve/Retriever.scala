@@ -75,8 +75,20 @@ final case class RetryPolicy(
 
 object Retriever {
 
-  /** Main entry (background_retrieval.py:28-349). Returns the result
-    * DataFrame (response_id, custom_id, status, openai_response, error).
+  /** Results plus the synthetic per-attempt event log (A10): both views
+    * share one persisted computation — call `unpersist()` when done.
+    */
+  final case class RetrievalOutput(
+      results: DataFrame,
+      events: DataFrame,
+      private val backing: org.apache.spark.sql.Dataset[_]) {
+    def unpersist(): Unit = backing.unpersist()
+  }
+
+  /** Main entry (background_retrieval.py:28-349). Produces the result
+    * table (response_id, custom_id, status, openai_response, error) and
+    * the background_retrieval_* event log. `ratePerSecond` installs an A4
+    * per-partition token bucket sized from the global budget.
     */
   def retrieve(
       spark: SparkSession,
@@ -84,7 +96,8 @@ object Retriever {
       client: ResponseClient,
       checkpoint: CheckpointStore,
       policy: RetryPolicy = RetryPolicy(),
-      concurrencyPerPartition: Int = 8): DataFrame = {
+      ratePerSecond: Option[Double] = None,
+      clock: graft.core.Clock = graft.core.SystemClock): RetrievalOutput = {
     import spark.implicits._
 
     val processed = checkpoint.load()
@@ -97,19 +110,37 @@ object Retriever {
         lit("already_processed").as("status"),
         lit("").as("openai_response"), lit("").as("error"))
 
+    val numParts = math.max(1, todo.rdd.getNumPartitions)
     val fetched = todo.select("response_id", "custom_id").as[(String, String)]
       .mapPartitions { rows =>
+        val limiter = ratePerSecond.map(r =>
+          new RateLimiter(math.max(0.1, r / numParts)))
         rows.map { case (rid, cid) =>
-          policy.run(() => client.retrieve(rid)) match {
+          val sink = new graft.batch.CollectingSink
+          val logger = new graft.ingest.ParquetLogger(sink,
+            Set.empty, Map.empty, clock)
+          logger.logEvent(graft.core.EventType.BackgroundRetrievalAttempt,
+            rid, cid, graft.ingest.Json.obj("response_id" -> rid))
+          limiter.foreach(_.acquire())
+          val result = policy.run(() => client.retrieve(rid)) match {
             case Right(body) =>
+              logger.logEvent(graft.core.EventType.BackgroundRetrievalComplete,
+                rid, cid, graft.ingest.Json.obj(
+                  "response_id" -> rid, "status" -> "completed"))
               RetrievalResult(rid, cid, "completed", body, "")
             case Left(err) =>
+              logger.logEvent(graft.core.EventType.BackgroundRetrievalError,
+                rid, cid, graft.ingest.Json.obj(
+                  "response_id" -> rid, "error" -> err))
               RetrievalResult(rid, cid, "error", "", err)
           }
+          (result, sink.entries.toVector)
         }
-      }.toDF()
+      }.persist()
 
-    fetched.unionByName(skipped)
+    val results = fetched.map(_._1).toDF().unionByName(skipped)
+    val events = fetched.flatMap(_._2).toDF()
+    RetrievalOutput(results, events, fetched)
   }
 }
 

@@ -53,8 +53,9 @@ class RetrieverSpec extends SparkSpec {
     }
     val input = Seq(("resp-1", "c1"), ("resp-2", "c2"), ("resp-3", "c3"),
       ("resp-4", "c4")).toDF("response_id", "custom_id")
-    val out = Retriever.retrieve(spark, input, client, store,
-      RetryPolicy(sleep = _ => ())).collect()
+    val output = Retriever.retrieve(spark, input, client, store,
+      RetryPolicy(sleep = _ => ()))
+    val out = output.results.collect()
 
     assert(out.length === 4)
     val byId = out.map(r => r.getString(0) -> r.getString(2)).toMap
@@ -62,6 +63,14 @@ class RetrieverSpec extends SparkSpec {
     assert(byId("resp-3") === "already_processed")
     assert(byId("resp-2") === "completed")
     assert(calls.value.size() === 2) // only unprocessed ids hit the API
+
+    // A10: synthetic events logged per attempt, skipped rows log nothing
+    val events = output.events.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("run_id")))
+    assert(events.count(_._1 == "background_retrieval_attempt") === 2)
+    assert(events.count(_._1 == "background_retrieval_complete") === 2)
+    assert(events.forall(e => Set("resp-2", "resp-4").contains(e._2)))
+    output.unpersist()
   }
 
   test("partial failures land as error rows, not task failures " +
@@ -74,13 +83,19 @@ class RetrieverSpec extends SparkSpec {
     }
     val input = Seq(("resp-ok", "a"), ("resp-bad", "b"))
       .toDF("response_id", "custom_id")
-    val out = Retriever.retrieve(spark, input, client, ckpt(),
-      RetryPolicy(sleep = _ => ())).collect()
+    val output = Retriever.retrieve(spark, input, client, ckpt(),
+      RetryPolicy(sleep = _ => ()))
+    val out = output.results.collect()
     val byId = out.map(r => r.getString(0) ->
       (r.getString(2), r.getString(4))).toMap
     assert(byId("resp-ok")._1 === "completed")
     assert(byId("resp-bad")._1 === "error")
     assert(byId("resp-bad")._2.contains("client_error_400"))
+    // the failure logged a background_retrieval_error event (A10)
+    assert(output.events.filter(
+      org.apache.spark.sql.functions.col("event_type") ===
+        "background_retrieval_error").count() === 1L)
+    output.unpersist()
   }
 
   test("checkpoint compaction keeps last per id " +
