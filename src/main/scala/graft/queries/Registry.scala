@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   val all: Seq[Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ Seq(LogRoundtripQuery.roundtrip)
+      DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
+      Seq(LogRoundtripQuery.roundtrip)
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
