@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+
+/** Second relational wave: as-of join, rollup, pivot, set operations, and
+  * the custom exact-distinct aggregator — each oracle-checked.
+  */
+object RelationalQueries2 {
+
+  /** As-of join: every click event annotated with the user's most recent
+    * purchase (value + event id) at or before the click. Spark side uses
+    * the union+window operator (graft.ops.AsOfJoin); the oracle uses
+    * DuckDB's native ASOF JOIN — two independent implementations of the
+    * same semantics.
+    */
+  val asofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val events = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsMicros.as("tus"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      // unique per (user, tus): keep the highest event_id
+      val purchases = events.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "tus").orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.asOf(clicks, purchases, key = "user_id", ts = "tus",
+        rightCols = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(round(col("asof_purchase_value"), 6), lit(0.0))
+            .as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+              SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus
+              FROM events),
+            clicks AS (
+              SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, tus, event_id AS purchase_id,
+                     value AS purchase_value
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, tus
+                      ORDER BY event_id DESC) AS rn
+                    FROM e WHERE event_type = 'purchase')
+              WHERE rn = 1)
+            SELECT c.event_id, c.user_id,
+                   COALESCE(p.purchase_id, -1) AS purchase_id,
+                   COALESCE(ROUND(p.purchase_value, 6), 0.0) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND p.tus <= c.tus
+            ORDER BY c.event_id"""))
+
+  /** Rollup: revenue at (status, priority), (status), and grand-total
+    * grouping levels in one pass — map-side partials feed every level.
+    */
+  val rollupRevenue = Q(
+    "q_rollup_revenue",
+    (s, dir) => tbl(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(cnt(), sumRound(decPrice(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ${sqlSumRound(sqlPrice("o_totalprice"))} AS revenue
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST"""))
+
+  /** Pivot: order counts per priority, statuses as columns (explicit value
+    * list keeps the output schema static — required for determinism and
+    * at-scale planning).
+    */
+  val pivotStatus = Q(
+    "q_pivot_status",
+    (s, dir) => tbl(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_orders"),
+        coalesce(col("O"), lit(0L)).as("o_orders"),
+        coalesce(col("P"), lit(0L)).as("p_orders"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_orders,
+                   CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_orders,
+                   CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Set operations at (user, day) granularity: days a user both clicked
+    * and viewed but did not purchase — INTERSECT then EXCEPT.
+    */
+  val setOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val events = tbl(s, dir, "events")
+      def userDays(t: String) =
+        events.filter(col("event_type") === t)
+          .select(col("user_id"),
+            expr("(ts div 1000) div 86400000000").as("day"))
+          .distinct()
+      userDays("click").intersect(userDays("view"))
+        .except(userDays("purchase"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH c AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                       FROM events WHERE event_type = 'click'),
+                 v AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                       FROM events WHERE event_type = 'purchase')
+            (SELECT * FROM c INTERSECT SELECT * FROM v)
+            EXCEPT SELECT * FROM p
+            ORDER BY user_id, day"""))
+
+  /** Custom typed Aggregator (UDAF surface): exact distinct event types
+    * per user via a set-buffer aggregate; oracle is COUNT(DISTINCT).
+    */
+  val customAggregator = Q(
+    "q_user_distinct_events",
+    (s, dir) => {
+      val distinctEvents = udaf(new graft.functions.CountDistinctExact())
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(distinctEvents(col("event_type")).as("n_event_types"),
+          cnt("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rollupRevenue, pivotStatus, setOps,
+    customAggregator)
+}
