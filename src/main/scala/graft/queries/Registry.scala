@@ -5,7 +5,8 @@ object Registry {
   val all: Seq[Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
-      RelationalQueries2.all ++ Seq(LogRoundtripQuery.roundtrip)
+      RelationalQueries2.all ++
+      Seq(LogRoundtripQuery.roundtrip, DedupClusterQuery.clusters)
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

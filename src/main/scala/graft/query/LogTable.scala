@@ -18,6 +18,14 @@ final class LogTable private (val df: DataFrame) {
   def parsed: DataFrame =
     df.withColumn("p", from_json(col("payload"), LogSchema.payloadSchema))
 
+  /** Schemaless payload projection via Spark 4 VariantType (SURVEY §1.2):
+    * `parse_json` once, then `variant_get` paths on demand — no declared
+    * schema, binary-encoded traversal (far cheaper than repeated
+    * `get_json_object` string parses when many paths are extracted).
+    */
+  def parsedVariant: DataFrame =
+    df.withColumn("v", parse_json(col("payload")))
+
   /** Q1: filter by event type (pushed to the parquet scan). */
   def byEventType(types: String*): LogTable =
     new LogTable(df.filter(col("event_type").isin(types: _*)))

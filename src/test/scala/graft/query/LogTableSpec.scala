@@ -68,6 +68,18 @@ class LogTableSpec extends SparkSpec {
     assert(logs.subtree("llm-1").count() === 3L) // llm-1 x2 + tool-1
   }
 
+  test("variant payload path answers schemaless queries (Spark 4)") {
+    import org.apache.spark.sql.functions._
+    val rows = logs.byEventType("llm_end").parsedVariant
+      .select(
+        expr("variant_get(v, '$.execution.custom_id', 'string')").as("cid"),
+        expr("variant_get(v, '$.data.usage.total_tokens', 'long')").as("tok"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_.toString())
+    assert(rows.toSeq === Seq(("alice", 10L), ("alice", 5L), ("bob", 32L)))
+  }
+
   test("partition pruning on date survives the read path") {
     val plan = logs.df
       .filter(org.apache.spark.sql.functions.col("date") === "2023-11-14")
