@@ -72,7 +72,8 @@ object AnalyticsQueries {
                        ORDER BY tfidf DESC, term) AS rnk
               FROM scored)
             SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf
-            FROM ranked WHERE rnk = 1 ORDER BY doc_id"""))
+            FROM ranked WHERE rnk = 1 ORDER BY doc_id"""),
+    bench = true)
 
   /** Funnel: per user, the first time each stage was reached in order
     * (signup → click → purchase); `reached_stage` counts strictly-ordered

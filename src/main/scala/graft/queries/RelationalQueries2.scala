@@ -56,7 +56,8 @@ object RelationalQueries2 {
                    COALESCE(ROUND(p.purchase_value, 6), 0.0) AS purchase_value
             FROM clicks c ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND p.tus <= c.tus
-            ORDER BY c.event_id"""))
+            ORDER BY c.event_id"""),
+    bench = true)
 
   /** Rollup: revenue at (status, priority), (status), and grand-total
     * grouping levels in one pass — map-side partials feed every level.
