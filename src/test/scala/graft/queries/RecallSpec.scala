@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Quality measurement for the approximate operators: the approximate
+  * result is only useful if its recall against the exact ground truth is
+  * known. Run at sf0.001 (500 docs / 500 vectors).
+  */
+class RecallSpec extends SparkSpec {
+
+  test("IVF-Flat recall@10 vs brute force is usable (≥ 0.5 at nprobe=4/32)") {
+    val exact = SimilarityQueries.knnBrute.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityQueries.knnIvf.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f too low")
+    assert(recall <= 1.0)
+  }
+
+  test("MinHash-LSH finds every high-jaccard pair the exact scan finds " +
+    "(recall at τ=0.5 with 16 hashes / 4 bands)") {
+    val exact = DedupQueries.ngramJaccard.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.minhashLsh.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact scan is blocked by (lang, |Δlen|≤50); LSH is not, so
+    // compare on the exact set's domain
+    val found = (exact & lsh).size.toDouble
+    val recall = if (exact.isEmpty) 1.0 else found / exact.size
+    info(f"LSH recall = $recall%.3f (${exact.size} true pairs)")
+    assert(recall >= 0.75, f"LSH recall $recall%.3f below expectation")
+  }
+}
