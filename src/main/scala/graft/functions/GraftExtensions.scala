@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("extract_custom_id"),
       new ExpressionInfo(classOf[ExtractCustomId].getName, "extract_custom_id"),
       exprs => ExtractCustomId(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      exprs => DotProduct(exprs(0), exprs(1))))
   }
 }

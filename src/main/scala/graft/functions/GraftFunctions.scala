@@ -19,6 +19,8 @@ object GraftFunctions {
         exprs => Md5Prefix60(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("extract_custom_id",
         exprs => ExtractCustomId(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("dot_product",
+        exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     }
   }
 }

@@ -217,15 +217,13 @@ object DedupQueries {
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm",
-          expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+        .withColumn("nrm", expr("dot_product(v, v)"))
       val a = e.select(col("vec_id").as("ai"), col("label").as("al"),
         col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("bi"), col("label").as("bl"),
         col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("al") === col("bl") && col("ai") < col("bi"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+        .withColumn("dot", expr("dot_product(av, bv)"))
         .withColumn("cos", col("dot") / sqrt(col("an") * col("bn")))
         .filter(col("cos") >= 0.4)
         .select(col("ai"), col("bi"), round(col("cos"), 6).as("cosine"))

@@ -25,16 +25,17 @@ object SimilarityQueries {
   private val nCentroids = 32
   private val nProbe = 4
 
-  /** corpus with double vector + precomputed squared norm */
+  /** corpus with double vector + precomputed squared norm; dot products
+    * via the native codegen'd dot_product expression (bit-identical
+    * left-to-right summation, see graft.functions.DotProduct)
+    */
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
     tbl(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm",
-        expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+      .withColumn("nrm", expr("dot_product(v, v)"))
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  private val dotExpr = "dot_product(qv, v)"
 
   private val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -107,7 +108,7 @@ object SimilarityQueries {
         .orderBy(col("pcos").desc, col("cid"))
       val probes = q.crossJoin(broadcast(cent))
         .withColumn("pcos",
-          expr("aggregate(zip_with(probe_qv, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+          expr("dot_product(probe_qv, qv)")
             / sqrt(col("probe_qn") * col("qn")))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= nProbe)
