@@ -87,4 +87,18 @@ object EventAnalytics {
 
   private def tsUs(ts: Timestamp): Long =
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped
+    * (`dropDuplicatesWithinWatermark`); state for ids older than the
+    * watermark is evicted, so memory is bounded by the horizon's key
+    * cardinality — the streaming twin of batch `q_dedup_exact`.
+    */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 }

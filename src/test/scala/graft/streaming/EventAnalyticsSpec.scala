@@ -33,6 +33,24 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    import spark.implicits._
+    val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
+    val q = EventAnalytics.dedupStream(stream.toDF(),
+        Seq("user_id", "event_type"), watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").start()
+    try {
+      stream.addData(
+        Ev(1, ts(0), "click", 1.0), Ev(1, ts(1), "click", 2.0), // dup key
+        Ev(2, ts(1), "click", 3.0))
+      q.processAllAvailable()
+      stream.addData(Ev(1, ts(2), "click", 9.0)) // still within horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2L) // (1,click), (2,click)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions when the watermark passes " +
     "the gap") {
     import spark.implicits._
