@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession (and BucketingSpec touches session confs
+// + the Derby metastore); parallel suite execution races on both.
+Test / parallelExecution := false

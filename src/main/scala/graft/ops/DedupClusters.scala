@@ -29,9 +29,13 @@ object DedupClusters {
       .distinct()
       .persist()
 
+    // Eager localCheckpoint, not persist: every round must truncate the
+    // LOGICAL PLAN, not just cache data — with persist alone the plan
+    // grows by two joins per iteration and Catalyst re-analysis time
+    // explodes (the classic iterative-algorithm pitfall).
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint(true)
 
     var converged = false
     var iter = 0
@@ -46,10 +50,9 @@ object DedupClusters {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -70,9 +70,12 @@ final class LogTable private (val df: DataFrame) {
     * against the previous frontier; `maxDepth` bounds the iteration.
     */
   def subtree(runId: String, maxDepth: Int = 10): DataFrame = {
+    // eager localCheckpoint per level truncates the growing BFS plan
+    // (persist alone would cache data but leave Catalyst re-analyzing an
+    // ever-deeper join tree each level)
     var frontier = df.filter(col("run_id") === runId)
-      .select(col("run_id")).distinct()
-    var acc = df.filter(col("run_id") === runId)
+      .select(col("run_id")).distinct().localCheckpoint(true)
+    var acc = df.filter(col("run_id") === runId).localCheckpoint(true)
     var depth = 0
     var grew = true
     while (grew && depth < maxDepth) {
@@ -80,12 +83,13 @@ final class LogTable private (val df: DataFrame) {
         broadcast(frontier.withColumnRenamed("run_id", "__parent")),
         col("parent_run_id") === col("__parent"))
         .drop("__parent")
-      val newFrontier = children.select("run_id").distinct()
+      val newFrontier = children.select("run_id").distinct().localCheckpoint(true)
       val n = newFrontier.limit(1).count()
       if (n == 0) grew = false
       else {
-        acc = acc.unionByName(children).dropDuplicates("run_id", "event_type",
-          "timestamp")
+        acc = acc.unionByName(children)
+          .dropDuplicates("run_id", "event_type", "timestamp")
+          .localCheckpoint(true)
         frontier = newFrontier
         depth += 1
       }
