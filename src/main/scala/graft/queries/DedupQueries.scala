@@ -105,17 +105,18 @@ object DedupQueries {
     (s, dir) => {
       val aArr = A.mkString("array(", "L, ", "L)")
       val bArr = B.mkString("array(", "L, ", "L)")
+      // one persisted frame carries both the shingle set (for the exact
+      // verify) and the signature (for banding): a single scan+hash pass
       val sh = shingled(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = sh.select(col("doc_id"),
-        expr(s"transform(s, x -> ${md5numSql("x")} % $P)").as("bases"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("s"),
+          expr(s"transform(s, x -> ${md5numSql("x")} % $P)").as("bases"))
+        .select(col("doc_id"), col("s"),
           expr(s"""transform(sequence(0, 15), j ->
                      array_min(transform(bases, h ->
                        (element_at($aArr, j + 1) * h
                         + element_at($bArr, j + 1)) % $P)))""").as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sig.select(col("doc_id"),
+      val bands = sh.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> slice(sig, b * 4 + 1, 4))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bvals")
       val cands = bands.as("x").join(bands.as("y"),
