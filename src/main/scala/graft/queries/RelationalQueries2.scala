@@ -141,6 +141,45 @@ object RelationalQueries2 {
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Cube: all grouping combinations of (returnflag, linestatus) in one
+    * pass — the full grouping-sets lattice next to rollup's prefix chain.
+    */
+  val cubeVolume = Q(
+    "q_cube_volume",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(cnt(), sumRound(decPrice(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ${sqlSumRound(sqlPrice("l_quantity"))} AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST,
+                     l_linestatus ASC NULLS FIRST"""))
+
+  /** ntile quartiles of customers by order revenue (deterministic under a
+    * total ordering; both engines give earlier tiles the extra rows).
+    */
+  val ntileSpend = Q(
+    "q_ntile_spend",
+    (s, dir) => {
+      val rev = tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sumRound(decPrice(col("o_totalprice"))).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("revenue").desc, col("o_custkey"))
+      rev.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select("o_custkey", "revenue", "quartile")
+        .orderBy("o_custkey")
+    },
+    Some(s"""WITH rev AS (
+              SELECT o_custkey, ${sqlSumRound(sqlPrice("o_totalprice"))} AS revenue
+              FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, revenue,
+                   CAST(NTILE(4) OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS quartile
+            FROM rev ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(asofJoin, rollupRevenue, pivotStatus, setOps,
-    customAggregator)
+    customAggregator, cubeVolume, ntileSpend)
 }
