@@ -21,6 +21,8 @@ object GraftFunctions {
         exprs => ExtractCustomId(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("dot_product",
         exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("minhash_sig",
+        exprs => MinHashSig(exprs.head), "scala_udf")
     }
   }
 }

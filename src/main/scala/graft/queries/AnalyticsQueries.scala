@@ -27,19 +27,21 @@ object AnalyticsQueries {
     bench = true)
 
   /** Per-document top TF-IDF term: tf × ln((N+1)/(df+1)), rank-1 per doc.
-    * Document frequencies come from one distinct-aggregate; N is a scalar
+    * One explode → one (doc,term) aggregate; document frequency is derived
+    * from that same tf frame (it already holds exactly one row per
+    * doc×term), so the corpus is tokenized once, not twice. N is a scalar
     * broadcast. Identical operation order keeps doubles bit-equal.
     */
   val tfidf = Q(
     "q_tfidf_top_term",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val terms = docs
+      val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = terms.groupBy("doc_id", "term")
+        .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("long").as("tf"))
-      val df_ = terms.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       val n = docs.count() // scalar: one value, broadcast into the expr
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))

@@ -17,14 +17,24 @@ import TextQueries.{duckMd5num, md5numSql}
   */
 object DedupQueries {
 
-  /** 3-gram word shingle set per doc (distinct), as a DataFrame. */
+  /** 3-gram word shingle set per doc (distinct), as a DataFrame.
+    *
+    * The word array is materialized in its own projection first: a lambda
+    * body re-evaluates its free expressions per element (higher-order
+    * functions run interpreted, outside codegen CSE), so inlining
+    * `split(text)` into the `transform` would cost O(words²) per document.
+    * CollapseProject keeps the alias because `split` is non-cheap and
+    * multi-referenced.
+    */
   private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
     tbl(s, dir, "documents")
-      .filter(expr("size(split(text, ' ')) >= 3"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      .filter(expr("size(w) >= 3"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         expr("""array_distinct(transform(
-                  sequence(1, size(split(text, ' ')) - 2),
-                  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")
+                  sequence(1, size(w) - 2),
+                  i -> concat_ws(' ', slice(w, i, 3))))""")
           .as("s"))
 
   private val duckShingled =
@@ -85,45 +95,42 @@ object DedupQueries {
   /** MinHash + LSH near-dup — the 100 TB path. One 60-bit md5 hash per
     * shingle, from which 16 min-hash functions are derived as affine maps
     * `(a_j·h + b_j) mod (2^31−1)` (exact long arithmetic, identical in
-    * DuckDB — and 16× fewer md5 calls than salting). Signatures are banded
-    * 4×4; docs sharing any band become candidates (equi-join on the band
-    * value — a co-partitioned shuffle, never all-pairs); candidates are
-    * verified with exact Jaccard ≥ 0.5. The signature and shingle frames
-    * are persisted: both sides of the self-join and the verify step reuse
-    * them instead of recomputing the scan→shingle→hash lineage.
+    * DuckDB). The whole signature comes from the native codegen'd
+    * [[graft.functions.MinHashSig]] expression — one allocation-free pass
+    * per document instead of nested interpreted lambdas. Signatures are
+    * banded 4×4; docs sharing any band land in the same LSH bucket
+    * (a single groupBy shuffle on the band value — never all-pairs);
+    * candidates are verified with exact Jaccard ≥ 0.5. The persisted frame
+    * carries shingles + signature so banding and verify reuse one
+    * scan→shingle→hash pass.
     */
-  private val P = 2147483647L // 2^31 - 1
-  private val A = Seq(1769021L, 3043321L, 4987523L, 6291469L, 7368787L,
-    9437189L, 11823443L, 13007111L, 15485863L, 17825791L, 19891591L,
-    23456789L, 25165843L, 27644437L, 29986577L, 32452843L)
-  private val B = Seq(12289L, 24593L, 49157L, 98317L, 196613L, 393241L,
-    786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L,
-    50331653L, 100663319L, 201326611L, 402653189L)
+  private val P = graft.functions.MinHashSig.P
+  private val A = graft.functions.MinHashSig.A.toSeq
+  private val B = graft.functions.MinHashSig.B.toSeq
 
   val minhashLsh = Q(
     "q_dedup_minhash",
     (s, dir) => {
-      val aArr = A.mkString("array(", "L, ", "L)")
-      val bArr = B.mkString("array(", "L, ", "L)")
-      // one persisted frame carries both the shingle set (for the exact
-      // verify) and the signature (for banding): a single scan+hash pass
       val sh = shingled(s, dir)
-        .select(col("doc_id"), col("s"),
-          expr(s"transform(s, x -> ${md5numSql("x")} % $P)").as("bases"))
-        .select(col("doc_id"), col("s"),
-          expr(s"""transform(sequence(0, 15), j ->
-                     array_min(transform(bases, h ->
-                       (element_at($aArr, j + 1) * h
-                        + element_at($bArr, j + 1)) % $P)))""").as("sig"))
+        .select(col("doc_id"), col("s"), expr("minhash_sig(s)").as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sh.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> slice(sig, b * 4 + 1, 4))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bvals")
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bvals") === col("y.bvals") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ai"), col("y.doc_id").as("bi"))
+      // bucket-group instead of band self-join: ONE shuffle keyed on the
+      // band value co-locates each LSH bucket; singleton buckets (the vast
+      // majority) die in the size filter before any pair is materialized.
+      // Bucket width is bounded by LSH design (salt the band key if a
+      // degenerate corpus produces a hot bucket).
+      val cands = bands
+        .groupBy("band", "bvals")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+               transform(slice(ids, i + 2, size(ids)),
+                         b -> struct(a AS ai, b AS bi))))""")).as("p"))
+        .select(col("p.ai").as("ai"), col("p.bi").as("bi"))
         .distinct()
       val withSets = cands
         .join(sh.select(col("doc_id").as("ai"), col("s").as("as_")), "ai")

@@ -5,7 +5,7 @@ object Registry {
   val all: Seq[Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
-      RelationalQueries2.all ++ StatsQueries.all ++
+      RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
       Seq(LogRoundtripQuery.roundtrip, DedupClusterQuery.clusters)
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")

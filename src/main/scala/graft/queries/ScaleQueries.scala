@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextQueries.{duckMd5num, md5numSql}
+
+/** Scale-pattern operators: the shapes a 100 TB training-data pipeline
+  * leans on daily — banded range join, cumulative windows, grouping sets,
+  * deterministic stratified sampling, and skew-safe salted aggregation —
+  * each oracle-checked against DuckDB.
+  */
+object ScaleQueries {
+
+  /** Range (band) join: orders binned into price bands via a non-equi
+    * join against a small band dimension. The dimension is broadcast, so
+    * the fact side never shuffles (BroadcastNestedLoopJoin over 10 rows);
+    * with uniform bands this could collapse to arithmetic bucketing, but
+    * the general form handles irregular bands — the case that actually
+    * needs a range join.
+    */
+  val rangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = (0 until 10)
+        .map(i => (i.toLong, i * 50000.0, (i + 1) * 50000.0))
+        .toDF("band_id", "lo", "hi")
+      tbl(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id", "lo", "hi")
+        .agg(cnt(), sumRound(decPrice(col("o_totalprice"))).as("revenue"))
+        .orderBy("band_id")
+    },
+    Some(s"""WITH bands AS (
+              SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+              FROM generate_series(0, 9) t(i))
+            SELECT band_id, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+                   ${sqlSumRound(sqlPrice("o_totalprice"))} AS revenue
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id, lo, hi ORDER BY band_id"""))
+
+  /** Cumulative window: running revenue per customer in order-key order.
+    * The window sum runs over exact decimals (order-independent), so the
+    * running values match DuckDB bit-for-bit after round→double.
+    */
+  val runningTotal = Q(
+    "q_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          decPrice(col("o_totalprice")).as("p"))
+        .withColumn("running_revenue",
+          round(sum(col("p")).over(w), 2).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_revenue")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     2) AS DOUBLE) AS running_revenue
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Explicit GROUPING SETS (the general lattice next to ROLLUP's prefix
+    * chain and CUBE's powerset): per-status, per-priority, and
+    * grand-total levels in one pass, tagged by grouping_id. One shuffle
+    * feeds every level via map-side partials over the expanded rows.
+    */
+  val groupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                      COUNT(*) AS n,
+                      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2)
+                        AS DOUBLE) AS revenue
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY gid, o_orderstatus NULLS FIRST,
+                        o_orderpriority NULLS FIRST""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2)
+                     AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY gid, o_orderstatus NULLS FIRST,
+                     o_orderpriority NULLS FIRST"""))
+
+  /** Deterministic stratified sampling: per-language keep rates (20% for
+    * the dominant `en`, 60% for the tail) decided by a content-stable
+    * hash of the key — reproducible across runs, engines, and cluster
+    * sizes, unlike `rand()`-based sampling. This is the downsample-the-
+    * dominant-stratum operation every training-data pipeline runs; as a
+    * pure filter it pushes into the scan and never shuffles.
+    */
+  val sampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) => tbl(s, dir, "documents")
+      .filter(expr(
+        s"""${md5numSql("cast(doc_id as string)")} % 10 <
+            case when lang = 'en' then 2 else 6 end"""))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE ${duckMd5num("doc_id::VARCHAR")} % 10 <
+                  CASE WHEN lang = 'en' THEN 2 ELSE 6 END
+            ORDER BY doc_id"""))
+
+  /** Skew-safe aggregation: two-stage salted sum/count over the hot
+    * event_type keys (5 distinct values across every row — the worst
+    * aggregation skew shape) via graft.ops.Salting. Stage 1 spreads each
+    * hot key over 16 salt buckets, stage 2 merges 16 partials per key.
+    * Operands are exact decimals, so the two-stage sum is bit-identical
+    * to DuckDB's single-stage oracle.
+    */
+  val saltedAgg = Q(
+    "q_salted_agg",
+    (s, dir) => {
+      val src = tbl(s, dir, "events")
+        .select(col("event_type"), decPrice(col("value")).as("v"))
+      graft.ops.Salting.saltedSumCount(src, "event_type", "v")
+        .select(col("event_type"),
+          round(col("sum_v"), 2).cast("double").as("total_value"),
+          col("n"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type,
+                   ${sqlSumRound(sqlPrice("value"))} AS total_value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
+    sampleStratified, saltedAgg)
+}

@@ -163,5 +163,80 @@ object SimilarityQueries {
             ORDER BY query_id, rnk"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(knnBrute, knnIvf)
+  private val nBits = 6
+
+  /** Random-hyperplane LSH ANN — the third leg of the ANN stack next to
+    * brute-force and IVF. Six deterministic hyperplanes (corpus vectors
+    * 8..13, i.e. model parameters fetched once on the driver — a 6-row
+    * lookup, not a data collect) give every vector a 6-bit sign signature
+    * in a single map-only projection: no shuffle touches the corpus until
+    * the bucket equi-join. Queries multi-probe their own bucket plus the
+    * six Hamming-1 neighbors, then run exact cosine top-k inside the
+    * probed buckets. At 100 TB the corpus side stays a narrow
+    * (vec_id, sig) map; recall is tuned by nBits/probe radius, cost by
+    * bucket width.
+    */
+  val knnLsh = Q(
+    "q_knn_lsh",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val planes = e
+        .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nBits)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1))
+      val sigCol = planes.zipWithIndex.map { case (p, i) =>
+        when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = e.withColumn("sig", sigCol)
+      val probes = sigs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(array(
+            col("sig") +: (0 until nBits).map(i =>
+              col("sig").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      sigs.withColumnRenamed("sig", "bucket").join(probes, "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            planes AS (
+              SELECT vec_id - $nQueries AS pid, v AS pv FROM e
+              WHERE vec_id >= $nQueries AND vec_id < ${nQueries + nBits}),
+            sigs AS (
+              SELECT e.vec_id, e.v, e.nrm,
+                     CAST(SUM(CASE WHEN ${duckDot("e.v", "p.pv")} >= 0
+                          THEN (2 ** p.pid)::BIGINT ELSE 0 END) AS BIGINT) AS sig
+              FROM e CROSS JOIN planes p
+              GROUP BY e.vec_id, e.v, e.nrm),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                     unnest([sig, ${(0 until nBits)
+      .map(i => s"xor(sig, ${1L << i})").mkString(", ")}]) AS bucket
+              FROM sigs WHERE vec_id < $nQueries),
+            scored AS (
+              SELECT p.query_id, c.vec_id,
+                     ${duckDot("p.qv", "c.v")} / sqrt(p.qn * c.nrm) AS cos
+              FROM sigs c JOIN probes p ON c.sig = p.bucket
+              WHERE c.vec_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $topK
+            ORDER BY query_id, rnk"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh)
 }
