@@ -23,6 +23,12 @@ object GraftFunctions {
         exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_sig",
         exprs => MinHashSig(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("jaccard_sim",
+        exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+      if (!classic.experimental.extraOptimizations.contains(RewriteJaccard)) {
+        classic.experimental.extraOptimizations =
+          classic.experimental.extraOptimizations :+ RewriteJaccard
+      }
     }
   }
 }

@@ -6,6 +6,7 @@ object Registry {
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
       RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
+      SubqueryQueries.all ++ SketchQueries.all ++
       Seq(LogRoundtripQuery.roundtrip, DedupClusterQuery.clusters)
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the headline operators: these are
+  * the properties that decide 100 TB behavior (scan pushdown, column
+  * pruning, broadcast vs shuffle joins, partial aggregation, native
+  * expressions staying inside codegen) — asserted on the real executed
+  * plans so a regression in plan shape fails CI even while results stay
+  * correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: Q): String = {
+    val df = q.spark(spark, sf())
+    // execute first: under AQE the pre-execution plan is not final (and
+    // carries no codegen markers); the post-execution string is the plan
+    // that actually ran
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan, agg is two-phase") {
+    val p = plan(RelationalQueries.q1PricingSummary)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("partial_sum"), "missing map-side partial aggregation")
+    // whole-stage codegen shows as "*(n)" stage markers in the plan string
+    assert(p.contains("*("), "no whole-stage codegen stages in the plan")
+  }
+
+  test("q3: dimension joins broadcast — the fact table never shuffles for them") {
+    val p = plan(RelationalQueries.q3ShippingPriority)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("range join: band dimension goes through a broadcast nested-loop join") {
+    val p = plan(ScaleQueries.rangeJoin)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("stratified sample: text column is pruned from the scan") {
+    val p = plan(ScaleQueries.sampleStratified)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(!_.contains("text")),
+      s"scan reads pruned column: $readSchema")
+  }
+
+  test("exists subquery decorrelates to a semi join (no per-row re-scan)") {
+    val p = plan(SubqueryQueries.existsUrgent)
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("minhash: native signature expression present in the plan") {
+    val p = plan(DedupQueries.minhashLsh)
+    assert(p.contains("minhash_sig"), p.take(2000))
+  }
+}
