@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
       exprs => JaccardSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("min_shingle_hash"),
+      new ExpressionInfo(classOf[MinShingleHash].getName, "min_shingle_hash"),
+      exprs => MinShingleHash(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteJaccard)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

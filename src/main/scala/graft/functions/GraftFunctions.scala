@@ -25,9 +25,16 @@ object GraftFunctions {
         exprs => MinHashSig(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("jaccard_sim",
         exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("min_shingle_hash",
+        exprs => MinShingleHash(exprs(0), exprs(1)), "scala_udf")
       if (!classic.experimental.extraOptimizations.contains(RewriteJaccard)) {
         classic.experimental.extraOptimizations =
           classic.experimental.extraOptimizations :+ RewriteJaccard
+      }
+      if (!classic.experimental.extraStrategies
+          .contains(graft.plans.AsOfJoinStrategy)) {
+        classic.experimental.extraStrategies =
+          classic.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
       }
     }
   }

@@ -213,8 +213,41 @@ object EventQueries {
             FROM z GROUP BY user_id, session_no ORDER BY user_id, session_no"""),
     bench = true)
 
+  /** Window navigation: per-user previous/next event and inter-event gap
+    * (lag/lead), plus percent_rank of the event value within the user —
+    * the remaining window-function family (navigation + relative rank)
+    * next to ntile/row_number/cumulative-sum elsewhere. One partitioning,
+    * two orderings; the user-hash shuffle is shared, each ordering adds
+    * only a partition-local sort.
+    */
+  val windowNav = Q(
+    "q_window_nav",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val wVal = Window.partitionBy("user_id").orderBy("value", "event_id")
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsMicros.as("tus"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(lag("event_type", 1).over(wSeq), lit("")).as("prev_type"),
+          coalesce(lead("event_type", 1).over(wSeq), lit("")).as("next_type"),
+          coalesce(col("tus") - lag("tus", 1).over(wSeq), lit(-1L)).as("gap_us"),
+          round(percent_rank().over(wVal), 6).as("pr"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+                   COALESCE(LAG(event_type) OVER w1, '') AS prev_type,
+                   COALESCE(LEAD(event_type) OVER w1, '') AS next_type,
+                   COALESCE(tus - LAG(tus) OVER w1, -1) AS gap_us,
+                   ROUND(PERCENT_RANK() OVER
+                     (PARTITION BY user_id ORDER BY value, event_id), 6) AS pr
+            FROM (SELECT event_id, user_id, event_type, value,
+                         epoch_us(ts) AS tus FROM events)
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY tus, event_id)
+            ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     scanFilter, jsonExtract, jsonAggTokens, eventCounts, distinctTypes,
     dedupKeepLast, antiJoinCheckpoint, customIdExtract, unionPartitions,
-    windowAgg, sessionize)
+    windowAgg, sessionize, windowNav)
 }

@@ -59,6 +59,39 @@ object RelationalQueries2 {
             ORDER BY c.event_id"""),
     bench = true)
 
+  /** The same point-in-time lookup through the NATIVE custom operator
+    * (graft.plans.AsOfJoinExec: LogicalPlan + Strategy + sort-merge
+    * SparkPlan, injected via SparkSessionExtensions) — third independent
+    * implementation of the semantics, checked against the same DuckDB
+    * ASOF JOIN oracle as q_asof_join.
+    */
+  val asofNative = Q(
+    "q_asof_native",
+    (s, dir) => {
+      val events = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsMicros.as("tus"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "tus").orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("tus"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsOfJoinNative.asOf(clicks, purchases,
+        key = "user_id", ts = "tus",
+        rightCols = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(round(col("asof_purchase_value"), 6), lit(0.0))
+            .as("purchase_value"))
+        .orderBy("event_id")
+    },
+    asofJoin.oracle,
+    bench = true)
+
   /** Rollup: revenue at (status, priority), (status), and grand-total
     * grouping levels in one pass — map-side partials feed every level.
     */
@@ -180,6 +213,6 @@ object RelationalQueries2 {
                    CAST(NTILE(4) OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS quartile
             FROM rev ORDER BY o_custkey"""))
 
-  val all: Seq[Q] = Seq(asofJoin, rollupRevenue, pivotStatus, setOps,
-    customAggregator, cubeVolume, ntileSpend)
+  val all: Seq[Q] = Seq(asofJoin, asofNative, rollupRevenue, pivotStatus,
+    setOps, customAggregator, cubeVolume, ntileSpend)
 }

@@ -127,21 +127,20 @@ object TextQueries {
             FROM h ORDER BY doc_id"""))
 
   /** Document fingerprinting: whole-document content hash plus a rolling
-    * min-hash over 5-gram word shingles (winnowing-style minimum).
+    * min-hash over 5-gram word shingles (winnowing-style minimum). The
+    * shingle minimum is the native [[graft.functions.MinShingleHash]]
+    * kernel — one buffered pass, no per-shingle array/string
+    * materialization; `coalesce` covers the <5-word fallback (the
+    * expression returns null there), mirroring the oracle's CASE.
     */
   val fingerprint = Q(
     "q_fingerprint",
     (s, dir) => tbl(s, dir, "documents")
       .select(col("doc_id"), col("text"), md5(col("text")).as("fp_md5"),
-        split(col("text"), " ").as("w")) // split once, reused 3×
+        split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("fp_md5"),
-        expr(
-          s"""case when size(w) < 5
-                then ${md5numSql("text")}
-                else array_min(transform(
-                  sequence(1, size(w) - 4),
-                  i -> ${md5numSql("concat_ws(' ', slice(w, i, 5))")}))
-              end""").as("min_shingle_hash"))
+        expr(s"coalesce(min_shingle_hash(w, 5), ${md5numSql("text")})")
+          .as("min_shingle_hash"))
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id, md5(text) AS fp_md5,
                    CASE WHEN len(string_split(text, ' ')) < 5

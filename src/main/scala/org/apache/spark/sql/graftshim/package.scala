@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom logical plan into a DataFrame (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4's classic module).
+    */
+  def dataFrame(
+      spark: classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : classic.DataFrame =
+    classic.Dataset.ofRows(spark, plan)
 }
