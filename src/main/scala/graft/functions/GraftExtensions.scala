@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("min_shingle_hash"),
       new ExpressionInfo(classOf[MinShingleHash].getName, "min_shingle_hash"),
       exprs => MinShingleHash(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      exprs => SimHash16(exprs.head)))
     e.injectOptimizerRule(_ => RewriteJaccard)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -171,29 +171,48 @@ object DedupQueries {
     bench = true)
 
   /** SimHash near-dup: 16-bit majority-vote signature from per-token
-    * 60-bit hashes; candidate pairs (same lang) within Hamming distance 3.
-    * The signature computation is one codegen'd projection; the pair scan
-    * is integer-only (no set ops), so it is cheap even on wide blocks.
+    * 60-bit hashes via the native [[graft.functions.SimHash16]] kernel
+    * (one pass, 16 bit counters — replaces 16 interpreted filter sweeps);
+    * candidate pairs (same lang) within Hamming distance 3.
+    *
+    * Candidates come from Hamming-LSH banding, and the banding is
+    * LOSSLESS here: the 16-bit signature splits into 4 four-bit bands, a
+    * pair within Hamming distance ≤ 3 differs in ≤ 3 bands, so by
+    * pigeonhole it shares at least one band — every true pair is a
+    * candidate, exactly like the all-pairs scan, but from one groupBy
+    * shuffle on (band, bits, lang) instead of a per-language quadratic
+    * join. The oracle keeps the straightforward all-pairs formulation;
+    * identical results prove the equivalence.
     */
   val simhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          expr(s"transform(split(text, ' '), t -> ${md5numSql("t")})").as("th"))
-        .select(col("doc_id"), col("lang"),
-          expr("""aggregate(transform(sequence(0, 15), i ->
-                     case when 2 * size(filter(th, h ->
-                            (h div cast(pow(2, i) as bigint)) % 2 = 1))
-                            > size(th)
-                          then cast(pow(2, i) as bigint) else 0L end),
-                   0L, (acc, x) -> acc + x)""").as("sh16"))
-      docs.as("a").join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          bit_count(col("a.sh16").bitwiseXOR(col("b.sh16"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"), col("hamming"))
+          expr("simhash16(split(text, ' '))").as("sh16"))
+      val bands = docs.select(col("doc_id"), col("lang"), col("sh16"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (sh16 div cast(pow(2, b * 4) as bigint)) % 16)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bbits")
+      // hamming-verify INSIDE the bucket expansion, before the dedup
+      // shuffle: 16-bit bands are coarse, so most candidate pairs fail
+      // the distance test — filtering first means the distinct() only
+      // shuffles true near-dup pairs (tiny), not every bucket pair
+      bands
+        .groupBy("band", "bbits", "lang")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh16"))))
+          .as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode(expr(
+          """filter(
+               flatten(transform(members, (a, i) ->
+                 transform(slice(members, i + 2, size(members)),
+                           b -> struct(a.doc_id AS ai, b.doc_id AS bi,
+                                       bit_count(a.sh16 ^ b.sh16) AS hamming)))),
+               p -> p.hamming <= 3)""")).as("p"))
+        .select(col("p.ai").as("ai"), col("p.bi").as("bi"),
+          col("p.hamming").cast("long").as("hamming"))
+        .distinct()
         .orderBy("ai", "bi")
     },
     Some(s"""WITH toks AS (
@@ -213,7 +232,8 @@ object DedupQueries {
             FROM docs a JOIN docs b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh16, b.sh16)) <= 3
-            ORDER BY ai, bi"""))
+            ORDER BY ai, bi"""),
+    bench = true)
 
   /** Embedding-cosine near-dup: same-cluster (label) blocking, exact
     * double-precision cosine ≥ 0.4 on candidates. Norms are precomputed

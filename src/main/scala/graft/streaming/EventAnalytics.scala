@@ -101,4 +101,33 @@ object EventAnalytics {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within `horizonMinutes` BEFORE the click — the streaming
+    * twin of the batch/native as-of family (a windowed variant: all
+    * matches in the interval, not just the latest, which is what
+    * stream-stream joins can express with bounded state). Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's buffered state is evicted once the watermark passes
+    * the interval — state is O(rate × horizon), independent of stream
+    * length.
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame, // user_id, ts, click payload
+      purchases: DataFrame, // user_id, ts, purchase payload
+      horizonMinutes: Int = 30,
+      watermark: String = "10 seconds"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") <= col("c_ts") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+  }
 }

@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import graft.streaming.EventAnalytics.{Ev, Session}
 
+final case class EvId(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
 class EventAnalyticsSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
@@ -76,6 +79,31 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(sessions(0).sum_value === 3.0)
       assert(sessions(1).n_events === 1L)
       assert(sessions(1).sum_value === 5.0)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join buffers only the horizon " +
+    "(clicks x purchases within 30 minutes before)") {
+    import spark.implicits._
+    val clicks = MemoryStream(implicitly[org.apache.spark.sql.Encoder[EvId]], spark)
+    val purchases = MemoryStream(implicitly[org.apache.spark.sql.Encoder[EvId]], spark)
+    val q = EventAnalytics.clickPurchaseJoin(
+        clicks.toDF(), purchases.toDF(), horizonMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin").start()
+    try {
+      purchases.addData(
+        EvId(100, 1, ts(5), "purchase", 9.99), // 5 min before click: joins
+        EvId(101, 1, ts(50), "purchase", 1.0), // after the click: no join
+        EvId(102, 2, ts(8), "purchase", 2.0)) // other user: no join
+      clicks.addData(EvId(200, 1, ts(10), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("click_id", "purchase_id", "purchase_value").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 200L)
+      assert(rows.head.getLong(1) === 100L)
+      assert(rows.head.getDouble(2) === 9.99)
     } finally q.stop()
   }
 }
