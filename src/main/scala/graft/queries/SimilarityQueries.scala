@@ -85,39 +85,50 @@ object SimilarityQueries {
   /** IVF-Flat ANN: deterministic centroids (vec_id < nCentroids), corpus
     * bucketed by nearest centroid, queries probe the nProbe nearest
     * buckets and run exact search inside them.
+    *
+    * The centroid set is MODEL STATE: 32 rows fetched once on the driver
+    * and folded into the projection as literals, so bucket assignment is
+    * a map-only corpus pass — no crossJoin row inflation, no full-corpus
+    * shuffle through a per-vector window (which the first formulation
+    * paid just to argmax over 32 candidates). Argmax tie-break (highest
+    * cosine, then lowest cid) is encoded as array_max over
+    * struct(cos, -cid). Float identity with the oracle holds because
+    * per-term multiplication is commutative and the fold order is
+    * unchanged. The probe side is 8×nProbe rows — broadcast into the
+    * bucket join, so at 100 TB the corpus never shuffles at all until
+    * the final per-query top-k.
     */
   val knnIvf = Q(
     "q_knn_ivf",
     (s, dir) => {
       val e = corpus(s, dir)
-      val cent = e.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("qv"), col("nrm").as("qn"))
-      // bucket assignment: nearest centroid per corpus vector
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("bucket"))
-      // query probes: nProbe nearest centroids per query
-      val q = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("probe_qv"),
-          col("nrm").as("probe_qn"))
-      val wProbe = Window.partitionBy("query_id")
-        .orderBy(col("pcos").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("pcos",
-          expr("dot_product(probe_qv, qv)")
-            / sqrt(col("probe_qn") * col("qn")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= nProbe)
-        .select(col("query_id"), col("probe_qv").as("qv"),
-          col("probe_qn").as("qn"), col("cid").as("bucket"))
-      // exact search within probed buckets
+      val cents = e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("v"), col("nrm")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      def cosTo(cid: Long, cv: Seq[Double], cn: Double) =
+        call_function("dot_product", col("v"), typedLit(cv)) /
+          sqrt(lit(cn) * col("nrm"))
+      // nearest centroid: max (cos, -cid) struct — no shuffle, no window
+      val assignTerms = cents.map { case (cid, cv, cn) =>
+        struct(cosTo(cid, cv, cn).as("c"), lit(-cid).as("nc"))
+      }
+      val assigned = e
+        .withColumn("bucket", -array_max(array(assignTerms: _*)).getField("nc"))
+      // query probes: top-nProbe centroids via sorted struct array
+      val probes = assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(slice(
+            sort_array(array(assignTerms.map(t =>
+              struct(t.getField("c").as("c"), t.getField("nc").as("nc"))): _*),
+              asc = false), 1, nProbe)).as("p"))
+        .select(col("query_id"), col("qv"), col("qn"),
+          (-col("p.nc")).as("bucket"))
+      // exact search within probed buckets; probes broadcast (tiny)
       val wTop = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(probes, "bucket")
+      assigned.join(broadcast(probes), "bucket")
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
         .withColumn("rnk", row_number().over(wTop).cast("long"))
