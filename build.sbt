@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM (no "[info] " logger
+// prefix): the driver parses graft.Bench's one-line JSON from stdout, and
+// a logger-prefixed line does not parse as JSON (round-1 BENCH_r01.json
+// recorded parsed: null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

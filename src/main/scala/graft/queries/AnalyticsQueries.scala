@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus/behavioral analytics beyond the reference's surface: term
@@ -30,7 +29,12 @@ object AnalyticsQueries {
     * One explode → one (doc,term) aggregate; document frequency is derived
     * from that same tf frame (it already holds exactly one row per
     * doc×term), so the corpus is tokenized once, not twice. N is a scalar
-    * broadcast. Identical operation order keeps doubles bit-equal.
+    * broadcast. The per-doc winner is an ARGMAX AGGREGATE —
+    * `min(struct(-tfidf, term))` selects highest score with ties to the
+    * lexicographically first term — which gets map-side partial
+    * aggregation; the window/row_number formulation (what the oracle
+    * runs) would shuffle and sort every (doc, term) row instead.
+    * Negation round-trips doubles exactly, so values stay bit-equal.
     */
   val tfidf = Q(
     "q_tfidf_top_term",
@@ -43,15 +47,14 @@ object AnalyticsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       val n = docs.count() // scalar: one value, broadcast into the expr
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term"))
       tf.join(df_, "term")
         .withColumn("tfidf",
           col("tf").cast("double") *
             log((lit(n.toDouble) + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("tfidf")).as("negt"), col("term"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("term"),
+          round(-col("m.negt"), 6).as("tfidf"))
         .orderBy("doc_id")
     },
     Some("""WITH terms AS (

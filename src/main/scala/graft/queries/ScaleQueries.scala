@@ -139,6 +139,57 @@ object ScaleQueries {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Date-spine gap fill: dense daily revenue per order status, zeros on
+    * days with no orders — the sparse→dense densification every
+    * time-series pipeline needs before windowed models. The spine is
+    * `sequence()` over the corpus' own [min, max] day range crossed with
+    * the status dimension (both tiny — the cross join is broadcast), then
+    * a left join back to the per-day aggregate. The fact table is
+    * aggregated BEFORE the join, so the outer join touches |days|×|status|
+    * rows, never the raw facts.
+    */
+  val gapFill = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+          // cast makes unix_micros read the same epoch DuckDB's epoch_us does
+          expr("""CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                       div 86400000000 AS BIGINT)""").as("day"),
+          decPrice(col("o_totalprice")).as("p"))
+      val daily = orders.groupBy("status", "day")
+        .agg(cnt(), sumRound(col("p")).as("revenue"))
+      val bounds = orders.agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(orders.select("status").distinct())
+      spine.join(daily, Seq("status", "day"), "left")
+        .select(col("status"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("status", "day")
+    },
+    Some(s"""WITH o AS (
+              SELECT o_orderstatus AS status,
+                     epoch_us(o_orderdate) // 86400000000 AS day,
+                     o_totalprice FROM orders),
+            daily AS (
+              SELECT status, day, CAST(COUNT(*) AS BIGINT) AS n,
+                     ${sqlSumRound(sqlPrice("o_totalprice"))} AS revenue
+              FROM o GROUP BY status, day),
+            spine AS (
+              SELECT d.day, s.status
+              FROM (SELECT unnest(generate_series((SELECT MIN(day) FROM o),
+                                                  (SELECT MAX(day) FROM o))) AS day) d
+              CROSS JOIN (SELECT DISTINCT status FROM o) s)
+            SELECT sp.status, sp.day,
+                   COALESCE(dl.n, 0) AS n,
+                   COALESCE(dl.revenue, 0.0) AS revenue
+            FROM spine sp LEFT JOIN daily dl
+              ON sp.status = dl.status AND sp.day = dl.day
+            ORDER BY sp.status, sp.day"""))
+
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
-    sampleStratified, saltedAgg)
+    sampleStratified, saltedAgg, gapFill)
 }
