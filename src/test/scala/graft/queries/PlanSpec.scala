@@ -54,4 +54,17 @@ class PlanSpec extends SparkSpec {
     val p = plan(DedupQueries.minhashLsh)
     assert(p.contains("minhash_sig"), p.take(2000))
   }
+
+  test("q5: every dimension join broadcasts — zero sort-merge joins") {
+    val p = plan(RelationalQueries.q5LocalSupplier)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a dim join fell back to sort-merge:\n" + p.take(3000))
+  }
+
+  test("global top-k plans as TakeOrdered (partial per-partition top-k), " +
+    "not a full sort") {
+    val p = plan(AnalyticsQueries.topTokens)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
