@@ -144,5 +144,31 @@ object AnalyticsQueries {
               ON a.user_id = n.user_id AND n.day = a.day + 1
             GROUP BY a.day ORDER BY a.day"""))
 
-  val all: Seq[Q] = Seq(topTokens, tfidf, funnel, retention)
+  /** Per-user mode: the most frequent event type (ties to the
+    * alphabetically first) — count-then-argmax, the categorical summary
+    * every behavioral dataset needs. Both aggregates get map-side
+    * partials; no window, no sort until the output contract.
+    */
+  val modePerUser = Q(
+    "q_mode_per_user",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .groupBy("user_id")
+      .agg(min(struct((-col("n")).as("negn"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("top_event"),
+        (-col("m.negn")).as("n"))
+      .orderBy("user_id"),
+    Some("""WITH c AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type),
+            r AS (
+              SELECT user_id, event_type, n,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, event_type) AS rk
+              FROM c)
+            SELECT user_id, event_type AS top_event, n
+            FROM r WHERE rk = 1 ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(topTokens, tfidf, funnel, retention, modePerUser)
 }
