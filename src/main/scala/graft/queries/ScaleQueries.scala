@@ -190,6 +190,28 @@ object ScaleQueries {
               ON sp.status = dl.status AND sp.day = dl.day
             ORDER BY sp.status, sp.day"""))
 
+  /** Ordered string aggregation (LISTAGG): the distinct event types each
+    * user has produced, sorted and comma-joined — a deterministic
+    * serialization of a set-valued aggregate. `collect_set` keeps the
+    * shuffle small (distinct values only); the explicit `sort_array`
+    * makes the concatenation order engine-independent (never rely on
+    * arrival order of a distributed aggregate).
+    */
+  val listAgg = Q(
+    "q_listagg_events",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type"))))
+          .as("event_types"),
+        cnt("n_events"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS event_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
-    sampleStratified, saltedAgg, gapFill)
+    sampleStratified, saltedAgg, gapFill, listAgg)
 }
