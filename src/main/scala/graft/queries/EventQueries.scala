@@ -246,8 +246,49 @@ object EventQueries {
             WINDOW w1 AS (PARTITION BY user_id ORDER BY tus, event_id)
             ORDER BY event_id"""))
 
+  /** Gap sessionization via Spark's BUILT-IN `session_window` — the
+    * declarative twin of q_sessionize's lag+cumsum formulation. Spark
+    * merges windows that overlap, i.e. a session breaks when the gap is
+    * ≥ the window size, so the oracle's break predicate uses `>=` (the
+    * manual variant uses `>`; both are valid gap conventions, pinned
+    * explicitly on both sides). At scale this is one shuffle on user_id
+    * + a per-partition merge — state handled by the operator itself,
+    * streaming-ready with a watermark.
+    */
+  val sessionWindow = Q(
+    "q_session_window",
+    (s, dir) => tbl(s, dir, "events")
+      .select(col("user_id"), timestamp_micros(tsMicros).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(cnt("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us"),
+    Some("""WITH x AS (
+              SELECT user_id, epoch_us(ts) AS tus FROM events),
+            y AS (
+              SELECT user_id, tus,
+                     lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+              FROM x),
+            z AS (
+              SELECT user_id, tus,
+                     CAST(SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+              FROM y),
+            g AS (
+              SELECT user_id, session_no, MIN(tus) AS session_start_us,
+                     MAX(tus) + 1800000000 AS session_end_us,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM z GROUP BY user_id, session_no)
+            SELECT user_id, session_start_us, session_end_us, n_events
+            FROM g ORDER BY user_id, session_start_us"""))
+
   val all: Seq[Q] = Seq(
     scanFilter, jsonExtract, jsonAggTokens, eventCounts, distinctTypes,
     dedupKeepLast, antiJoinCheckpoint, customIdExtract, unionPartitions,
-    windowAgg, sessionize, windowNav)
+    windowAgg, sessionize, windowNav, sessionWindow)
 }
