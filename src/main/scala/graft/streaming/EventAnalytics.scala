@@ -102,6 +102,26 @@ object EventAnalytics {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Gap sessionization via the BUILT-IN `session_window` operator in
+    * streaming mode — the same declarative query as the batch
+    * `q_session_window` oracle query, plus a watermark: the operator
+    * manages merge state per (user, open session) and emits a session
+    * exactly once, when the watermark passes its close. Contrast with
+    * [[sessionize]]: identical semantics, zero custom state code.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within `horizonMinutes` BEFORE the click — the streaming
     * twin of the batch/native as-of family (a windowed variant: all

@@ -82,6 +82,26 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window streams: a session emits once its gap passes") {
+    import spark.implicits._
+    val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
+    val q = EventAnalytics.sessionWindows(stream.toDF(), gap = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("swin").start()
+    try {
+      // session: two events 1 min apart, then 40 min of silence advances
+      // the watermark past session close
+      stream.addData(Ev(3, ts(0), "click", 1.0), Ev(3, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(Ev(3, ts(41), "click", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin").orderBy("session_start").collect()
+      assert(rows.length === 1) // second session still open
+      assert(rows.head.getLong(3) === 2L)
+      assert(rows.head.getDouble(4) === 3.0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join buffers only the horizon " +
     "(clicks x purchases within 30 minutes before)") {
     import spark.implicits._
