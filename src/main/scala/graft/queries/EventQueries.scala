@@ -38,6 +38,27 @@ object EventQueries {
                    COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_value
             FROM events ORDER BY event_id"""))
 
+  /** The same scalar extraction through Spark 4's VARIANT type:
+    * `parse_json` once into the binary variant encoding, then typed
+    * `variant_get` paths — the schemaless-payload path that replaces
+    * repeated string re-parsing when many fields are extracted from one
+    * JSON column (parse once, navigate many times). Results are typed
+    * scalars, so the oracle is ordinary JSON SQL.
+    */
+  val variantExtract = Q(
+    "q_variant_extract",
+    (s, dir) => tbl(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        coalesce(expr("variant_get(v, '$.k', 'long')"), lit(0L)).as("k_value"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_value,
+                   json_extract_string(props, '$.k') AS k_str
+            FROM events ORDER BY event_id"""))
+
   /** Flagship (§7.2): token-usage-style aggregation — parse JSON, sum the
     * extracted scalar per logical custom id. Maps to README.md:221-224 /
     * examples/batch_run_example.py:100-130 composed.
@@ -290,5 +311,5 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     scanFilter, jsonExtract, jsonAggTokens, eventCounts, distinctTypes,
     dedupKeepLast, antiJoinCheckpoint, customIdExtract, unionPartitions,
-    windowAgg, sessionize, windowNav, sessionWindow)
+    windowAgg, sessionize, windowNav, sessionWindow, variantExtract)
 }
