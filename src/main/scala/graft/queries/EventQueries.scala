@@ -306,7 +306,8 @@ object EventQueries {
                      CAST(COUNT(*) AS BIGINT) AS n_events
               FROM z GROUP BY user_id, session_no)
             SELECT user_id, session_start_us, session_end_us, n_events
-            FROM g ORDER BY user_id, session_start_us"""))
+            FROM g ORDER BY user_id, session_start_us"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(
     scanFilter, jsonExtract, jsonAggTokens, eventCounts, distinctTypes,

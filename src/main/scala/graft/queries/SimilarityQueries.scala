@@ -177,25 +177,32 @@ object SimilarityQueries {
   private val nBits = 6
 
   /** Random-hyperplane LSH ANN — the third leg of the ANN stack next to
-    * brute-force and IVF. Six deterministic hyperplanes (corpus vectors
-    * 8..13, i.e. model parameters fetched once on the driver — a 6-row
-    * lookup, not a data collect) give every vector a 6-bit sign signature
-    * in a single map-only projection: no shuffle touches the corpus until
-    * the bucket equi-join. Queries multi-probe their own bucket plus the
-    * six Hamming-1 neighbors, then run exact cosine top-k inside the
-    * probed buckets. At 100 TB the corpus side stays a narrow
-    * (vec_id, sig) map; recall is tuned by nBits/probe radius, cost by
+    * brute-force and IVF. Six deterministic hyperplanes, each the
+    * DIFFERENCE of two corpus vectors (raw embeddings have a nonzero
+    * mean, so raw-vector planes give skewed sign splits; differences are
+    * mean-free directions with balanced splits — the standard
+    * data-dependent LSH trick). Planes are model parameters fetched once
+    * on the driver (a 12-row lookup, not a data collect) and folded into
+    * the projection, so every vector gets its 6-bit sign signature in a
+    * single map-only pass: no shuffle touches the corpus until the
+    * bucket equi-join. Queries multi-probe their own bucket plus the six
+    * Hamming-1 neighbors, then run exact cosine top-k inside the probed
+    * buckets. At 100 TB the corpus side stays a narrow (vec_id, sig)
+    * map; recall is tuned by nBits/probe radius/table count, cost by
     * bucket width.
     */
   val knnLsh = Q(
     "q_knn_lsh",
     (s, dir) => {
       val e = corpus(s, dir)
-      val planes = e
-        .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nBits)
+      val raw = e
+        .filter(col("vec_id") >= nQueries &&
+          col("vec_id") < nQueries + 2 * nBits)
         .select(col("vec_id"), col("v")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1))
+      val planes = (0 until nBits).map(i =>
+        raw(i).zip(raw(nBits + i)).map { case (x, y) => x - y })
       val sigCol = planes.zipWithIndex.map { case (p, i) =>
         when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
@@ -220,8 +227,12 @@ object SimilarityQueries {
     },
     Some(s"""WITH e AS ($duckCorpus),
             planes AS (
-              SELECT vec_id - $nQueries AS pid, v AS pv FROM e
-              WHERE vec_id >= $nQueries AND vec_id < ${nQueries + nBits}),
+              SELECT a.vec_id - $nQueries AS pid,
+                     [a.v[i] - b.v[i]
+                      FOR i IN generate_series(1, len(a.v))] AS pv
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + $nBits
+              WHERE a.vec_id >= $nQueries
+                AND a.vec_id < ${nQueries + nBits}),
             sigs AS (
               SELECT e.vec_id, e.v, e.nrm,
                      CAST(SUM(CASE WHEN ${duckDot("e.v", "p.pv")} >= 0
