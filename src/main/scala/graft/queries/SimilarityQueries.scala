@@ -260,5 +260,105 @@ object SimilarityQueries {
             ORDER BY query_id, rnk"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh)
+  private val nTables = 3
+
+  /** Multi-table LSH ANN — recall AMPLIFICATION, the standard fix for a
+    * single hash table's recall ceiling: L independent 6-bit tables
+    * (disjoint difference-plane sets), each probed at Hamming radius 1; a
+    * corpus vector is a candidate if ANY table collides. Recall compounds
+    * roughly as 1-(1-r)^L for per-table recall r while the scanned
+    * fraction grows only additively — the dial production systems turn
+    * before widening the probe radius. Signatures for all L tables come
+    * from one map-only projection (tall (vec_id, table, sig) layout);
+    * candidates from one equi-join on (table, sig).
+    */
+  val knnLshMulti = Q(
+    "q_knn_lsh_multi",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val raw = e
+        .filter(col("vec_id") >= nQueries &&
+          col("vec_id") < nQueries + 2 * nBits * nTables)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1))
+      def planes(t: Int) = (0 until nBits).map(i =>
+        raw(2 * nBits * t + i).zip(raw(2 * nBits * t + nBits + i))
+          .map { case (x, y) => x - y })
+      def sigCol(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+        when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val probes = sigs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("t").as("pt"),
+          explode(array(
+            col("sig") +: (0 until nBits).map(i =>
+              col("sig").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+      val cands = sigs.join(broadcast(probes),
+          col("t") === col("pt") && col("sig") === col("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct()
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands
+        .join(e, "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", expr(dotExpr) / sqrt(col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            planes AS (
+              SELECT (a.vec_id - $nQueries) // ${2 * nBits} AS t,
+                     (a.vec_id - $nQueries) % ${2 * nBits} AS pid,
+                     [a.v[i] - b.v[i]
+                      FOR i IN generate_series(1, len(a.v))] AS pv
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + $nBits
+              WHERE a.vec_id >= $nQueries
+                AND a.vec_id < ${nQueries + 2 * nBits * nTables}
+                AND (a.vec_id - $nQueries) % ${2 * nBits} < $nBits),
+            sigs AS (
+              SELECT e.vec_id, p.t,
+                     CAST(SUM(CASE WHEN ${duckDot("e.v", "p.pv")} >= 0
+                          THEN (2 ** p.pid)::BIGINT ELSE 0 END) AS BIGINT) AS sig
+              FROM e CROSS JOIN planes p
+              GROUP BY e.vec_id, p.t),
+            probes AS (
+              SELECT vec_id AS query_id, t,
+                     unnest([sig, ${(0 until nBits)
+      .map(i => s"xor(sig, ${1L << i})").mkString(", ")}]) AS bucket
+              FROM sigs WHERE vec_id < $nQueries),
+            cands AS (
+              SELECT DISTINCT p.query_id, c.vec_id
+              FROM sigs c JOIN probes p ON c.t = p.t AND c.sig = p.bucket
+              WHERE c.vec_id <> p.query_id),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+                  WHERE vec_id < $nQueries),
+            scored AS (
+              SELECT cd.query_id, cd.vec_id,
+                     ${duckDot("q.qv", "e.v")} / sqrt(q.qn * e.nrm) AS cos
+              FROM cands cd JOIN e ON e.vec_id = cd.vec_id
+                            JOIN q ON q.query_id = cd.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $topK
+            ORDER BY query_id, rnk"""))
+
+  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti)
 }

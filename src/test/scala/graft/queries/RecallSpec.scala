@@ -34,6 +34,19 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.22, f"recall $recall%.3f below 2x the scan fraction")
   }
 
+  test("multi-table LSH amplifies recall over the single table") {
+    val exact = SimilarityQueries.knnBrute.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(q: Q) = (exact & q.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / exact.size
+    val single = recallOf(SimilarityQueries.knnLsh)
+    val multi = recallOf(SimilarityQueries.knnLshMulti)
+    info(f"LSH recall@10: single-table $single%.3f, 3-table $multi%.3f")
+    assert(multi > single, "amplification did not improve recall")
+    assert(multi >= 0.4, f"3-table recall $multi%.3f unexpectedly low")
+  }
+
   test("MinHash-LSH finds every high-jaccard pair the exact scan finds " +
     "(recall at τ=0.5 with 16 hashes / 4 bands)") {
     val exact = DedupQueries.ngramJaccard.spark(spark, sf())
