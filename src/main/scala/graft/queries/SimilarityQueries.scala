@@ -358,7 +358,8 @@ object SimilarityQueries {
             SELECT query_id, rnk, vec_id AS neighbor_id,
                    ROUND(cos, 6) AS cosine
             FROM ranked WHERE rnk <= $topK
-            ORDER BY query_id, rnk"""))
+            ORDER BY query_id, rnk"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti)
 }
