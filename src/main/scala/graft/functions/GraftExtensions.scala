@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       exprs => SimHash16(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      exprs => SimHash60(exprs.head)))
     e.injectOptimizerRule(_ => RewriteJaccard)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

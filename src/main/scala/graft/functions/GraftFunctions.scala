@@ -29,6 +29,8 @@ object GraftFunctions {
         exprs => MinShingleHash(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash16",
         exprs => SimHash16(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("simhash60",
+        exprs => SimHash60(exprs.head), "scala_udf")
       if (!classic.experimental.extraOptimizations.contains(RewriteJaccard)) {
         classic.experimental.extraOptimizations =
           classic.experimental.extraOptimizations :+ RewriteJaccard

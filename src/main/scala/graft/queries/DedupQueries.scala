@@ -270,5 +270,59 @@ object DedupQueries {
                     / sqrt(a.nrm * b.nrm) >= 0.4
             ORDER BY ai, bi"""))
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+  /** Production-width SimHash: 60-bit signatures (all the bits the md5
+    * prefix provides) at Hamming ≤ 5 — selective enough that survivors
+    * are true near-dups (15 pairs at sf0.01 vs the 16-bit variant's
+    * 7080). Banding is again LOSSLESS: 6 ten-bit bands, a pair within
+    * Hamming 5 differs in ≤5 bands and must share one. Same
+    * verify-inside-expansion shape as the 16-bit query.
+    */
+  val simhash60 = Q(
+    "q_dedup_simhash60",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("simhash60(split(text, ' '))").as("sh"))
+      val bands = docs.select(col("doc_id"), col("lang"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 5), b -> (sh div cast(pow(2, b * 10) as bigint)) % 1024)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bbits")
+      bands
+        .groupBy("band", "bbits", "lang")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+          .as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode(expr(
+          """filter(
+               flatten(transform(members, (a, i) ->
+                 transform(slice(members, i + 2, size(members)),
+                           b -> struct(a.doc_id AS ai, b.doc_id AS bi,
+                                       bit_count(a.sh ^ b.sh) AS hamming)))),
+               p -> p.hamming <= 5)""")).as("p"))
+        .select(col("p.ai").as("ai"), col("p.bi").as("bi"),
+          col("p.hamming").cast("long").as("hamming"))
+        .distinct()
+        .orderBy("ai", "bi")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, lang,
+                     [${duckMd5num("t")} for t in string_split(text, ' ')] AS th
+              FROM documents),
+            docs AS (
+              SELECT doc_id, lang,
+                     CAST(list_sum([CASE WHEN 2 * len(list_filter(th,
+                         h -> (h // (2 ** i)::BIGINT) % 2 = 1))
+                       > len(th)
+                       THEN (2 ** i)::BIGINT ELSE 0 END
+                       for i in generate_series(0, 59)]) AS BIGINT) AS sh
+              FROM toks)
+            SELECT a.doc_id AS ai, b.doc_id AS bi,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM docs a JOIN docs b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 5
+            ORDER BY ai, bi"""))
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash,
+    simhash60, embeddingCosine)
 }
