@@ -232,8 +232,7 @@ object DedupQueries {
             FROM docs a JOIN docs b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh16, b.sh16)) <= 3
-            ORDER BY ai, bi"""),
-    bench = true)
+            ORDER BY ai, bi"""))
 
   /** Embedding-cosine near-dup: same-cluster (label) blocking, exact
     * double-precision cosine ≥ 0.4 on candidates. Norms are precomputed
@@ -321,7 +320,8 @@ object DedupQueries {
             FROM docs a JOIN docs b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 5
-            ORDER BY ai, bi"""))
+            ORDER BY ai, bi"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash,
     simhash60, embeddingCosine)
