@@ -130,6 +130,39 @@ object RelationalQueries2 {
                    CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_orders
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Unpivot (melt): the inverse of the pivot above — the wide
+    * status-count table folded back to long form. Wide→long is a
+    * row-local transform (each input row fans out to k output rows, no
+    * shuffle); Spark plans `Expand`, the same operator grouping-sets
+    * lattices use.
+    */
+  val unpivotStatus = Q(
+    "q_unpivot_status",
+    (s, dir) => {
+      val wide = tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_orders"),
+          coalesce(col("O"), lit(0L)).as("o_orders"),
+          coalesce(col("P"), lit(0L)).as("p_orders"))
+      wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("f_orders"), col("o_orders"), col("p_orders")),
+        "status_col", "n")
+        .orderBy("o_orderpriority", "status_col")
+    },
+    Some("""WITH wide AS (
+              SELECT o_orderpriority,
+                     CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_orders,
+                     CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_orders,
+                     CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_orders
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, status_col, n
+            FROM wide UNPIVOT (n FOR status_col IN (f_orders, o_orders, p_orders))
+            ORDER BY o_orderpriority, status_col"""))
+
   /** Set operations at (user, day) granularity: days a user both clicked
     * and viewed but did not purchase — INTERSECT then EXCEPT.
     */
@@ -214,5 +247,5 @@ object RelationalQueries2 {
             FROM rev ORDER BY o_custkey"""))
 
   val all: Seq[Q] = Seq(asofJoin, asofNative, rollupRevenue, pivotStatus,
-    setOps, customAggregator, cubeVolume, ntileSpend)
+    unpivotStatus, setOps, customAggregator, cubeVolume, ntileSpend)
 }
