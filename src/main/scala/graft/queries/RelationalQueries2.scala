@@ -226,6 +226,13 @@ object RelationalQueries2 {
 
   /** ntile quartiles of customers by order revenue (deterministic under a
     * total ordering; both engines give earlier tiles the extra rows).
+    *
+    * Computed WITHOUT a global window: `ntile(4).over(Window.orderBy(..))`
+    * coalesces the whole dataset into one partition (Spark warns about
+    * it); `ops/GlobalRank.ntile` keeps the sort range-partitioned and
+    * derives the tile from a distributed global row number via the exact
+    * NTILE identity — the oracle still runs real SQL NTILE, so the
+    * hash-match proves the identity.
     */
   val ntileSpend = Q(
     "q_ntile_spend",
@@ -233,9 +240,8 @@ object RelationalQueries2 {
       val rev = tbl(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sumRound(decPrice(col("o_totalprice"))).as("revenue"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("revenue").desc, col("o_custkey"))
-      rev.withColumn("quartile", ntile(4).over(w).cast("long"))
+      graft.ops.GlobalRank.ntile(rev,
+          Seq(col("revenue").desc, col("o_custkey")), 4, "quartile")
         .select("o_custkey", "revenue", "quartile")
         .orderBy("o_custkey")
     },

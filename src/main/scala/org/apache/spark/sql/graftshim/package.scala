@@ -22,4 +22,16 @@ package object graftshim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : classic.DataFrame =
     classic.Dataset.ofRows(spark, plan)
+
+  /** Wrap an RDD of InternalRows into a DataFrame without a row-level
+    * conversion pass (`internalCreateDataFrame` is `private[sql]`).
+    */
+  def internalDataFrame(
+      spark: classic.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : classic.DataFrame =
+    classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rdd)(spark))
 }
