@@ -309,8 +309,31 @@ object EventQueries {
             FROM g ORDER BY user_id, session_start_us"""),
     bench = true)
 
+  /** Schemaless JSON as a first-class MAP: parse into map<string,string>
+    * and explode the entries — the MapType leg of the dynamic-payload
+    * surface (next to the string-path, struct, and VARIANT legs). At
+    * scale this is a row-local generate (no shuffle) and the map parse
+    * happens once per row regardless of key count.
+    */
+  val mapEntries = Q(
+    "q_map_entries",
+    (s, dir) => tbl(s, dir, "events")
+      .select(col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+          .as(Seq("key", "value")))
+      .orderBy("event_id", "key"),
+    Some("""SELECT event_id, k AS key,
+                   json_extract_string(props, '$.' || k) AS value
+            FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+                  FROM events)
+            ORDER BY event_id, key"""))
+
   val all: Seq[Q] = Seq(
     scanFilter, jsonExtract, jsonAggTokens, eventCounts, distinctTypes,
     dedupKeepLast, antiJoinCheckpoint, customIdExtract, unionPartitions,
-    windowAgg, sessionize, windowNav, sessionWindow, variantExtract)
+    windowAgg, sessionize, windowNav, sessionWindow, variantExtract,
+    mapEntries)
 }
