@@ -28,17 +28,25 @@ object Bench {
       .mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Median of 3 runs per query: single-shot timings on a shared box
+    // showed phantom 6x regressions (r2: q_asof_native recorded 7.04s,
+    // idle re-run 1.08s). The median discards one bad-luck outlier while
+    // keeping the reported number an actual observed run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // frames persisted inside a query (minhash signatures, tf) are
+        // dead after its run — drop them so later queries get full memory
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // frames persisted inside a query (minhash signatures, tf) are
-      // dead after its run — drop them so later queries get full memory
-      spark.catalog.clearCache()
-      q.name -> dt
+      q.name -> times.sorted.apply(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

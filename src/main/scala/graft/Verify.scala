@@ -1,11 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run concurrently on a small thread pool: Spark's scheduler
+  * interleaves independent jobs on the local executor, so the wall time of
+  * the ~70-query sweep is bounded by the few expensive queries instead of
+  * the sum. Each query writes its own output dir and registers no shared
+  * temp views, so runs are independent.
+  *
+  * Args: <sfDir> <outDir> [queryName...] — optional trailing names restrict
+  * the run (local iteration); the driver's 2-arg call runs everything.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,13 +29,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val todo = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val parallelism =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    val pool = Executors.newFixedThreadPool(parallelism)
+    todo.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -62,7 +62,18 @@ object DedupQueries {
 
   /** n-gram Jaccard near-dup with blocking (same lang, length window ≤50):
     * the exact ground-truth verifier the approximate variants are judged
-    * against. Join is an equi-join on lang with a residual length filter.
+    * against.
+    *
+    * Scale shape: the join is equi on (lang, length-bucket), not lang
+    * alone. A lang-only equi key with the length window as a residual
+    * predicate is a per-language quadratic join — effectively all-pairs at
+    * 100 TB with single-digit language counts. Bucketing `n_chars div 50`
+    * and exploding side A to its own + adjacent buckets makes every true
+    * pair (|an−bn| ≤ 50 ⇒ bucket distance ≤ 1) land in exactly ONE
+    * (lang, bucket) hash partition: side B keeps one row per doc, side A's
+    * 3 bucket values overlap B's single value exactly once, so no distinct
+    * is needed and block sizes are bounded by the length distribution, not
+    * the corpus.
     */
   val ngramJaccard = Q(
     "q_dedup_ngram_jaccard",
@@ -70,10 +81,13 @@ object DedupQueries {
       val sh = shingled(s, dir)
       val a = sh.select(col("doc_id").as("ai"), col("lang").as("al"),
         col("n_chars").as("an"), col("s").as("as_"))
+        .withColumn("bkt",
+          explode(expr("array(an div 50 - 1, an div 50, an div 50 + 1)")))
       val b = sh.select(col("doc_id").as("bi"), col("lang").as("bl"),
         col("n_chars").as("bn"), col("s").as("bs"))
-      a.join(b, col("al") === col("bl") && col("ai") < col("bi") &&
-          abs(col("an") - col("bn")) <= 50)
+        .withColumn("bbkt", expr("bn div 50"))
+      a.join(b, col("al") === col("bl") && col("bkt") === col("bbkt") &&
+          col("ai") < col("bi") && abs(col("an") - col("bn")) <= 50)
         .withColumn("jac",
           size(array_intersect(col("as_"), col("bs"))).cast("double")
             / size(array_union(col("as_"), col("bs"))).cast("double"))
@@ -85,8 +99,11 @@ object DedupQueries {
             SELECT a.doc_id AS ai, b.doc_id AS bi,
                    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-            FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            FROM sh a CROSS JOIN generate_series(-1, 1) AS g(d)
+            JOIN sh b
+              ON a.lang = b.lang
+             AND (a.n_chars // 50) + d = (b.n_chars // 50)
+             AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 50
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Sketch-based approximate aggregation — the 100 TB path for distinct
@@ -26,18 +27,37 @@ object SketchQueries {
     */
   val sketchDistinct = Q(
     "q_sketch_distinct",
-    (s, dir) => tbl(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("hllpp_users"),
-        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-          .as("datasketches_users"))
-      .orderBy("event_type"),
+    (s, dir) => {
+      // Deterministic accuracy contract carried in-row: both estimators are
+      // deterministic algorithms over the same input, so the booleans are
+      // stable and let the driver's rows-only check still catch an accuracy
+      // regression (HLL++ default rsd = 5%).
+      def within5pct(est: Column): Column =
+        abs(est.cast("double") - col("exact_users").cast("double")) <=
+          col("exact_users").cast("double") * 0.05
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("hllpp_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("datasketches_users"))
+        .withColumn("hllpp_within_5pct", within5pct(col("hllpp_users")))
+        .withColumn("datasketches_within_5pct", within5pct(col("datasketches_users")))
+        .orderBy("event_type")
+    },
     None)
 
   /** Value quantiles per event type: approx_percentile (a mergeable
-    * KLL-style summary) next to the exact percentile_cont answers.
+    * KLL-style summary) next to the exact percentile answers.
+    *
+    * Scalar columns only — the driver's pandas comparator sorts rows and
+    * cannot hash array cells, so the three approximate quantiles are split
+    * into `approx_p50/p95/p99` doubles. The in-row booleans pin the
+    * rank contract deterministically: approximate quantiles must be
+    * monotone and inside the group's [min, max] value range (value
+    * closeness to the interpolated exact percentile is NOT asserted —
+    * approx_percentile returns actual elements, `percentile` interpolates).
     */
   val sketchQuantiles = Q(
     "q_sketch_quantiles",
@@ -45,12 +65,25 @@ object SketchQueries {
       .groupBy("event_type")
       .agg(
         percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("approx_p50_p95_p99"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pa"),
         round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
           .as("exact_p50"),
         round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
-          .as("exact_p95"))
+          .as("exact_p95"),
+        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
+          .as("exact_p99"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("event_type"),
+        col("pa")(0).as("approx_p50"),
+        col("pa")(1).as("approx_p95"),
+        col("pa")(2).as("approx_p99"),
+        col("exact_p50"), col("exact_p95"), col("exact_p99"),
+        (col("pa")(0) <= col("pa")(1) && col("pa")(1) <= col("pa")(2))
+          .as("monotone_ok"),
+        (col("pa")(0) >= col("min_value") && col("pa")(2) <= col("max_value"))
+          .as("in_range_ok"))
       .orderBy("event_type"),
     None)
 

@@ -19,6 +19,8 @@ class SketchAccuracySpec extends SparkSpec {
         s"HLL++ off by >5%: $r")
       assert(math.abs(ds - exact) / exact <= 0.05,
         s"DataSketches off by >5%: $r")
+      assert(r.getBoolean(r.fieldIndex("hllpp_within_5pct")), s"flag: $r")
+      assert(r.getBoolean(r.fieldIndex("datasketches_within_5pct")), s"flag: $r")
     }
   }
 
@@ -35,10 +37,13 @@ class SketchAccuracySpec extends SparkSpec {
       .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
     rows.foreach { r =>
       val vals = events(r.getString(0))
-      val approx = r.getSeq[Double](1)
+      val p50 = r.getDouble(r.fieldIndex("approx_p50"))
+      val p95 = r.getDouble(r.fieldIndex("approx_p95"))
       def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
-      assert(math.abs(rankOf(approx(0)) - 0.5) <= 0.05, s"p50 rank: $r")
-      assert(math.abs(rankOf(approx(1)) - 0.95) <= 0.05, s"p95 rank: $r")
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.05, s"p50 rank: $r")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.05, s"p95 rank: $r")
+      assert(r.getBoolean(r.fieldIndex("monotone_ok")), s"monotone: $r")
+      assert(r.getBoolean(r.fieldIndex("in_range_ok")), s"in range: $r")
     }
   }
 }
