@@ -80,6 +80,96 @@ object SignatureStore {
       .distinct()
   }
 
+  /** Build the BANDED store bucketed by the LSH bucket key — the layout
+    * that makes later dedup runs shuffle-free on the store side.
+    *
+    * Each signature is pre-exploded to its 4 band rows and written with
+    * `bucketBy(numBuckets, band_key)` where `band_key = xxhash64(band,
+    * bvals)` (a scalar key so the bucketing spec hashes one column). A
+    * candidate join on (band_key, band, bvals) then finds the store scan
+    * already hash-partitioned on a subset of the join keys, so only the
+    * (small) fresh side shuffles — the 100 TB store is read in place,
+    * every run. Carrying the shingle set `s` per band row trades 4×
+    * shingle storage for verify-without-a-second-join; at extreme scale
+    * drop `s` here and re-join candidates to the flat signature table.
+    */
+  /** Banded signature rows with the scalar bucket key. */
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    bands(signatures(docs))
+      .withColumn("band_key", xxhash64(col("band"), col("bvals")))
+
+  def buildBanded(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    // the in-memory catalog dies with the session but the managed-table
+    // directory survives in the warehouse; clear both or CTAS refuses the
+    // location (LOCATION_ALREADY_EXISTS)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    bandedSignatures(docs).write.mode("overwrite")
+      .bucketBy(numBuckets, "band_key")
+      .sortBy("band_key")
+      .saveAsTable(table)
+  }
+
+  /** Near-dup pairs of `freshDocs` against a banded bucketed store (see
+    * [[buildBanded]]): the band join's store side needs NO shuffle — its
+    * bucketing already satisfies the join's required distribution. With
+    * freshDocs = the store's own corpus this computes exactly the
+    * MinHash-LSH dedup pairs (same bands, same verify), which is how the
+    * oracle query pins it against the q_dedup_minhash SQL.
+    */
+  def bucketedNearDups(
+      spark: SparkSession,
+      table: String,
+      freshDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    nearDupsAgainstBanded(spark.table(table), freshDocs, threshold)
+  }
+
+  /** The candidate join itself, against any banded frame (bucketed table
+    * or plain parquet — the spec uses the latter as the shuffle-count
+    * control).
+    *
+    * The equi key is `band_key` ALONE. Under Spark's default
+    * `spark.sql.requireAllClusterKeysForCoPartition=true`, a bucketed scan
+    * only avoids its shuffle when the bucket columns equal the FULL
+    * equi-key set — adding band/bvals equalities to the condition would
+    * widen the key set and force both sides to shuffle. The exact
+    * (band, bvals) equality is still enforced, as a residual predicate
+    * phrased so ExtractEquiJoinKeys cannot decompose it into extra keys
+    * (the struct-array comparison references both sides on one side of
+    * the EqualTo), so xxhash64 collisions are filtered exactly and the
+    * result is identical to the multi-key join.
+    */
+  private[graft] def nearDupsAgainstBanded(
+      storeBanded: DataFrame,
+      freshDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sb = storeBanded.select(col("band_key").as("a_key"),
+      col("band").as("a_band"), col("bvals").as("a_bvals"),
+      col("doc_id").as("a_id"), col("s").as("a_s"))
+    val fb = bandedSignatures(freshDocs)
+      .select(col("band_key").as("f_key"),
+        col("band").as("f_band"), col("bvals").as("f_bvals"),
+        col("doc_id").as("f_id"), col("s").as("f_s"))
+    val sameBand = size(array_except(
+      array(struct(col("f_band").as("band"), col("f_bvals").as("bvals"))),
+      array(struct(col("a_band").as("band"), col("a_bvals").as("bvals"))))) === 0
+    fb.join(sb, col("f_key") === col("a_key") && sameBand)
+      .filter(col("f_id") =!= col("a_id"))
+      .select(
+        least(col("f_id"), col("a_id")).as("ai"),
+        greatest(col("f_id"), col("a_id")).as("bi"),
+        expr("jaccard_sim(f_s, a_s)").as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
   /** Streaming twin: arriving documents band-join the static store.
     * Stream-static inner joins need no watermark and no stream state —
     * each micro-batch probes the store and emits its own near-dups.

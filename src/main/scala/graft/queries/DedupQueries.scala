@@ -340,6 +340,27 @@ object DedupQueries {
             ORDER BY ai, bi"""),
     bench = true)
 
+  /** MinHash dedup through the materialized BUCKETED signature store
+    * ([[graft.ops.SignatureStore.buildBanded]]): builds the banded store
+    * bucketed by LSH bucket key, then runs the candidate join against it —
+    * the store side needs no shuffle (bucketing satisfies the join's
+    * distribution; asserted in SignatureStoreSpec). With the corpus joined
+    * against its own store this finds exactly the MinHash-LSH pairs, so it
+    * shares q_dedup_minhash's oracle — a cross-engine proof that the
+    * store-layout path changes the plan, not the answer.
+    */
+  val storeBucketed = Q(
+    "q_dedup_store_bucketed",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.SignatureStore.buildBanded(docs, "graft_sig_store_oracle", 8)
+      graft.ops.SignatureStore
+        .bucketedNearDups(s, "graft_sig_store_oracle", docs)
+        .select(col("ai"), col("bi"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("ai", "bi")
+    },
+    minhashLsh.oracle)
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    simhash60, embeddingCosine)
+    simhash60, embeddingCosine, storeBucketed)
 }
