@@ -122,6 +122,90 @@ object EventAnalytics {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  // --- streaming as-of join -------------------------------------------
+
+  /** Unified input for [[asOfEnrich]]: clicks and purchases tagged into
+    * one keyed stream (`kind` ∈ {"click", "purchase"}).
+    */
+  final case class AsOfIn(
+      user_id: Long, ts: Timestamp, kind: String, event_id: Long,
+      value: Double)
+
+  final case class AsOfP(us: Long, id: Long, value: Double)
+  final case class AsOfC(us: Long, id: Long)
+  final case class AsOfBuf(purchases: List[AsOfP], clicks: List[AsOfC])
+
+  /** One enriched click: the latest purchase at-or-before the click within
+    * the horizon, or None if the user had no qualifying purchase.
+    */
+  final case class AsOfMatch(
+      user_id: Long, click_id: Long, click_us: Long,
+      purchase_id: Option[Long], purchase_us: Option[Long],
+      purchase_value: Option[Double])
+
+  /** Streaming AS-OF join (point-in-time enrichment) via
+    * `flatMapGroupsWithState` — the true streaming twin of the batch
+    * `q_asof_native` operator: each click gets the SINGLE latest purchase
+    * with `p_ts ≤ c_ts` (within `horizonMinutes`), not every interval
+    * match like [[clickPurchaseJoin]].
+    *
+    * Correctness under disorder: a click is emitted only once the
+    * watermark passes its event time — any purchase still in flight must
+    * then have `p_ts > watermark ≥ c_ts` and so cannot change the match.
+    * Clicks ahead of the watermark wait in state; an event-time timeout
+    * re-fires the group when the watermark advances past them even if no
+    * further events arrive for that user.
+    *
+    * Bounded state: buffered purchases older than `watermark − horizon`
+    * can never match a future click (future clicks have
+    * `c_ts > watermark`, and the horizon bounds how far back they look)
+    * and are pruned every invocation, so per-user state is
+    * O(rate × horizon) — same bound as the interval join, with single-row
+    * as-of output.
+    */
+  def asOfEnrich(
+      events: Dataset[AsOfIn],
+      horizonMinutes: Int = 30,
+      watermarkDelay: String = "10 seconds"): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val incoming = evs.toVector
+          val purchases =
+            (st.purchases ++ incoming.filter(_.kind == "purchase")
+              .map(e => AsOfP(tsUs(e.ts), e.event_id, e.value)))
+              .sortBy(p => (p.us, p.id))
+          val clicks =
+            (st.clicks ++ incoming.filter(_.kind == "click")
+              .map(e => AsOfC(tsUs(e.ts), e.event_id)))
+              .sortBy(c => (c.us, c.id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = clicks.partition(_.us <= wmUs)
+          val out = ready.map { c =>
+            val m = purchases
+              .filter(p => p.us <= c.us && p.us >= c.us - horizonUs)
+              .lastOption
+            AsOfMatch(uid, c.id, c.us,
+              m.map(_.id), m.map(_.us), m.map(_.value))
+          }
+          val keptPurchases = purchases.filter(_.us >= wmUs - horizonUs)
+          if (pending.isEmpty && keptPurchases.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(keptPurchases, pending.toList))
+            // wake again once the watermark moves, to flush waiting clicks
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000)
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within `horizonMinutes` BEFORE the click — the streaming
     * twin of the batch/native as-of family (a windowed variant: all

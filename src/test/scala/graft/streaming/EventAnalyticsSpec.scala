@@ -126,4 +126,45 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(rows.head.getDouble(2) === 9.99)
     } finally q.stop()
   }
+
+  test("streaming as-of join: each click gets the single latest prior " +
+    "purchase once the watermark passes it; horizon and no-match produce " +
+    "None") {
+    import spark.implicits._
+    import EventAnalytics.{AsOfIn, AsOfMatch}
+    val stream = MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[AsOfIn]], spark)
+    val q = EventAnalytics.asOfEnrich(stream.toDS(),
+        horizonMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof").start()
+    try {
+      stream.addData(
+        AsOfIn(1, ts(2), "purchase", 100, 5.0),
+        AsOfIn(1, ts(10), "purchase", 101, 7.0),
+        // arrives before its matching purchase in processing order — the
+        // event-time sort inside the handler must still match it to 101
+        AsOfIn(1, ts(12), "click", 201, 0.0),
+        AsOfIn(1, ts(5), "click", 200, 0.0),
+        AsOfIn(1, ts(50), "click", 202, 0.0), // >30 min after any purchase
+        AsOfIn(2, ts(12), "click", 300, 0.0)) // user 2 never purchases
+      q.processAllAvailable()
+      // advance the watermark past every click (wm = t119); the event-time
+      // timeout flushes waiting clicks with no further user-1/2 events
+      stream.addData(AsOfIn(99, ts(120), "purchase", 999, 1.0))
+      q.processAllAvailable()
+      stream.addData(AsOfIn(99, ts(240), "purchase", 998, 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("asof").as[AsOfMatch].collect()
+        .sortBy(m => (m.user_id, m.click_id))
+      assert(rows.map(m => (m.user_id, m.click_id)).toSeq ===
+        Seq((1L, 200L), (1L, 201L), (1L, 202L), (2L, 300L)))
+      assert(rows(0).purchase_id === Some(100L)) // latest ≤ t5 is t2
+      assert(rows(0).purchase_value === Some(5.0))
+      assert(rows(1).purchase_id === Some(101L)) // latest ≤ t12 is t10
+      assert(rows(2).purchase_id === None) // t10 is 40 min back: horizon
+      assert(rows(3).purchase_id === None) // no purchase for user 2
+    } finally q.stop()
+  }
 }
