@@ -31,6 +31,17 @@ object GraftFunctions {
         exprs => SimHash16(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash60",
         exprs => SimHash60(exprs.head), "scala_udf")
+      def litK(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue
+        else 200
+      reg.createOrReplaceTempFunction("kll_sketch_agg",
+        exprs => KllSketchAgg(exprs.head, litK(exprs)), "scala_udf")
+      reg.createOrReplaceTempFunction("kll_merge_agg",
+        exprs => KllMergeAgg(exprs.head, litK(exprs)), "scala_udf")
+      reg.createOrReplaceTempFunction("kll_sketch_quantile",
+        exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("kll_sketch_rank",
+        exprs => KllRank(exprs(0), exprs(1)), "scala_udf")
       if (!classic.experimental.extraOptimizations.contains(RewriteJaccard)) {
         classic.experimental.extraOptimizations =
           classic.experimental.extraOptimizations :+ RewriteJaccard

@@ -87,5 +87,41 @@ object SketchQueries {
       .orderBy("event_type"),
     None)
 
-  val all: Seq[Q] = Seq(sketchDistinct, sketchQuantiles)
+  /** Value quantiles per event type from the engine's own KLL sketch
+    * aggregate ([[graft.functions.KllSketchAgg]] on DataSketches) — the
+    * mergeable, STORABLE quantile summary next to `approx_percentile`
+    * (whose summary Spark keeps internal). Two passes: aggregate the
+    * sketch per group, then re-join the (broadcast, 5-row) estimates to
+    * compute each estimate's TRUE rank over the raw data — the in-row
+    * `*_rank_ok` booleans carry the rank contract (|true rank − target| ≤
+    * 5pp) deterministically against exact data, the honest check for a
+    * randomized-compaction sketch with no cross-engine oracle.
+    */
+  val kllQuantiles = Q(
+    "q_kll_quantiles",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_type"), col("value"))
+      val sk = ev.groupBy("event_type")
+        .agg(expr("kll_sketch_agg(value, 200)").as("sk"))
+        .select(col("event_type"),
+          expr("kll_sketch_quantile(sk, 0.5D)").as("kll_p50"),
+          expr("kll_sketch_quantile(sk, 0.95D)").as("kll_p95"),
+          expr("kll_sketch_quantile(sk, 0.99D)").as("kll_p99"))
+      def rankOk(est: Column, target: Double): Column =
+        abs(sum(when(col("value") <= est, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)) - target) <= 0.05
+      ev.join(broadcast(sk), "event_type")
+        .groupBy("event_type", "kll_p50", "kll_p95", "kll_p99")
+        .agg(
+          rankOk(col("kll_p50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("kll_p95"), 0.95).as("p95_rank_ok"),
+          rankOk(col("kll_p99"), 0.99).as("p99_rank_ok"))
+        .select(col("event_type"), col("kll_p50"), col("kll_p95"),
+          col("kll_p99"), col("p50_rank_ok"), col("p95_rank_ok"),
+          col("p99_rank_ok"))
+        .orderBy("event_type")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(sketchDistinct, sketchQuantiles, kllQuantiles)
 }
