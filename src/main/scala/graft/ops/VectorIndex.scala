@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Materialized IVF-Flat vector index — the ANN analog of
+  * [[SignatureStore]]: bucket assignment is paid ONCE at build time and
+  * the corpus is written as parquet PARTITIONED BY bucket, so probing
+  * reads only the `nprobe` bucket directories per query batch instead of
+  * scanning the corpus. The probe join broadcasts the (tiny) query×probe
+  * frame, which lets Spark's dynamic partition pruning derive the bucket
+  * list from the broadcast at runtime — the scan's PartitionFilters carry
+  * a dynamicpruning subquery, asserted in VectorIndexSpec.
+  *
+  * At 100 TB: the index build is one map-only pass (centroids are
+  * driver-side literals) plus a partitioned write; every later query
+  * batch is I/O-proportional to nprobe/nlist of the corpus. Same
+  * centroids + probes as the in-query IVF (`q_knn_ivf`), so
+  * `q_knn_ivf_store` shares its DuckDB oracle: identical answers from the
+  * partition-pruned plan.
+  */
+object VectorIndex {
+
+  /** Coarse-quantizer model state: id + vector + squared norm. Bounded
+    * (nlist rows) — a driver-side literal table, never a data collect.
+    */
+  final case class Centroid(id: Long, v: Seq[Double], nrm: Double)
+
+  /** Deterministic centroid fetch: the `n` lowest vec_ids of the corpus
+    * (the same rule as q_knn_ivf; swap for k-means output in production —
+    * the index machinery is identical).
+    */
+  def centroidsFrom(corpus: DataFrame, n: Int): Seq[Centroid] =
+    corpus.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+
+  /** struct(cosine-to-centroid, -id) terms over the row's (vcol, ncol) —
+    * array_max picks the nearest centroid with lowest-id tie-break;
+    * sort_array + slice picks the top-nprobe probe set.
+    */
+  private def centroidTerms(
+      cents: Seq[Centroid], vcol: String, ncol: String): Column =
+    array(cents.map(c => struct(
+      (call_function("dot_product", col(vcol), typedLit(c.v))
+        / sqrt(lit(c.nrm) * col(ncol))).as("c"),
+      lit(-c.id).as("nc"))): _*)
+
+  /** Map-only bucket assignment (int, the partition column). */
+  def assignBucket(
+      cents: Seq[Centroid], vcol: String = "v",
+      ncol: String = "nrm"): Column =
+    (-array_max(centroidTerms(cents, vcol, ncol)).getField("nc"))
+      .cast("int")
+
+  /** Build the index: corpus (vec_id, v, nrm) → parquet partitioned by
+    * nearest-centroid bucket.
+    */
+  def buildIvf(
+      corpus: DataFrame, cents: Seq[Centroid], path: String): Unit =
+    corpus
+      .withColumn("bucket", assignBucket(cents))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Exact top-k per query inside the probed buckets. `queries` must
+    * carry (query_id, qv, qn). The probe frame (queries × nprobe rows) is
+    * broadcast; dynamic partition pruning turns its bucket values into
+    * the index scan's partition filter.
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      cents: Seq[Centroid],
+      nProbe: Int,
+      topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val idx = spark.read.parquet(path)
+    val probes = queries.select(col("query_id"), col("qv"), col("qn"),
+      explode(slice(
+        sort_array(centroidTerms(cents, "qv", "qn"), asc = false),
+        1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (-col("p.nc")).cast("int").as("bucket"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    idx.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        call_function("dot_product", col("qv"), col("v"))
+          / sqrt(col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -373,5 +373,29 @@ object SimilarityQueries {
             ORDER BY query_id, rnk"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti)
+  /** IVF ANN through the MATERIALIZED index ([[graft.ops.VectorIndex]]):
+    * builds the bucket-partitioned parquet index, then probes it — the
+    * scan reads only the probed bucket partitions (dynamic partition
+    * pruning off the broadcast probe frame; plan asserted in
+    * VectorIndexSpec). Same centroid rule, probes, and fold order as
+    * q_knn_ivf, so it shares that oracle: the storage layout changes the
+    * I/O, not the answer.
+    */
+  val knnIvfStore = Q(
+    "q_knn_ivf_store",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val cents = graft.ops.VectorIndex.centroidsFrom(e, nCentroids)
+      val path = new java.io.File(
+        "spark-warehouse/graft_ivf_index").getAbsolutePath
+      graft.ops.VectorIndex.buildIvf(e, cents, path)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      graft.ops.VectorIndex.probe(s, path, q, cents, nProbe, topK)
+        .orderBy("query_id", "rnk")
+    },
+    knnIvf.oracle)
+
+  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti, knnIvfStore)
 }

@@ -56,6 +56,23 @@ class RecallSpec extends SparkSpec {
     assert(scanned < 1.0, "LSH scans the whole corpus — no pruning left")
   }
 
+  test("sign-LSH embedding dedup recovers the label-quadratic ground " +
+    "truth's pairs (8 tables × 4 bits, fixture's cos≥0.4 regime)") {
+    val exact = DedupQueries.embeddingCosine.spark(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = DedupQueries.embeddingLsh.spark(spark, sf()).collect()
+    val lsh = lshRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else (exact & lsh).size.toDouble / exact.size
+    info(f"sign-LSH dedup recall = $recall%.3f (${exact.size} true pairs)")
+    assert(exact.nonEmpty, "fixture has no cos≥0.4 pairs — weak test")
+    // θ≈63–66° pairs collide per 4-bit table w.p. ~0.18 → ~0.8 at L=8;
+    // on a true near-dup corpus (cos≥0.9) the same plan sits at ~0.998
+    assert(recall >= 0.6, f"sign-LSH recall $recall%.3f below expectation")
+    // precision is 1.0 by construction (exact cosine verify on candidates)
+    assert(lsh.subsetOf(exact), "LSH emitted a pair outside ground truth")
+  }
+
   test("MinHash-LSH finds every high-jaccard pair the exact scan finds " +
     "(recall at τ=0.5 with 16 hashes / 4 bands)") {
     val exact = DedupQueries.ngramJaccard.spark(spark, sf())
