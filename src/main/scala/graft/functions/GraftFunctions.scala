@@ -42,6 +42,17 @@ object GraftFunctions {
         exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("kll_sketch_rank",
         exprs => KllRank(exprs(0), exprs(1)), "scala_udf")
+      // Spark's Bloom machinery is internal (used by automatic runtime
+      // filters); exposing it lets queries apply the semi-join-reduction
+      // pattern explicitly at any scale
+      reg.createOrReplaceTempFunction("bloom_filter_agg",
+        exprs =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+      reg.createOrReplaceTempFunction("might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
       if (!classic.experimental.extraOptimizations.contains(RewriteJaccard)) {
         classic.experimental.extraOptimizations =
           classic.experimental.extraOptimizations :+ RewriteJaccard

@@ -212,6 +212,45 @@ object ScaleQueries {
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Explicit Bloom-filter semi-join reduction — the pattern behind
+    * Spark's automatic runtime row-level filtering, applied by hand so it
+    * works at any size (the auto-injection needs multi-GB scan
+    * thresholds): build a compact Bloom filter over the dimension's join
+    * keys (one driver-fetched binary — bounded model state, ~128 KB
+    * here), then prune the fact scan with `might_contain` BEFORE the
+    * shuffle. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~matching fraction. Bloom false
+    * positives survive the pre-filter but are eliminated by the join
+    * itself, so the result is EXACTLY the plain join's — which is why the
+    * DuckDB oracle is the plain join: the optimization is proven
+    * answer-preserving, cross-engine.
+    */
+  val bloomPrejoin = Q(
+    "q_bloom_prejoin",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bf = o.agg(expr(
+          "bloom_filter_agg(xxhash64(o_orderkey), 100000L, 1048576L)")
+          .as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val l = tbl(s, dir, "lineitem")
+        .filter(call_function("might_contain",
+          typedLit(bf), expr("xxhash64(l_orderkey)")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"),
+          sumRound((decPrice(col("l_extendedprice")) *
+            oneMinus(col("l_discount"))).as("rev")).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ${sqlSumRound(s"${sqlPrice("l_extendedprice")} * ${sqlOneMinus("l_discount")}")} AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
-    sampleStratified, saltedAgg, gapFill, listAgg)
+    sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin)
 }
