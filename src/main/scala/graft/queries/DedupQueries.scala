@@ -429,7 +429,8 @@ object DedupQueries {
             WHERE list_sum([a.v[k] * b.v[k]
                     FOR k IN generate_series(1, len(a.v))])
                   / sqrt(a.nrm * b.nrm) >= 0.4
-            ORDER BY ai, bi"""))
+            ORDER BY ai, bi"""),
+    bench = true)
 
   /** MinHash dedup through the materialized BUCKETED signature store
     * ([[graft.ops.SignatureStore.buildBanded]]): builds the banded store
@@ -444,9 +445,12 @@ object DedupQueries {
     "q_dedup_store_bucketed",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      graft.ops.SignatureStore.buildBanded(docs, "graft_sig_store_oracle", 8)
+      // table name unique per scale dir: concurrent Verify sweeps at
+      // different SFs must not clobber each other's store builds
+      val table = "graft_sig_store_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SignatureStore.buildBanded(docs, table, 8)
       graft.ops.SignatureStore
-        .bucketedNearDups(s, "graft_sig_store_oracle", docs)
+        .bucketedNearDups(s, table, docs)
         .select(col("ai"), col("bi"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("ai", "bi")
     },

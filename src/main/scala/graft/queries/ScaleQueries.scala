@@ -249,7 +249,8 @@ object ScaleQueries {
                    ${sqlSumRound(s"${sqlPrice("l_extendedprice")} * ${sqlOneMinus("l_discount")}")} AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderpriority = '1-URGENT'
-            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
     sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin)

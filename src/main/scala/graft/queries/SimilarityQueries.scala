@@ -386,8 +386,11 @@ object SimilarityQueries {
     (s, dir) => {
       val e = corpus(s, dir)
       val cents = graft.ops.VectorIndex.centroidsFrom(e, nCentroids)
+      // path is unique per scale dir: concurrent Verify sweeps at
+      // different SFs must not clobber each other's index builds
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
-        "spark-warehouse/graft_ivf_index").getAbsolutePath
+        s"spark-warehouse/graft_ivf_index_$tag").getAbsolutePath
       graft.ops.VectorIndex.buildIvf(e, cents, path)
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),

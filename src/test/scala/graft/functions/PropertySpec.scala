@@ -86,4 +86,23 @@ class PropertySpec extends SparkSpec {
       assert(viaNative === viaWindow, s"l=$l r=$r")
     }
   }
+
+  test("bloom filter has NO false negatives on random key sets " +
+    "(the property q_bloom_prejoin's correctness rests on)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val keysGen = Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    samples(keysGen, 5).foreach { keys =>
+      val distinct = keys.distinct
+      val bf = distinct.toDF("k")
+        .agg(expr("bloom_filter_agg(xxhash64(k), 10000L, 65536L)").as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val hits = distinct.toDF("k")
+        .select(call_function("might_contain",
+          typedLit(bf), expr("xxhash64(k)")).as("hit"))
+        .collect().map(_.getBoolean(0))
+      assert(hits.forall(identity),
+        s"bloom dropped an inserted key (${hits.count(!_)} misses)")
+    }
+  }
 }
