@@ -67,4 +67,21 @@ class PlanSpec extends SparkSpec {
     val p = plan(AnalyticsQueries.topTokens)
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("bloom pre-join: the might_contain filter sits directly on the " +
+    "fact scan — before any exchange or join") {
+    val p = plan(ScaleQueries.bloomPrejoin)
+    val lines = p.linesIterator.toVector
+    val fi = lines.indexWhere(_.contains("might_contain"))
+    assert(fi >= 0, "no might_contain filter in the plan:\n" + p.take(2000))
+    val scanAfter = lines.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"), fi)
+    assert(scanAfter > fi,
+      "no lineitem scan below the bloom filter:\n" + p.take(2000))
+    val between = lines.slice(fi + 1, scanAfter)
+    assert(!between.exists(l =>
+        l.contains("Exchange") || l.contains("Join")),
+      "bloom filter is not adjacent to the scan:\n" +
+        between.mkString("\n"))
+  }
 }
