@@ -36,6 +36,35 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KLL sketch aggregate runs inside a streaming window: state-store " +
+    "merges preserve the rank contract across micro-batches") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
+    val windowed = stream.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "60 minutes"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "kll_sketch_quantile(kll_sketch_agg(value, 200), 0.5D)").as("p50"))
+    val q = windowed.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("kllwin").start()
+    try {
+      // two micro-batches into one window: the second batch's partial
+      // sketch must MERGE with the stored state, not replace it
+      val batch1 = (1 to 50).map(i => Ev(1, ts(i % 30), "click", i.toDouble))
+      val batch2 = (51 to 100).map(i => Ev(1, ts(i % 30), "click", i.toDouble))
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val p50 = spark.table("kllwin").collect().head.getDouble(1)
+      // exact median of 1..100 is 50/51; sketch at k=200 over 100 values
+      // is exact, so the estimate must be one of the two middle elements
+      assert(p50 >= 50.0 && p50 <= 51.0, s"merged p50 = $p50")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark horizon") {
     import spark.implicits._
     val stream = MemoryStream(implicitly[org.apache.spark.sql.Encoder[Ev]], spark)
