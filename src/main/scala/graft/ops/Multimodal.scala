@@ -48,6 +48,8 @@ object Multimodal {
     def decodeImage(bytes: Array[Byte]): (Int, Int) // (width, height)
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Int // frames taken
     def embed(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Re-encode at target size; returns the new payload. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** Deterministic stand-in: derives plausible values from a content hash
@@ -69,6 +71,13 @@ object Multimodal {
       val seed = h(bytes)
       Array.tabulate(dim)(i =>
         (((seed * (i + 1) + 0x9e3779b97f4a7c15L) >>> 16) % 1000).toFloat / 1000f)
+    }
+    def resize(bytes: Array[Byte], w: Int, h0: Int): Array[Byte] = {
+      // deterministic fake: payload proportional to target area, content
+      // derived from the source hash so the op is reproducible
+      val seed = h(bytes)
+      val n = math.max(16, (w.toLong * h0 / 64).toInt)
+      Array.tabulate(n)(i => ((seed >> (i % 56)) ^ i).toByte)
     }
   }
 
@@ -107,6 +116,39 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Resize/re-encode, batched per partition — same shape as
+    * [[extractFeatures]]: decoder built once per partition, rows stream
+    * through in bounded batches, output is a new media frame with the
+    * target dimensions in the metadata and the re-encoded payload in
+    * `bytes`. At 100 TB this is the canonical media ETL step: map-only,
+    * no shuffle, output partitioning inherited from the input.
+    */
+  def resizeImages(
+      media: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      makeDecoder: () => Decoder = () => new DeterministicFakeDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      val decoder = makeDecoder()
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.collect {
+          case r if r.getString(1) == "image" =>
+            (r.getLong(0), r.getString(1),
+              decoder.resize(r.getAs[Array[Byte]](2), targetW, targetH))
+        }
+      }
+    }.toDF("media_id", "kind", "bytes")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("image/resized").as("mime"),
+        org.apache.spark.sql.functions.lit(targetW).as("width"),
+        org.apache.spark.sql.functions.lit(targetH).as("height"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("sample_rate_hz"),
+        org.apache.spark.sql.functions.lit(null).cast("long").as("duration_ms")))
   }
 
   /** Synthesize a media table from any binary payload source (used by

@@ -34,4 +34,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_frames_sampled >= 1)
     assert(f.decoded_width === 0) // image decode not attempted
   }
+
+  test("resize: images re-encode with target metadata, non-images drop; " +
+    "deterministic payloads") {
+    import spark.implicits._
+    val imgs = Multimodal.fromBinary(
+      Seq((1L, "aaa"), (2L, "bbbb")).toDF("id", "c"), "id", "c", "image")
+    val vids = Multimodal.fromBinary(
+      Seq((3L, "vvv")).toDF("id", "c"), "id", "c", "video")
+    val resized = Multimodal.resizeImages(
+      imgs.unionByName(vids), targetW = 64, targetH = 32, batchSize = 1)
+    assert(resized.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "bytes", "meta"))
+    val rows = resized.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // video dropped
+    val meta = rows.head.getStruct(3)
+    assert(meta.getString(0) === "image/resized")
+    assert(meta.getInt(1) === 64 && meta.getInt(2) === 32)
+    val again = Multimodal.resizeImages(imgs, 64, 32).collect()
+      .sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("bytes").toSeq)
+    assert(rows.take(2).map(_.getAs[Array[Byte]]("bytes").toSeq).toSeq ===
+      again.toSeq)
+  }
 }
