@@ -252,6 +252,109 @@ object RelationalQueries2 {
                    CAST(NTILE(4) OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS quartile
             FROM rev ORDER BY o_custkey"""))
 
+  /** TPC-H Q14-style promo revenue share: conditional aggregation over a
+    * broadcast dimension join — the two exact-decimal sums divide AFTER
+    * aggregation, so the single output row is deterministic across
+    * engines and partitionings.
+    */
+  val promoRevenue = Q(
+    "q_promo_revenue",
+    (s, dir) => {
+      val part = tbl(s, dir, "part").select("p_partkey", "p_type")
+      val discPrice =
+        decPrice(col("l_extendedprice")) * oneMinus(col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sumRound(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(org.apache.spark.sql.types
+              .DecimalType(22, 8)))).as("promo_revenue"),
+          sumRound(discPrice).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_pct"))
+    },
+    Some(s"""WITH agg AS (
+              SELECT
+                ${sqlSumRound(s"CASE WHEN p_type = 'PROMO' THEN ${sqlPrice("l_extendedprice")} * ${sqlOneMinus("l_discount")} ELSE CAST(0 AS DECIMAL(22,8)) END")} AS promo_revenue,
+                ${sqlSumRound(s"${sqlPrice("l_extendedprice")} * ${sqlOneMinus("l_discount")}")} AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+            SELECT promo_revenue, total_revenue,
+                   ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+            FROM agg"""))
+
+  /** TPC-H Q18-style large orders: aggregate-then-having produces a small
+    * key set that semi-joins back into the fact/dim chain — at scale the
+    * HAVING filter collapses the orderkey domain before any wide join.
+    */
+  val largeOrders = Q(
+    "q_large_orders",
+    (s, dir) => {
+      val bigKeys = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sumRound(decPrice(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_name")
+      bigKeys
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          decPrice(col("o_totalprice")).cast("double").as("total_price"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   CAST(CAST(o_totalprice AS DECIMAL(14,4)) AS DOUBLE) AS total_price,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+            HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE) > 250
+            ORDER BY sum_qty DESC, o_orderkey"""))
+
+  /** TPC-H Q10-style returned-item revenue: selective fact filter →
+    * order/customer joins → global top-20 by lost revenue, planned as
+    * TakeOrdered (per-partition partial top-k, never a full sort).
+    */
+  val returnedRevenue = Q(
+    "q_returned_revenue",
+    (s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val orders = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      l.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          sumRound(decPrice(col("l_extendedprice")) *
+            oneMinus(col("l_discount"))).as("lost_revenue"),
+          cnt("n_returned_lines"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name,
+                   ${sqlSumRound(s"${sqlPrice("l_extendedprice")} * ${sqlOneMinus("l_discount")}")} AS lost_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY lost_revenue DESC, c_custkey
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(asofJoin, asofNative, rollupRevenue, pivotStatus,
-    unpivotStatus, setOps, customAggregator, cubeVolume, ntileSpend)
+    unpivotStatus, setOps, customAggregator, cubeVolume, ntileSpend,
+    promoRevenue, largeOrders, returnedRevenue)
 }
