@@ -212,6 +212,45 @@ object ScaleQueries {
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Time-RANGE window frame: each order's trailing-7-day revenue within
+    * its customer — a RANGE frame over event time, the semantics row
+    * frames cannot express (the frame width varies with timestamp
+    * density). Spark's rangeBetween needs a numeric ordering column, so
+    * the frame is declared over epoch seconds (which also sidesteps the
+    * ns-timestamp oracle hazard); one shuffle on the partition key, frame
+    * evaluation streams within each sorted partition.
+    */
+  val movingWindow = Q(
+    "q_moving_window",
+    (s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+      // casting to TIMESTAMP then to epoch seconds matches DuckDB's
+      // epoch() over the naive value
+      val sec = expr("unix_seconds(cast(o_orderdate as timestamp))")
+      val w = Window.partitionBy("o_custkey").orderBy(col("t"))
+        .rangeBetween(-7L * 86400, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), sec.as("t"),
+          decPrice(col("o_totalprice")).as("p"))
+        .withColumn("trailing_7d_revenue",
+          round(sum(col("p")).over(w), 2).cast("double"))
+        .withColumn("trailing_7d_orders",
+          count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "t", "trailing_7d_revenue",
+          "trailing_7d_orders")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS t,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
+                     2) AS DOUBLE) AS trailing_7d_revenue,
+                   COUNT(*)
+                     OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                     AS trailing_7d_orders
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
   /** Explicit Bloom-filter semi-join reduction — the pattern behind
     * Spark's automatic runtime row-level filtering, applied by hand so it
     * works at any size (the auto-injection needs multi-GB scan
@@ -253,5 +292,6 @@ object ScaleQueries {
     bench = true)
 
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
-    sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin)
+    sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin,
+    movingWindow)
 }
