@@ -34,4 +34,52 @@ object DedupClusterQuery {
           SELECT id AS doc_id, MIN(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id"""
     })
+
+  /** The curation capstone: near-dup clusters → ONE canonical document
+    * per cluster, chosen by quality score (tie: lowest doc id) — the
+    * keep-best-of-duplicates step every training-data pipeline runs
+    * after dedup. Composes three oracle-checked stages (pair mining,
+    * connected components, quality scoring); the argmax is encoded as
+    * max over struct(quality, −doc_id), so one aggregation replaces a
+    * per-cluster window. The oracle recomputes the whole chain
+    * independently (recursive CTE + ROW_NUMBER).
+    */
+  val canonicalDocs = Q(
+    "q_canonical_docs",
+    (s, dir) => {
+      val pairs = DedupQueries.ngramJaccard.spark(s, dir)
+        .select(col("ai"), col("bi"))
+      val clusters = DedupClusters.connectedComponents(pairs)
+      val quality = TextQueries.qualityScore.spark(s, dir)
+        .select(col("doc_id"), col("quality"))
+      clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+          max(struct(col("quality").as("q"), (-col("doc_id")).as("nd")))
+            .as("best"),
+          cnt("n_members"))
+        .select(col("cluster_id"), (-col("best.nd")).as("keeper"),
+          col("best.q").as("best_quality"), col("n_members"))
+        .orderBy("cluster_id")
+    },
+    clusters.oracle.map { clusterSql =>
+      val inner = clusterSql.substring(0, clusterSql.lastIndexOf("ORDER BY"))
+      s"""WITH q AS (
+            SELECT doc_id,
+                   ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.6
+                     + (CAST(len(list_filter(string_split(text, ' '),
+                         w -> w in (${TextQueries.stopList}))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4, 4) AS quality
+            FROM documents)
+          SELECT cluster_id, doc_id AS keeper, quality AS best_quality,
+                 n_members
+          FROM (
+            SELECT c.cluster_id, c.doc_id, q.quality,
+                   CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                     AS n_members,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                     ORDER BY q.quality DESC, c.doc_id) AS rn
+            FROM ($inner) c JOIN q USING (doc_id))
+          WHERE rn = 1 ORDER BY cluster_id"""
+    })
 }

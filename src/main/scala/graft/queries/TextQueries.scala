@@ -22,7 +22,7 @@ object TextQueries {
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Token counting: whitespace tokens + regex (BPE-ish pre-tokenizer)
     * counts, pushed down to a projection-only scan.
