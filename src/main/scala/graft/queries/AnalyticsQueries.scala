@@ -47,7 +47,13 @@ object AnalyticsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       val n = docs.count() // scalar: one value, broadcast into the expr
-      tf.join(df_, "term")
+      // document-frequency is VOCABULARY-sized (bounded, ~rows per
+      // distinct term) while tf is corpus-sized: broadcasting df turns
+      // the term join map-only, so tf is never shuffled by term — its
+      // only shuffles are its own (doc_id, term) aggregate and the final
+      // per-doc argmax. Fall back to the shuffle join only when the
+      // vocabulary itself outgrows broadcast range.
+      tf.join(broadcast(df_), "term")
         .withColumn("tfidf",
           col("tf").cast("double") *
             log((lit(n.toDouble) + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
