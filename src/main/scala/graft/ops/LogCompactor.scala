@@ -17,12 +17,21 @@ object LogCompactor {
   final case class CompactionReport(
       partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  /** Compact the given `date=` partitions (default: all). */
+  /** Compact the given `date=` partitions (default: all).
+    *
+    * `clusterBy`: optionally sort each partition's rows by these columns
+    * while rewriting — compaction is the one moment the data is being
+    * rewritten anyway, so clustering is free, and a partition sorted by
+    * its hot filter key lets parquet row-group stats skip whole groups
+    * on read (measured in LayoutSkippingSpec). The canonical choice for
+    * the log table is `run_id` or `event_type`.
+    */
   def compact(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      partitions: Option[Seq[String]] = None): Seq[CompactionReport] = {
+      partitions: Option[Seq[String]] = None,
+      clusterBy: Seq[String] = Nil): Seq[CompactionReport] = {
     val root = new java.io.File(dir)
     val parts = root.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
@@ -33,10 +42,13 @@ object LogCompactor {
       val bytes = files.map(_.length()).sum
       val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val report = CompactionReport(p.getName, files.length, target, bytes)
-      if (files.length > target) {
-        val df = spark.read.parquet(p.getAbsolutePath)
+      if (files.length > target || clusterBy.nonEmpty) {
+        val df0 = spark.read.parquet(p.getAbsolutePath).coalesce(target)
+        val df =
+          if (clusterBy.isEmpty) df0
+          else df0.sortWithinPartitions(clusterBy.map(col): _*)
         val tmp = p.getAbsolutePath + ".compact"
-        df.coalesce(target).write.mode(SaveMode.Overwrite)
+        df.write.mode(SaveMode.Overwrite)
           .option("compression", "snappy").parquet(tmp)
         // atomic-ish swap: rewrite into place from the compacted copy
         val compacted = spark.read.parquet(tmp)
@@ -46,5 +58,25 @@ object LogCompactor {
       }
       report
     }
+  }
+
+  /** Retention: delete `date=` partitions strictly older than `cutoff`
+    * (an ISO `yyyy-MM-dd` date). Lexicographic comparison IS date order
+    * for this format, so no parsing — and a malformed directory name is
+    * left alone rather than guessed at. Returns the deleted partition
+    * names. At 100 TB, retention by dropping whole partition directories
+    * is the only delete that does not rewrite data.
+    */
+  def expire(dir: String, cutoff: String): Seq[String] = {
+    val root = new java.io.File(dir)
+    val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .filter { f =>
+        val d = f.getName.stripPrefix("date=")
+        d.matches("\\d{4}-\\d{2}-\\d{2}") && d < cutoff
+      }
+    victims.foreach(f =>
+      org.apache.commons.io.FileUtils.deleteDirectory(f))
+    victims.map(_.getName)
   }
 }

@@ -31,4 +31,41 @@ class LogCompactorSpec extends SparkSpec {
     val post = spark.read.parquet(dir).orderBy("run_id").collect()
     assert(post.toSeq === pre.toSeq) // byte-for-byte same rows
   }
+
+  test("clusterBy sorts rows within the compacted partition, data intact") {
+    val dir = Files.createTempDirectory("compact_c").toString
+    val sink = new ParquetDirSink(spark, dir)
+    (1 to 5).foreach { b =>
+      sink.write((1 to 20).map(i => LogEntry(
+        new Timestamp(1700000000000L), s"r${(b * 7 + i) % 9}-$b-$i", "", "",
+        "llm_end", "{}", "{}")))
+    }
+    val pre = spark.read.parquet(dir).orderBy("run_id").collect()
+    LogCompactor.compact(spark, dir, targetFileBytes = 1L << 30,
+      clusterBy = Seq("run_id"))
+    val rows = spark.read.parquet(dir).select("run_id").collect()
+      .map(_.getString(0))
+    assert(rows.toSeq === rows.sorted.toSeq, "partition not clustered")
+    val post = spark.read.parquet(dir).orderBy("run_id").collect()
+    assert(post.toSeq === pre.toSeq)
+  }
+
+  test("expire drops only partitions strictly older than the cutoff") {
+    val dir = Files.createTempDirectory("expire").toString
+    val sink = new ParquetDirSink(spark, dir)
+    val day = 86400000L
+    Seq(0, 1, 2).foreach { d =>
+      sink.write(Seq(LogEntry(
+        new Timestamp(1700000000000L + d * day), s"r$d", "", "",
+        "llm_end", "{}", "{}")))
+    }
+    // stray non-date dir must be ignored, not deleted
+    new java.io.File(s"$dir/date=not-a-date").mkdirs()
+    val deleted = LogCompactor.expire(dir, cutoff = "2023-11-15")
+    assert(deleted === Seq("date=2023-11-14"))
+    val left = spark.read.parquet(dir).select("run_id")
+      .collect().map(_.getString(0)).sorted
+    assert(left.toSeq === Seq("r1", "r2"))
+    assert(new java.io.File(s"$dir/date=not-a-date").exists())
+  }
 }
