@@ -291,7 +291,39 @@ object ScaleQueries {
             GROUP BY l_returnflag ORDER BY l_returnflag"""),
     bench = true)
 
+  /** Per-group capping — the corpus-balancing step before training: keep
+    * at most K documents per language, chosen by deterministic hash
+    * order (not arrival order, which is partitioning-dependent; not
+    * rand(), which is irreproducible). The rank window gets Spark's
+    * WindowGroupLimit: each partition keeps its own top-K candidates
+    * BEFORE the shuffle, so the exchange carries ≤ K rows per partition
+    * per group no matter how large a language is. Complements
+    * `q_sample_stratified` (rate-based gate, no shuffle, approximate
+    * size) with exact-size caps.
+    */
+  val cappedSample = Q(
+    "q_capped_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("hkey"), col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("md5num(cast(doc_id as string))").as("hkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    },
+    Some(s"""SELECT lang, rn, doc_id
+            FROM (
+              SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY ${duckMd5num("doc_id::VARCHAR")}, doc_id)
+                       AS BIGINT) AS rn
+              FROM documents)
+            WHERE rn <= 50 ORDER BY lang, rn"""))
+
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
     sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin,
-    movingWindow)
+    movingWindow, cappedSample)
 }

@@ -68,6 +68,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("capped sample: the per-group rank plans as WindowGroupLimit " +
+    "(partial per-partition top-k before the shuffle)") {
+    val p = plan(ScaleQueries.cappedSample)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("bloom pre-join: the might_contain filter sits directly on the " +
     "fact scan — before any exchange or join") {
     val p = plan(ScaleQueries.bloomPrejoin)
