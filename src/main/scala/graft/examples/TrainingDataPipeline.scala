@@ -65,12 +65,28 @@ object TrainingDataPipeline {
     println("sampled per lang:")
     sampled.groupBy("lang").count().orderBy("lang").show()
 
-    // 5. token accounting for what survived
-    sampled
+    // 5. exact per-language cap (deterministic hash order, planned as
+    //    WindowGroupLimit — each partition ships at most K rows per lang)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(expr("md5num(cast(doc_id as string))"), col("doc_id"))
+    val capped = sampled
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 40)
+      .drop("rn")
+    println(s"after per-lang cap: ${capped.count()}")
+
+    // 6. token accounting for what survived, with data-quality counters
+    //    riding the SAME action (observe() — no extra scan)
+    val (instrumented, gates) = graft.ops.QualityGates.instrument(
+      capped, "pipeline_out", nullCols = Seq("text", "lang"))
+    instrumented
       .select(col("lang"), size(split(col("text"), " ")).as("tokens"))
       .groupBy("lang")
       .agg(sum("tokens").as("total_tokens"), count(lit(1)).as("docs"))
       .orderBy("lang").show()
+    val violations = graft.ops.QualityGates.violations(gates)
+    println(s"quality gate: rows=${gates.get("rows")} " +
+      (if (violations.isEmpty) "clean" else s"VIOLATIONS: $violations"))
 
     spark.stop()
   }
