@@ -28,11 +28,16 @@ object Bench {
       .mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Median of 3 runs per query: single-shot timings on a shared box
-    // showed phantom 6x regressions (r2: q_asof_native recorded 7.04s,
-    // idle re-run 1.08s). The median discards one bad-luck outlier while
-    // keeping the reported number an actual observed run.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // MIN of N runs per query: two consecutive rounds recorded phantom
+    // contention regressions on the shared box (r2: q_asof_native 7.04s
+    // recorded vs 1.08s idle; r3: q_bloom_prejoin 7.71s vs 0.79s idle —
+    // THROUGH a median-of-3, i.e. the window had sustained contention).
+    // The minimum is still an actually-observed complete run and is the
+    // standard contention-robust statistic: external interference only
+    // ever ADDS time, so min converges on the machine-limited cost.
+    // Per-query spread (max/min of the reps) is emitted alongside so a
+    // poisoned window is self-evident in the artifact itself.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = headline.map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -46,12 +51,14 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      q.name -> times.sorted.apply(times.length / 2)
+      (q.name, times.min, times.max / times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, s) => "\"" + k + f"\":$s%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"stat":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

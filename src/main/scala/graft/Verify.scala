@@ -28,6 +28,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Register native functions/strategies once, before any pooled query
+    // can race the registration (losers of the old check could analyze a
+    // query before md5num/kll_sketch_agg existed and be silently dropped).
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
     val todo = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
 
-  private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private val registered = new java.util.HashSet[String]()
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val key = System.identityHashCode(classic).toString
-    if (registered.add(key)) {
+    // The whole check-and-register runs under one lock so that concurrent
+    // callers (Verify's query pool) block until registration completes —
+    // an early return on a mere membership test would let a losing thread
+    // analyze a query before md5num/kll_sketch_agg/... exist.
+    registered.synchronized {
+      if (registered.add(key)) {
       val reg = classic.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("md5num",
         exprs => Md5Prefix60(exprs.head), "scala_udf")
@@ -61,6 +65,7 @@ object GraftFunctions {
           .contains(graft.plans.AsOfJoinStrategy)) {
         classic.experimental.extraStrategies =
           classic.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      }
       }
     }
   }

@@ -68,6 +68,11 @@ object LogCompactor {
     * is the only delete that does not rewrite data.
     */
   def expire(dir: String, cutoff: String): Seq[String] = {
+    // The cutoff must be well-formed too: a garbage cutoff like "20231115"
+    // still compares lexicographically against valid names ('-' < '1') and
+    // would mass-delete every partition. Fail loudly instead.
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"expire cutoff must be yyyy-MM-dd, got '$cutoff'")
     val root = new java.io.File(dir)
     val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("date="))

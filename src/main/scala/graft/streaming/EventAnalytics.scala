@@ -150,8 +150,10 @@ object EventAnalytics {
     * match like [[clickPurchaseJoin]].
     *
     * Correctness under disorder: a click is emitted only once the
-    * watermark passes its event time — any purchase still in flight must
-    * then have `p_ts > watermark ≥ c_ts` and so cannot change the match.
+    * watermark strictly passes its event time — any purchase still in
+    * flight must then have `p_ts ≥ watermark > c_ts` and so cannot change
+    * the match (equality at the watermark stays pending: an event AT the
+    * watermark is not yet late in Spark).
     * Clicks ahead of the watermark wait in state; an event-time timeout
     * re-fires the group when the watermark advances past them even if no
     * further events arrive for that user.
@@ -187,7 +189,12 @@ object EventAnalytics {
               .map(e => AsOfC(tsUs(e.ts), e.event_id)))
               .sortBy(c => (c.us, c.id))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = clicks.partition(_.us <= wmUs)
+          // Strictly below the watermark: an event AT the watermark is not
+          // yet late in Spark, so a purchase with p.us == wmUs == c.us
+          // could still arrive in a later batch — emitting that click now
+          // would miss it. Strict `<` restores the invariant
+          // p_ts > watermark > c_ts for every emitted click.
+          val (ready, pending) = clicks.partition(_.us < wmUs)
           val out = ready.map { c =>
             val m = purchases
               .filter(p => p.us <= c.us && p.us >= c.us - horizonUs)

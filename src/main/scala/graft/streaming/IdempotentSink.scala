@@ -46,18 +46,46 @@ object IdempotentSink {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** Union of the COMMITTED batches only. */
-  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+  /** Union of the COMMITTED batches only.
+    *
+    * `schema` keeps an empty-but-valid sink queryable: with no committed
+    * batch yet, a schemaless `emptyDataFrame` would make downstream column
+    * references (`filter($"event_type" === ...)`) throw AnalysisException
+    * even though the same pipeline works once one batch lands. When no
+    * schema is given and nothing has committed, we fall back to any
+    * not-yet-committed files' schema before resorting to the zero-column
+    * frame.
+    */
+  def readCommitted(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root)
-        .filter(s => s.isDirectory &&
-          fs.exists(new Path(s.getPath, "_COMMITTED")))
-        .map(_.getPath.toString)
-    if (committed.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(committed.toIndexedSeq: _*)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root).filter(_.isDirectory)
+    val committed = dirs
+      .filter(s => fs.exists(new Path(s.getPath, "_COMMITTED")))
+      .map(_.getPath.toString)
+    if (committed.nonEmpty)
+      spark.read.parquet(committed.toIndexedSeq: _*)
+    else schema match {
+      case Some(st) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None =>
+        // Uncommitted (in-flight) batch dirs still reveal the shape of the
+        // data; only a truly virgin sink degrades to zero columns.
+        val anyFiles = dirs.map(_.getPath.toString)
+        if (anyFiles.nonEmpty)
+          scala.util.Try {
+            val st = spark.read.parquet(anyFiles.toIndexedSeq: _*).schema
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+          }.getOrElse(spark.emptyDataFrame)
+        else spark.emptyDataFrame
+    }
   }
 }
