@@ -7,8 +7,8 @@ object Registry {
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
       RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
       SubqueryQueries.all ++ SketchQueries.all ++
-      Seq(LogRoundtripQuery.roundtrip, DedupClusterQuery.clusters,
-        DedupClusterQuery.canonicalDocs)
+      Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
+        DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

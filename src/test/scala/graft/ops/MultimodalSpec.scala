@@ -35,6 +35,66 @@ class MultimodalSpec extends SparkSpec {
     assert(f.decoded_width === 0) // image decode not attempted
   }
 
+  /** A real PNG, generated with the JDK: horizontal luminance gradient so
+    * left and right halves have distinct channel statistics.
+    */
+  private def pngBytes(w: Int, h: Int, seed: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = ((x * 255) / math.max(1, w - 1) + seed) % 256
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG decode, resize round-trip, pixel-derived " +
+    "embedding") {
+    val dec = new Multimodal.ImageIoDecoder
+    val png = pngBytes(40, 20)
+    assert(dec.decodeImage(png) === ((40, 20)))
+    assert(dec.sampleFrames(png, 10) === 1) // PNG: single frame
+
+    // resize re-encodes a REAL image: the output is itself decodable and
+    // has exactly the target dimensions
+    val small = dec.resize(png, 16, 8)
+    assert(dec.decodeImage(small) === ((16, 8)))
+
+    // embedding is a function of the pixels: gradient cells increase
+    // left-to-right, all values in [0,1], equal images collide, and a
+    // different image lands elsewhere
+    val e = dec.embed(png, 9)
+    assert(e.length === 9)
+    assert(e.forall(v => v >= 0f && v <= 1f))
+    assert(e(0) < e(2)) // dark left cell < bright right cell
+    assert(dec.embed(png, 9).toSeq === e.toSeq)
+    assert(dec.embed(pngBytes(40, 20, seed = 128), 9).toSeq !== e.toSeq)
+  }
+
+  test("ImageIoDecoder drives the full Spark pipeline on real PNG bytes") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, pngBytes(32, 16)), (2L, pngBytes(64, 8)), (3L, pngBytes(10, 10)))
+      .toDF("id", "content")
+    val media = Multimodal.fromBinary(src, "id", "content", "image")
+    val feats = Multimodal.extractFeatures(media,
+      makeDecoder = () => new Multimodal.ImageIoDecoder,
+      batchSize = 2, embeddingDim = 4).collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.decoded_width, f.decoded_height)).toSeq ===
+      Seq((32, 16), (64, 8), (10, 10)))
+    assert(feats.forall(_.feature.length === 4))
+
+    val resized = Multimodal.resizeImages(media, targetW = 8, targetH = 8,
+      makeDecoder = () => new Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.getLong(0))
+    val dec = new Multimodal.ImageIoDecoder
+    assert(resized.length === 3)
+    assert(resized.forall(r =>
+      dec.decodeImage(r.getAs[Array[Byte]]("bytes")) === ((8, 8))))
+  }
+
   test("resize: images re-encode with target metadata, non-images drop; " +
     "deterministic payloads") {
     import spark.implicits._
