@@ -137,10 +137,14 @@ object DedupQueries {
       // bucket-group instead of band self-join: ONE shuffle keyed on the
       // band value co-locates each LSH bucket; singleton buckets (the vast
       // majority) die in the size filter before any pair is materialized.
-      // Bucket width is bounded by LSH design (salt the band key if a
-      // degenerate corpus produces a hot bucket).
-      val cands = bands
-        .groupBy("band", "bvals")
+      // SkewGuard salt-splits any bucket a degenerate corpus blows past
+      // the cap, so the collect buffer below is O(cap) — salt is 0
+      // everywhere on healthy data and the grouping is unchanged.
+      val salted = graft.ops.SkewGuard.saltOversized(
+        bands, Seq("band", "bvals"), "doc_id",
+        metricName = "skew_guard_minhash")
+      val cands = salted
+        .groupBy("band", "bvals", "salt")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .select(explode(expr(
@@ -204,9 +208,12 @@ object DedupQueries {
   val simhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
+      // persisted: the skew-guard's bucket-size pass and the main
+      // expansion both derive from this narrow (id, lang, signature) frame
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           expr("simhash16(split(text, ' '))").as("sh16"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = docs.select(col("doc_id"), col("lang"), col("sh16"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> (sh16 div cast(pow(2, b * 4) as bigint)) % 16)")))
@@ -215,8 +222,10 @@ object DedupQueries {
       // shuffle: 16-bit bands are coarse, so most candidate pairs fail
       // the distance test — filtering first means the distinct() only
       // shuffles true near-dup pairs (tiny), not every bucket pair
-      bands
-        .groupBy("band", "bbits", "lang")
+      graft.ops.SkewGuard.saltOversized(
+          bands, Seq("band", "bbits", "lang"), "doc_id",
+          metricName = "skew_guard_simhash")
+        .groupBy("band", "bbits", "lang", "salt")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sh16"))))
           .as("members"))
         .filter(size(col("members")) > 1)
@@ -251,9 +260,18 @@ object DedupQueries {
             WHERE bit_count(xor(a.sh16, b.sh16)) <= 3
             ORDER BY ai, bi"""))
 
-  /** Embedding-cosine near-dup: same-cluster (label) blocking, exact
-    * double-precision cosine ≥ 0.4 on candidates. Norms are precomputed
-    * per row so the pair step does one dot product.
+  /** Embedding-cosine near-dup GROUND-TRUTH VERIFIER: same-cluster (label)
+    * blocking, exact double-precision cosine ≥ 0.4 on candidates. Norms
+    * are precomputed per row so the pair step does one dot product.
+    *
+    * This is deliberately a per-label quadratic — the exact answer the
+    * approximate scale path (`q_dedup_embedding_lsh`) is judged against —
+    * and it is NOT a 100 TB plan. [[graft.ops.SkewGuard.requirePairBound]]
+    * makes that contract executable: the query fails fast (one cheap count
+    * aggregate, before any pair is materialized) if Σ label_count² exceeds
+    * the verification budget, so no unbounded quadratic is reachable
+    * without an explicit `SPARK_GRAFT_MAX_QUADRATIC_PAIRS` opt-in. See
+    * SCALE.md "verifier-only" note.
     */
   val embeddingCosine = Q(
     "q_dedup_embedding",
@@ -262,6 +280,8 @@ object DedupQueries {
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
+      graft.ops.SkewGuard.requirePairBound(
+        tbl(s, dir, "embeddings"), Seq("label"))
       val a = e.select(col("vec_id").as("ai"), col("label").as("al"),
         col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("bi"), col("label").as("bl"),
@@ -299,12 +319,15 @@ object DedupQueries {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           expr("simhash60(split(text, ' '))").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = docs.select(col("doc_id"), col("lang"), col("sh"),
         posexplode(expr(
           "transform(sequence(0, 5), b -> (sh div cast(pow(2, b * 10) as bigint)) % 1024)")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bbits")
-      bands
-        .groupBy("band", "bbits", "lang")
+      graft.ops.SkewGuard.saltOversized(
+          bands, Seq("band", "bbits", "lang"), "doc_id",
+          metricName = "skew_guard_simhash60")
+        .groupBy("band", "bbits", "lang", "salt")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
           .as("members"))
         .filter(size(col("members")) > 1)
@@ -367,6 +390,9 @@ object DedupQueries {
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
+        // persisted: plane construction, the skew-guard's bucket-size pass,
+        // and the signature expansion all read this frame
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val raw = e.filter(col("vec_id") < 64)
         .select(col("vec_id"), col("v")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
@@ -381,8 +407,10 @@ object DedupQueries {
           struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*)).as("ts"))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
           col("ts.t").as("t"), col("ts.sig").as("sig"))
-      sigs
-        .groupBy("t", "sig", "label")
+      graft.ops.SkewGuard.saltOversized(
+          sigs, Seq("t", "sig", "label"), "vec_id",
+          metricName = "skew_guard_embedding_lsh")
+        .groupBy("t", "sig", "label", "salt")
         .agg(sort_array(collect_list(
           struct(col("vec_id"), col("v"), col("nrm")))).as("members"))
         .filter(size(col("members")) > 1)
