@@ -123,5 +123,44 @@ object SketchQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(sketchDistinct, sketchQuantiles, kllQuantiles)
+  /** The deterministic scaffolding of the sketch family, split out into a
+    * hash-matched oracle query: every EXACT column the sketch queries
+    * carry in-row (distinct counts, interpolated percentiles, value
+    * range) is recomputed here and checked against DuckDB. With this, the
+    * no-oracle surface of the three sketch queries shrinks to literally
+    * the estimates themselves — everything they are judged against is
+    * cross-engine verified.
+    *
+    * `percentile` (Spark) and `quantile_cont` (DuckDB) share the same
+    * linear-interpolation definition, so the exact quantiles hash-match
+    * after a 6-decimal round; min/max/counts are exact selections.
+    */
+  val sketchScaffoldExact = Q(
+    "q_sketch_scaffold_exact",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
+          .as("exact_p50"),
+        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
+          .as("exact_p95"),
+        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
+          .as("exact_p99"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        cnt("n_events"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS exact_p50,
+                   CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE) AS exact_p95,
+                   CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS exact_p99,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] =
+    Seq(sketchDistinct, sketchQuantiles, kllQuantiles, sketchScaffoldExact)
 }

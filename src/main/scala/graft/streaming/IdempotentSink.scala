@@ -25,18 +25,117 @@ object IdempotentSink {
 
   /** Write one micro-batch if (and only if) its id has not committed.
     * Returns true when this call did the write, false on replay-skip.
+    * A batch whose directory was folded into a compacted dir (and then
+    * deleted) still counts as committed — the superseded list in the
+    * compacted dir's marker remembers it, so a late replay after
+    * compaction cannot double the data.
     */
   def writeBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val dir = new Path(s"$path/batch=$batchId")
     val marker = new Path(dir, "_COMMITTED")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
+    if (fs.exists(marker) ||
+        supersededNames(fs, new Path(path)).contains(dir.getName)) false
     else {
       batch.write.mode("overwrite").parquet(dir.toString)
       fs.create(marker, true).close()
       true
     }
+  }
+
+  /** Names of batch dirs folded into a committed compacted dir (read from
+    * every committed marker's content; plain batch markers are empty).
+    */
+  private def supersededNames(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(s => new Path(s.getPath, "_COMMITTED"))
+      .filter(fs.exists)
+      .flatMap { m =>
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+      .toSet
+  }
+
+  /** Committed-and-not-superseded batch directories. */
+  private def liveCommitted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(root)) return Array.empty
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+    val committed =
+      dirs.filter(s => fs.exists(new Path(s.getPath, "_COMMITTED")))
+    val superseded = supersededNames(fs, root)
+    committed.filterNot(s => superseded.contains(s.getPath.getName))
+  }
+
+  /** Compact the live committed batch dirs into ONE superseding dir while
+    * readers run — the composition of [[LogCompactor]]'s small-file cure
+    * with this sink's exactly-once visibility rule.
+    *
+    * Commit protocol: the merged data is first written (unmarked, so
+    * invisible), then made visible by a SINGLE marker-file creation whose
+    * content lists the source dirs it supersedes. A reader therefore sees
+    * either the sources (listing taken before the marker landed) or the
+    * compacted dir alone (after — the superseded list excludes the
+    * sources even though their own markers still exist). Never both,
+    * never a partial batch: the swap is one atomic file create, exactly
+    * like the per-batch commit.
+    *
+    * Source dirs are NOT deleted here: a reader that planned its scan a
+    * moment before the swap may still be reading them. Delete them after
+    * a grace period longer than any reader's planning-to-read window via
+    * [[cleanupSuperseded]] — the standard two-phase (logical delete,
+    * physical delete) retention rule for filesystem-committed stores.
+    *
+    * Returns the compacted dir name, or None when fewer than two live
+    * dirs exist.
+    */
+  def compactCommitted(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sources = liveCommitted(fs, root)
+    if (sources.length < 2) return None
+    val names = sources.map(_.getPath.getName).sorted
+    val bytes = sources.map(s =>
+      fs.getContentSummary(s.getPath).getLength).sum
+    val target = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // deterministic per source-set name; 'c' prefix cannot collide with
+    // numeric micro-batch ids
+    val dest = new Path(root,
+      s"batch=c${math.abs(names.mkString(",").hashCode).toString}")
+    spark.read
+      .parquet(sources.map(_.getPath.toString).toIndexedSeq: _*)
+      .coalesce(target)
+      .write.mode("overwrite").parquet(dest.toString)
+    val out = fs.create(new Path(dest, "_COMMITTED"), true)
+    try out.write(names.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    Some(dest.getName)
+  }
+
+  /** Physically delete superseded dirs (call after a grace period; see
+    * [[compactCommitted]]). Returns the deleted names.
+    */
+  def cleanupSuperseded(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val superseded = supersededNames(fs, root)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && superseded.contains(s.getPath.getName))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .toSeq.sorted
   }
 
   def start(
@@ -66,9 +165,9 @@ object IdempotentSink {
     val dirs =
       if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(root).filter(_.isDirectory)
-    val committed = dirs
-      .filter(s => fs.exists(new Path(s.getPath, "_COMMITTED")))
-      .map(_.getPath.toString)
+    // committed MINUS superseded: dirs folded into a committed compacted
+    // dir are invisible even while they still exist (two-phase delete)
+    val committed = liveCommitted(fs, root).map(_.getPath.toString)
     if (committed.nonEmpty)
       spark.read.parquet(committed.toIndexedSeq: _*)
     else schema match {

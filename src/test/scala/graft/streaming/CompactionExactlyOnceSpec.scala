@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+
+/** Integration of [[IdempotentSink]]'s exactly-once commit protocol with
+  * compaction: committed `batch=` dirs are folded into one superseding dir
+  * WHILE a reader loops, and every successful read must see exactly the
+  * full committed dataset — never a partial batch, never a doubled one.
+  */
+class CompactionExactlyOnceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(path: String): (Long, Long) = {
+    val df = IdempotentSink.readCommitted(spark, path)
+    (df.count(), df.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+  }
+
+  test("compaction swaps committed batches atomically under a live " +
+    "reader; replay and later batches stay exactly-once") {
+    val path = java.nio.file.Files
+      .createTempDirectory("compact_once").toString
+    // six committed micro-batches ...
+    (0 until 6).foreach { id =>
+      val df = (1 to 10).map(i => (id.toLong * 100 + i, 1L)).toDF("k", "v")
+      assert(IdempotentSink.writeBatch(df, path, id))
+    }
+    // ... plus a crashed, uncommitted attempt that must stay invisible
+    (1 to 5).map(i => (9999L + i, 100L)).toDF("k", "v")
+      .write.parquet(s"$path/batch=7")
+    val baseline = snapshot(path)
+    assert(baseline === ((60L, 60L)))
+
+    // reader loop races the compactor; every observation is recorded
+    val stop = new AtomicBoolean(false)
+    val seen = ArrayBuffer.empty[(Long, Long)]
+    var readerErr: Option[Throwable] = None
+    val reader = new Thread(() =>
+      try while (!stop.get()) seen.synchronized { seen += snapshot(path) }
+      catch { case t: Throwable => readerErr = Some(t) })
+    reader.start()
+    try {
+      val dest = IdempotentSink.compactCommitted(spark, path)
+      assert(dest.exists(_.startsWith("batch=c")))
+      // a few more observations strictly after the swap
+      Thread.sleep(50)
+    } finally { stop.set(true); reader.join(30000) }
+    assert(readerErr.isEmpty, s"reader failed: $readerErr")
+    assert(seen.nonEmpty)
+    assert(seen.forall(_ === baseline),
+      s"reader saw partial/doubled data: ${seen.distinct}")
+
+    // post-swap: data identical, served by the compacted dir alone
+    assert(snapshot(path) === baseline)
+    val live = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch=c"))
+    assert(live.length === 1)
+
+    // a late replay of a folded batch id is still a skip — the superseded
+    // list remembers it even though its dir will be deleted
+    assert(!IdempotentSink.writeBatch(
+      (1 to 10).map(i => (0L, 1L)).toDF("k", "v"), path, 2L))
+    assert(snapshot(path) === baseline)
+
+    // physical delete after the grace period changes nothing for readers
+    val deleted = IdempotentSink.cleanupSuperseded(spark, path)
+    assert(deleted === (0 until 6).map(i => s"batch=$i"))
+    assert(snapshot(path) === baseline)
+    assert(!IdempotentSink.writeBatch(
+      (1 to 10).map(i => (0L, 1L)).toDF("k", "v"), path, 2L))
+
+    // the sink keeps accepting NEW batches, and a second compaction folds
+    // the compacted dir itself plus the newcomer
+    assert(IdempotentSink.writeBatch(
+      (1 to 5).map(i => (1000L + i, 2L)).toDF("k", "v"), path, 100L))
+    assert(snapshot(path) === ((65L, 70L)))
+    assert(IdempotentSink.compactCommitted(spark, path).isDefined)
+    IdempotentSink.cleanupSuperseded(spark, path)
+    assert(snapshot(path) === ((65L, 70L)))
+  }
+}
