@@ -51,4 +51,15 @@ object ReadmeSnippets {
     graft.queries.Registry.all.find(_.name == "q_dedup_minhash").get
       .spark(spark, "/data/corpus").show()
   }
+
+  def liveSnippet(spark: SparkSession): Unit = {
+    import graft.streaming.{IdempotentSink, LogStream}
+
+    val live = LogStream.tokenUsage(LogStream.read(spark, "/data/llm_logs"))
+    live.writeStream.outputMode("update").format("console").start()
+
+    // micro-batches land exactly-once; compaction swaps them atomically
+    IdempotentSink.compactCommitted(spark, "/data/llm_sink")
+    IdempotentSink.cleanupSuperseded(spark, "/data/llm_sink") // after grace
+  }
 }
