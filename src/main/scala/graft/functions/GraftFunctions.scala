@@ -46,6 +46,21 @@ object GraftFunctions {
         exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("kll_sketch_rank",
         exprs => KllRank(exprs(0), exprs(1)), "scala_udf")
+      def litMap(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue
+        else 128
+      reg.createOrReplaceTempFunction("freq_sketch_agg",
+        exprs => FreqSketchAgg(exprs.head, litMap(exprs)), "scala_udf")
+      reg.createOrReplaceTempFunction("freq_merge_agg",
+        exprs => FreqMergeAgg(exprs.head, litMap(exprs)), "scala_udf")
+      reg.createOrReplaceTempFunction("freq_sketch_estimate",
+        exprs => FreqEstimate(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("freq_sketch_lb",
+        exprs => FreqLowerBound(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("freq_sketch_ub",
+        exprs => FreqUpperBound(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("freq_sketch_top1",
+        exprs => FreqTop1(exprs.head), "scala_udf")
       // Spark's Bloom machinery is internal (used by automatic runtime
       // filters); exposing it lets queries apply the semi-join-reduction
       // pattern explicitly at any scale

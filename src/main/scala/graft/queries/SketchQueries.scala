@@ -161,6 +161,56 @@ object SketchQueries {
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Frequent-items ("heavy hitters") sketch over per-language tokens —
+    * the engine's own [[graft.functions.FreqSketchAgg]] on DataSketches:
+    * one pass, O(maxMapSize) memory per group, shuffle carries sketch
+    * bytes. This query is fully ORACLE-CHECKED, unlike the other sketch
+    * rows: the corpus vocabulary (31 tokens/lang) sits far below the
+    * 128-slot map, so the sketch never purges and Misra-Gries semantics
+    * guarantee EXACT, merge-order-independent counts — DuckDB recomputes
+    * the same top token (min-tiebreak, matching `freq_sketch_top1`),
+    * its exact count, and a zero error bound. The eviction regime (where
+    * estimates become approximate and only the lb/ub contract holds) is
+    * pinned by `FreqSketchSpec` on a high-cardinality adversarial stream.
+    */
+  val freqItems = Q(
+    "q_freq_items",
+    (s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks.groupBy("lang")
+        .agg(expr("freq_sketch_agg(tok, 128)").as("sk"), cnt("n_tokens"))
+        .select(col("lang"),
+          expr("freq_sketch_top1(sk)").as("top_token"),
+          expr("freq_sketch_estimate(sk, freq_sketch_top1(sk))")
+            .as("top_count"),
+          (expr("freq_sketch_ub(sk, freq_sketch_top1(sk))")
+            - expr("freq_sketch_lb(sk, freq_sketch_top1(sk))"))
+            .as("max_err"),
+          col("n_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tc AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks WHERE len(tok) > 0 GROUP BY lang, tok),
+            m AS (SELECT lang, MAX(n) AS top_count FROM tc GROUP BY lang),
+            tt AS (
+              SELECT tc.lang, MIN(tok) AS top_token, m.top_count
+              FROM tc JOIN m ON tc.lang = m.lang AND tc.n = m.top_count
+              GROUP BY tc.lang, m.top_count),
+            tot AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM toks WHERE len(tok) > 0 GROUP BY lang)
+            SELECT tt.lang AS lang, top_token, top_count,
+                   CAST(0 AS BIGINT) AS max_err, n_tokens
+            FROM tt JOIN tot ON tt.lang = tot.lang
+            ORDER BY tt.lang"""))
+
   val all: Seq[Q] =
-    Seq(sketchDistinct, sketchQuantiles, kllQuantiles, sketchScaffoldExact)
+    Seq(sketchDistinct, sketchQuantiles, kllQuantiles, sketchScaffoldExact,
+      freqItems)
 }

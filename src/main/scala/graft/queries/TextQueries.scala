@@ -176,6 +176,64 @@ object TextQueries {
                    CAST(octet_length(text::BLOB) % 480 AS BIGINT) AS fake_height
             FROM documents ORDER BY doc_id"""))
 
+  /** PII scrubbing ([[graft.ops.Redaction]]), oracle-checked END TO END:
+    * deterministic PII (emails, URLs, IPv4s, phone numbers derived from
+    * doc_id) is woven into real corpus text, scrubbed by the sequential
+    * codegen'd `regexp_replace` rules, and DuckDB must reproduce the
+    * redacted strings byte-for-byte with the same patterns under RE2 —
+    * proving the rule set stays inside the Java∩RE2 regex subset and the
+    * ordering contract (emails before URLs before IPs before phones)
+    * behaves identically. Per-rule hit counters are staged (each counts
+    * the text as that rule saw it).
+    */
+  val redactPii = Q(
+    "q_redact_pii",
+    (s, dir) => {
+      import graft.ops.Redaction
+      val synth = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("contact "), col("lang"), lit("_"),
+          col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org see http://site"),
+          pmod(col("doc_id"), lit(13)).cast("string"),
+          lit(".example.net/p/"), col("doc_id").cast("string"),
+          lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+          lit(" tel 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" :: "), substring(col("text"), 1, 60)).as("raw"))
+      val (clean, counts) = Redaction.scrubWithCounts(col("raw"))
+      synth.select(col("doc_id") +: clean.as("redacted") +: counts: _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH synth AS (
+              SELECT doc_id,
+                'contact ' || lang || '_' || CAST(doc_id AS VARCHAR) ||
+                '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.example.org see http://site' ||
+                CAST(doc_id % 13 AS VARCHAR) || '.example.net/p/' ||
+                CAST(doc_id AS VARCHAR) ||
+                ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                ' :: ' || substr(text, 1, 60) AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '${graft.ops.Redaction.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM synth),
+            s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '${graft.ops.Redaction.UrlPattern}', '<URL>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT doc_id, t0, t1, t2,
+              regexp_replace(t2, '${graft.ops.Redaction.Ipv4Pattern}', '<IP>', 'g') AS t3 FROM s2)
+            SELECT doc_id,
+              regexp_replace(t3, '${graft.ops.Redaction.PhonePattern}', '<PHONE>', 'g') AS redacted,
+              CAST(len(regexp_extract_all(t0, '${graft.ops.Redaction.EmailPattern}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(t1, '${graft.ops.Redaction.UrlPattern}')) AS BIGINT) AS n_url,
+              CAST(len(regexp_extract_all(t2, '${graft.ops.Redaction.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+              CAST(len(regexp_extract_all(t3, '${graft.ops.Redaction.PhonePattern}')) AS BIGINT) AS n_phone
+            FROM s3 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    multimodalFeatures)
+    multimodalFeatures, redactPii)
 }
