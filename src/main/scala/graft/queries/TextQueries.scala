@@ -234,6 +234,32 @@ object TextQueries {
               CAST(len(regexp_extract_all(t3, '${graft.ops.Redaction.PhonePattern}')) AS BIGINT) AS n_phone
             FROM s3 ORDER BY doc_id"""))
 
+  /** Document chunking ([[graft.ops.Chunker]]) — 20-word windows, stride
+    * 15 (5-word overlap), provenance-carrying. The oracle recomputes
+    * every window with DuckDB list slicing, so the boundary semantics
+    * (ceil(n/stride) chunks, clamped final window, 1-based slice math)
+    * are pinned cross-engine, not just asserted.
+    */
+  val chunkDocs = Q(
+    "q_chunk_docs",
+    (s, dir) => graft.ops.Chunker.chunk(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"), "text")
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"),
+        col("n_words"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH w AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) > 0)
+            SELECT doc_id, lang, CAST(g.i AS BIGINT) AS chunk_idx,
+                   list_aggr(list_slice(w, g.i * 15 + 1, g.i * 15 + 20),
+                             'string_agg', ' ') AS chunk,
+                   CAST(len(list_slice(w, g.i * 15 + 1, g.i * 15 + 20)) AS BIGINT)
+                     AS n_words
+            FROM w CROSS JOIN generate_series(0, 999) AS g(i)
+            WHERE g.i * 15 < len(w)
+            ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    multimodalFeatures, redactPii)
+    multimodalFeatures, redactPii, chunkDocs)
 }

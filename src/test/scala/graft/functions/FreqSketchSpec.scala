@@ -64,6 +64,36 @@ class FreqSketchSpec extends SparkSpec {
     assert(merged === 200L)
   }
 
+  test("frequent-items aggregate inside a streaming window: state-store " +
+    "merges accumulate counts across micro-batches") {
+    ensure()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String)]],
+      spark)
+    val windowed = stream.toDF().toDF("ts", "s")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "60 minutes"))
+      .agg(expr("freq_sketch_top1(freq_sketch_agg(s, 64))").as("top"),
+        expr("freq_sketch_estimate(freq_sketch_agg(s, 64), 'b')").as("est_b"))
+    val q = windowed.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("freqwin").start()
+    try {
+      def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+      // batch 1: 'a' leads; batch 2 flips the winner to 'b' — only a
+      // MERGED sketch (not a replaced one) can know that
+      stream.addData((1 to 30).map(i => (ts(i % 20), "a")) ++
+        (1 to 20).map(i => (ts(i % 20), "b")): _*)
+      q.processAllAvailable()
+      stream.addData((1 to 25).map(i => (ts(i % 20), "b")): _*)
+      q.processAllAvailable()
+      val row = spark.table("freqwin").collect().head
+      assert(row.getString(1) === "b")
+      assert(row.getLong(2) === 45L) // 20 + 25, exact below map size
+    } finally q.stop()
+  }
+
   test("sketch column survives a parquet round trip and re-aggregation") {
     ensure()
     val tmp = java.nio.file.Files.createTempDirectory("freq_store").toString
