@@ -23,12 +23,48 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IdempotentSink {
 
+  /** Marker-content cache. A `_COMMITTED` marker is written exactly once
+    * (single create, then never modified), so its content can be cached by
+    * path for the life of the process: per micro-batch the superseded-set
+    * scan costs one directory listing plus content reads ONLY for markers
+    * this JVM has not seen yet — O(1) amortized file opens instead of
+    * O(dirs), which over a long-running stream was quadratic cumulative
+    * I/O. Writers prime the cache at create time, so the steady-state
+    * delta is zero opens. Entries for deleted dirs are dropped by
+    * [[cleanupSuperseded]]; stale extra entries are harmless because the
+    * superseded set is derived from the current listing.
+    */
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+
+  /** Total marker-content file opens (cache misses). Test hook: specs take
+    * deltas to prove writeBatch stays O(1) opens as the dir count grows.
+    */
+  val markerContentReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // cache keys are fs-qualified so writer-side priming (raw local path)
+  // and reader-side listing (scheme-qualified path) hit the same entry
+  private def cacheKey(
+      fs: org.apache.hadoop.fs.FileSystem, marker: Path): String =
+    fs.makeQualified(marker).toString
+
+  private def markerLines(
+      fs: org.apache.hadoop.fs.FileSystem, marker: Path): List[String] =
+    markerCache.computeIfAbsent(cacheKey(fs, marker), { _ =>
+      markerContentReads.incrementAndGet()
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    })
+
   /** Write one micro-batch if (and only if) its id has not committed.
     * Returns true when this call did the write, false on replay-skip.
     * A batch whose directory was folded into a compacted dir (and then
     * deleted) still counts as committed — the superseded list in the
-    * compacted dir's marker remembers it, so a late replay after
-    * compaction cannot double the data.
+    * compacted dir's marker remembers it (transitively, across repeated
+    * compactions), so a late replay after compaction cannot double the
+    * data.
     */
   def writeBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -40,6 +76,7 @@ object IdempotentSink {
     else {
       batch.write.mode("overwrite").parquet(dir.toString)
       fs.create(marker, true).close()
+      markerCache.put(cacheKey(fs, marker), Nil)
       true
     }
   }
@@ -54,12 +91,7 @@ object IdempotentSink {
       .filter(_.isDirectory)
       .map(s => new Path(s.getPath, "_COMMITTED"))
       .filter(fs.exists)
-      .flatMap { m =>
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
-      }
+      .flatMap(markerLines(fs, _))
       .toSet
   }
 
@@ -105,22 +137,40 @@ object IdempotentSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sources = liveCommitted(fs, root)
     if (sources.length < 2) return None
-    val names = sources.map(_.getPath.getName).sorted
+    val names = sources.map(_.getPath.getName).sorted.toList
     val bytes = sources.map(s =>
       fs.getContentSummary(s.getPath).getLength).sum
     val target = math.max(1,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // deterministic per source-set name; 'c' prefix cannot collide with
-    // numeric micro-batch ids
-    val dest = new Path(root,
-      s"batch=c${math.abs(names.mkString(",").hashCode).toString}")
+    // Deterministic, collision-resistant per-source-set name: a SHA-256
+    // prefix of the sorted names ('c' prefix cannot collide with numeric
+    // micro-batch ids). Same name therefore implies same source set, so an
+    // existing dest is never a DIFFERENT compaction being clobbered — it is
+    // either this exact compaction already committed (idempotent no-op) or
+    // a partial dir from a crashed attempt, safe to overwrite.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val dest = new Path(root, s"batch=c$digest")
+    val destMarker = new Path(dest, "_COMMITTED")
+    if (fs.exists(destMarker)) return Some(dest.getName)
+    // Transitive superseded memory: the new marker lists its direct source
+    // dirs PLUS everything those sources had themselves superseded. A batch
+    // id folded at any depth of repeated compaction stays remembered as
+    // long as the newest compacted dir lives, so writeBatch's replay guard
+    // holds even after cleanupSuperseded deletes intermediate dirs.
+    val inherited = sources.iterator
+      .flatMap(s => markerLines(fs, new Path(s.getPath, "_COMMITTED")))
+      .toSet
+    val content = (names ++ inherited.diff(names.toSet)).sorted
     spark.read
       .parquet(sources.map(_.getPath.toString).toIndexedSeq: _*)
       .coalesce(target)
       .write.mode("overwrite").parquet(dest.toString)
-    val out = fs.create(new Path(dest, "_COMMITTED"), true)
-    try out.write(names.mkString("\n").getBytes("UTF-8"))
+    val out = fs.create(destMarker, true)
+    try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    markerCache.put(cacheKey(fs, destMarker), content)
     Some(dest.getName)
   }
 
@@ -134,7 +184,10 @@ object IdempotentSink {
     val superseded = supersededNames(fs, root)
     fs.listStatus(root)
       .filter(s => s.isDirectory && superseded.contains(s.getPath.getName))
-      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .map { s =>
+        markerCache.remove(cacheKey(fs, new Path(s.getPath, "_COMMITTED")))
+        fs.delete(s.getPath, true); s.getPath.getName
+      }
       .toSeq.sorted
   }
 
