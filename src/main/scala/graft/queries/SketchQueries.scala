@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * associative — the shape that keeps these O(1)-per-partition at any
   * scale.
   *
-  * Sketch estimates are implementation-specific, so no cross-engine
-  * DuckDB oracle exists (driver records the rows-only check); accuracy
-  * against the exact answers is asserted in `SketchAccuracySpec`, and the
-  * exact columns emitted next to the estimates make every row
-  * self-auditing.
+  * Sketch estimate VALUES are implementation-specific, so they cannot be
+  * hash-compared cross-engine — but their accuracy CONTRACTS can: each
+  * registered query emits the group's exact answers (computed exactly in
+  * Spark, recomputed by DuckDB) plus contract booleans derived from the
+  * estimates, and the oracle expects literal TRUE. A hash-match is then a
+  * cross-engine proof that every estimate satisfied its bound on this
+  * data. The raw estimate projections remain as `*Raw` builders exercised
+  * by `SketchAccuracySpec` / `KllSketchSpec`.
   */
 object SketchQueries {
 
@@ -24,29 +27,49 @@ object SketchQueries {
     * then estimated — the latter demonstrating sketch *reuse*: the same
     * binary sketch column could be stored, unioned across days, and
     * re-estimated without touching raw data.
+    *
+    * Raw-estimate projection — spec surface (`SketchAccuracySpec`), not
+    * oracle-registered: the estimate values are engine-specific.
+    */
+  def sketchDistinctRaw(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    // Deterministic accuracy contract carried in-row: both estimators are
+    // deterministic algorithms over the same input, so the booleans are
+    // stable (HLL++ default rsd = 5%).
+    def within5pct(est: Column): Column =
+      abs(est.cast("double") - col("exact_users").cast("double")) <=
+        col("exact_users").cast("double") * 0.05
+    tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("hllpp_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("datasketches_users"))
+      .withColumn("hllpp_within_5pct", within5pct(col("hllpp_users")))
+      .withColumn("datasketches_within_5pct", within5pct(col("datasketches_users")))
+      .orderBy("event_type")
+  }
+
+  /** Oracle-checked projection of [[sketchDistinctRaw]]: the exact distinct
+    * count (cross-engine verifiable) plus the accuracy-contract booleans.
+    * DuckDB recomputes the exact counts and expects literal TRUE for each
+    * contract column, so a hash-match IS a cross-engine proof that both
+    * estimators landed within their 5% bound — the estimates themselves
+    * stay out of the hash because their exact values are engine-specific.
     */
   val sketchDistinct = Q(
     "q_sketch_distinct",
-    (s, dir) => {
-      // Deterministic accuracy contract carried in-row: both estimators are
-      // deterministic algorithms over the same input, so the booleans are
-      // stable and let the driver's rows-only check still catch an accuracy
-      // regression (HLL++ default rsd = 5%).
-      def within5pct(est: Column): Column =
-        abs(est.cast("double") - col("exact_users").cast("double")) <=
-          col("exact_users").cast("double") * 0.05
-      tbl(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("hllpp_users"),
-          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-            .as("datasketches_users"))
-        .withColumn("hllpp_within_5pct", within5pct(col("hllpp_users")))
-        .withColumn("datasketches_within_5pct", within5pct(col("datasketches_users")))
-        .orderBy("event_type")
-    },
-    None)
+    (s, dir) => sketchDistinctRaw(s, dir)
+      .select(col("event_type"), col("exact_users"),
+        col("hllpp_within_5pct"), col("datasketches_within_5pct"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS hllpp_within_5pct,
+                   TRUE AS datasketches_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Value quantiles per event type: approx_percentile (a mergeable
     * KLL-style summary) next to the exact percentile answers.
@@ -59,33 +82,88 @@ object SketchQueries {
     * closeness to the interpolated exact percentile is NOT asserted —
     * approx_percentile returns actual elements, `percentile` interpolates).
     */
+  def sketchQuantilesRaw(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = tbl(s, dir, "events")
+    .groupBy("event_type")
+    .agg(
+      percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pa"),
+      round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
+        .as("exact_p50"),
+      round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
+        .as("exact_p95"),
+      round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
+        .as("exact_p99"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+    .select(
+      col("event_type"),
+      col("pa")(0).as("approx_p50"),
+      col("pa")(1).as("approx_p95"),
+      col("pa")(2).as("approx_p99"),
+      col("exact_p50"), col("exact_p95"), col("exact_p99"),
+      (col("pa")(0) <= col("pa")(1) && col("pa")(1) <= col("pa")(2))
+        .as("monotone_ok"),
+      (col("pa")(0) >= col("min_value") && col("pa")(2) <= col("max_value"))
+        .as("in_range_ok"))
+    .orderBy("event_type")
+
+  /** Oracle-checked contract projection: exact interpolated percentiles
+    * (cross-engine, 6-decimal round — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition) plus five
+    * contract booleans the oracle expects to be literal TRUE: the approx
+    * triple is monotone, inside the group's value range, and each
+    * estimate's TRUE rank over the raw data sits within ±5pp of its
+    * target (approx_percentile at accuracy 10000 guarantees ~0.01pp; 5pp
+    * is a loose, tie-tolerant bound). Rank is computed by re-joining the
+    * broadcast 5-row estimate frame to the raw values — one extra scan,
+    * no second shuffle of the data.
+    */
   val sketchQuantiles = Q(
     "q_sketch_quantiles",
-    (s, dir) => tbl(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        percentile_approx(col("value"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pa"),
-        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
-          .as("exact_p50"),
-        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
-          .as("exact_p95"),
-        round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
-          .as("exact_p99"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
-      .select(
-        col("event_type"),
-        col("pa")(0).as("approx_p50"),
-        col("pa")(1).as("approx_p95"),
-        col("pa")(2).as("approx_p99"),
-        col("exact_p50"), col("exact_p95"), col("exact_p99"),
-        (col("pa")(0) <= col("pa")(1) && col("pa")(1) <= col("pa")(2))
-          .as("monotone_ok"),
-        (col("pa")(0) >= col("min_value") && col("pa")(2) <= col("max_value"))
-          .as("in_range_ok"))
-      .orderBy("event_type"),
-    None)
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_type"), col("value"))
+      val ap = ev.groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pa"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .select(col("event_type"), col("pa")(0).as("ap50"),
+          col("pa")(1).as("ap95"), col("pa")(2).as("ap99"),
+          col("mn"), col("mx"))
+      def rankOk(est: Column, target: Double): Column =
+        abs(sum(when(col("value") <= est, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)) - target) <= 0.05
+      ev.join(broadcast(ap), "event_type")
+        .groupBy("event_type", "ap50", "ap95", "ap99", "mn", "mx")
+        .agg(
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
+            .as("exact_p50"),
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
+            .as("exact_p95"),
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
+            .as("exact_p99"),
+          rankOk(col("ap50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("ap95"), 0.95).as("p95_rank_ok"),
+          rankOk(col("ap99"), 0.99).as("p99_rank_ok"))
+        .select(col("event_type"),
+          col("exact_p50"), col("exact_p95"), col("exact_p99"),
+          (col("ap50") <= col("ap95") && col("ap95") <= col("ap99"))
+            .as("monotone_ok"),
+          (col("ap50") >= col("mn") && col("ap99") <= col("mx"))
+            .as("in_range_ok"),
+          col("p50_rank_ok"), col("p95_rank_ok"), col("p99_rank_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS exact_p50,
+                   CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE) AS exact_p95,
+                   CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS exact_p99,
+                   TRUE AS monotone_ok, TRUE AS in_range_ok,
+                   TRUE AS p50_rank_ok, TRUE AS p95_rank_ok,
+                   TRUE AS p99_rank_ok
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Value quantiles per event type from the engine's own KLL sketch
     * aggregate ([[graft.functions.KllSketchAgg]] on DataSketches) — the
@@ -94,8 +172,8 @@ object SketchQueries {
     * sketch per group, then re-join the (broadcast, 5-row) estimates to
     * compute each estimate's TRUE rank over the raw data — the in-row
     * `*_rank_ok` booleans carry the rank contract (|true rank − target| ≤
-    * 5pp) deterministically against exact data, the honest check for a
-    * randomized-compaction sketch with no cross-engine oracle.
+    * 5pp) against exact data, which the DuckDB oracle verifies as literal
+    * TRUE next to its own exact percentiles.
     */
   val kllQuantiles = Q(
     "q_kll_quantiles",
@@ -110,18 +188,35 @@ object SketchQueries {
       def rankOk(est: Column, target: Double): Column =
         abs(sum(when(col("value") <= est, 1L).otherwise(0L)).cast("double")
           / count(lit(1)) - target) <= 0.05
+      // Oracle-checked contract projection: the raw KLL estimates stay out
+      // of the hash (randomized compaction — engine-specific values); what
+      // DuckDB verifies is the exact interpolated percentiles plus literal
+      // TRUE for each rank-contract boolean, so a hash-match is a
+      // cross-engine proof the sketch held its rank bound on this data.
       ev.join(broadcast(sk), "event_type")
         .groupBy("event_type", "kll_p50", "kll_p95", "kll_p99")
         .agg(
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
+            .as("exact_p50"),
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(1), 6)
+            .as("exact_p95"),
+          round(expr("percentile(value, array(0.5, 0.95, 0.99))")(2), 6)
+            .as("exact_p99"),
           rankOk(col("kll_p50"), 0.5).as("p50_rank_ok"),
           rankOk(col("kll_p95"), 0.95).as("p95_rank_ok"),
           rankOk(col("kll_p99"), 0.99).as("p99_rank_ok"))
-        .select(col("event_type"), col("kll_p50"), col("kll_p95"),
-          col("kll_p99"), col("p50_rank_ok"), col("p95_rank_ok"),
-          col("p99_rank_ok"))
+        .select(col("event_type"),
+          col("exact_p50"), col("exact_p95"), col("exact_p99"),
+          col("p50_rank_ok"), col("p95_rank_ok"), col("p99_rank_ok"))
         .orderBy("event_type")
     },
-    None)
+    Some("""SELECT event_type,
+                   CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS exact_p50,
+                   CAST(ROUND(quantile_cont(value, 0.95), 6) AS DOUBLE) AS exact_p95,
+                   CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS exact_p99,
+                   TRUE AS p50_rank_ok, TRUE AS p95_rank_ok,
+                   TRUE AS p99_rank_ok
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** The deterministic scaffolding of the sketch family, split out into a
     * hash-matched oracle query: every EXACT column the sketch queries

@@ -2,14 +2,15 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** The sketch queries have no cross-engine oracle (estimates are
-  * implementation-specific); their contract is bounded error against the
-  * exact answers they emit alongside.
+/** Raw sketch-estimate projections (the registered queries hash-check only
+  * exact values + contract booleans against DuckDB; the estimate VALUES are
+  * engine-specific and live here): bounded error against the exact answers
+  * emitted alongside.
   */
 class SketchAccuracySpec extends SparkSpec {
 
   test("HLL distinct estimates within 5% of exact (both HLL++ and DataSketches)") {
-    val rows = SketchQueries.sketchDistinct.spark(spark, sf()).collect()
+    val rows = SketchQueries.sketchDistinctRaw(spark, sf()).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
@@ -29,7 +30,7 @@ class SketchAccuracySpec extends SparkSpec {
     // approx_percentile returns an actual element while the exact
     // percentile interpolates, so compare by RANK, not by value: the
     // fraction of values ≤ the estimate must sit near the target quantile
-    val rows = SketchQueries.sketchQuantiles.spark(spark, sf()).collect()
+    val rows = SketchQueries.sketchQuantilesRaw(spark, sf()).collect()
     assert(rows.nonEmpty)
     val events = tbl(spark, sf(), "events")
       .select("event_type", "value").collect()
@@ -44,6 +45,22 @@ class SketchAccuracySpec extends SparkSpec {
       assert(math.abs(rankOf(p95) - 0.95) <= 0.05, s"p95 rank: $r")
       assert(r.getBoolean(r.fieldIndex("monotone_ok")), s"monotone: $r")
       assert(r.getBoolean(r.fieldIndex("in_range_ok")), s"in range: $r")
+    }
+  }
+
+  test("registered contract projections report all-TRUE booleans " +
+    "(what the DuckDB oracle hash-checks)") {
+    for (q <- Seq(SketchQueries.sketchDistinct, SketchQueries.sketchQuantiles,
+                  SketchQueries.kllQuantiles)) {
+      val rows = q.spark(spark, sf()).collect()
+      assert(rows.nonEmpty, q.name)
+      rows.foreach { r =>
+        r.schema.fields.filter(_.dataType ==
+          org.apache.spark.sql.types.BooleanType).foreach { f =>
+          assert(r.getBoolean(r.fieldIndex(f.name)),
+            s"${q.name}.${f.name} false in $r")
+        }
+      }
     }
   }
 }
