@@ -37,21 +37,31 @@ object Bench {
     // ever ADDS time, so min converges on the machine-limited cost.
     // Per-query spread (max/min of the reps) is emitted alongside so a
     // poisoned window is self-evident in the artifact itself.
+    //
+    // Reps are INTERLEAVED rep-major (rep 1 of every query, then rep 2 of
+    // every query, ...): with consecutive per-query reps, a sustained
+    // contention burst poisoned every rep of whichever query it landed on
+    // (r4: q_bloom_prejoin all-5-reps 1.79s vs 0.72s idle). Rep-major, the
+    // same burst costs one rep of many queries and each query's min comes
+    // from a burst-free rep minutes apart.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val results = headline.map { q =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // frames persisted inside a query (minhash signatures, tf) are
-        // dead after its run — drop them so later queries get full memory
-        spark.catalog.clearCache()
-        dt
+    def runOnce(q: graft.queries.Q): Double = {
+      val t0 = System.nanoTime()
+      try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      (q.name, times.min, times.max / times.min)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // frames persisted inside a query (minhash signatures, tf) are
+      // dead after its run — drop them so later queries get full memory
+      spark.catalog.clearCache()
+      dt
+    }
+    val times = Array.fill(headline.length)(List.empty[Double])
+    for (_ <- 1 to reps; (q, i) <- headline.zipWithIndex)
+      times(i) ::= runOnce(q)
+    val results = headline.zipWithIndex.map { case (q, i) =>
+      (q.name, times(i).min, times(i).max / times(i).min)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -41,8 +41,19 @@ object Verify {
     todo.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // Frames persisted inside a query (minhash signatures, tf, LSH
+            // projections) are dead once its write completes; without this
+            // the executor store accumulates every dedup query's cache for
+            // the whole sweep (Bench clears too, Verify previously never
+            // did). Clearing may force a CONCURRENT pooled query to
+            // recompute a frame it had persisted — safe, all persisted
+            // frames here are deterministic — at a small, bounded cost.
+            if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+              spark.catalog.clearCache()
+          }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }

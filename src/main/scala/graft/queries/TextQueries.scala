@@ -250,14 +250,20 @@ object TextQueries {
     Some("""WITH w AS (
               SELECT doc_id, lang, string_split(text, ' ') AS w
               FROM documents
-              WHERE len(string_split(text, ' ')) > 0)
-            SELECT doc_id, lang, CAST(g.i AS BIGINT) AS chunk_idx,
-                   list_aggr(list_slice(w, g.i * 15 + 1, g.i * 15 + 20),
+              WHERE len(string_split(text, ' ')) > 0),
+            wi AS (
+              -- chunk indices driven by EACH document's own length
+              -- (ceil(n/stride) = exact chunk count), so no fixed cap can
+              -- silently truncate a long document's tail chunks
+              SELECT doc_id, lang, w,
+                     unnest(range(0, CAST(ceil(len(w) / 15.0) AS BIGINT))) AS i
+              FROM w)
+            SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_idx,
+                   list_aggr(list_slice(w, i * 15 + 1, i * 15 + 20),
                              'string_agg', ' ') AS chunk,
-                   CAST(len(list_slice(w, g.i * 15 + 1, g.i * 15 + 20)) AS BIGINT)
+                   CAST(len(list_slice(w, i * 15 + 1, i * 15 + 20)) AS BIGINT)
                      AS n_words
-            FROM w CROSS JOIN generate_series(0, 999) AS g(i)
-            WHERE g.i * 15 < len(w)
+            FROM wi
             ORDER BY doc_id, chunk_idx"""))
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,

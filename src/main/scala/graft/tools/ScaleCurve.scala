@@ -27,6 +27,8 @@ object ScaleCurve {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
+    require(sfDirs.length >= 2,
+      s"ScaleCurve needs at least two sfDirs to fit an exponent; got $sfDirs")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val floorSec = 0.35
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,21 +49,30 @@ object ScaleCurve {
       catch { case _: Throwable => () }
     }
 
+    // A rep that throws must NOT contribute its (near-zero) wall time: a
+    // query broken at the large SF would otherwise record a tiny time,
+    // deflate the exponent, and read as "scales great". Failed reps are
+    // excluded; a query with zero successful reps at any SF fails the run.
+    val failed = scala.collection.mutable.Set.empty[(String, String)]
     val times: Map[(String, String), Double] = (for {
       dir <- sfDirs
       q <- headline
     } yield {
-      val ts = (1 to reps).map { _ =>
+      val ts = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.spark(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[scale] ${q.name}@$dir failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            q.spark(spark, dir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] ${q.name}@$dir failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else { failed += ((q.name, dir)); None }
       }
-      (q.name, dir) -> ts.min
+      (q.name, dir) -> (if (ts.nonEmpty) ts.min else Double.NaN)
     }).toMap
 
     def sfOf(dir: String): Double =
@@ -91,11 +102,14 @@ object ScaleCurve {
     println(f"""{"metric":"scale_exponent_worst","value":$worst%.2f,"unit":"exponent","queries":$qjson}""")
 
     val superlinear = rows.filter(_._4 == "SUPERLINEAR")
-    if (superlinear.nonEmpty) {
+    if (superlinear.nonEmpty)
       System.err.println("SUPERLINEAR queries: " +
         superlinear.map(_._1).mkString(", "))
-      sys.exit(1)
-    }
+    if (failed.nonEmpty)
+      System.err.println("queries with failed reps (times excluded): " +
+        failed.toSeq.sorted.map { case (n, d) => s"$n@${d.split('/').last}" }
+          .mkString(", "))
+    if (superlinear.nonEmpty || failed.nonEmpty) sys.exit(1)
     spark.stop()
   }
 }
