@@ -57,9 +57,17 @@ object TrainingDataPipeline {
     val deduped = exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
     println(s"after near-dup dedup: ${deduped.count()}")
 
+    // 3b. eval decontamination: scrub near-matches to the held-out eval
+    //     slice (stand-in: every 7th doc) — eval side broadcast, corpus
+    //     never shuffles
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val decontaminated = graft.ops.Decontaminate.clean(
+      deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text")
+    println(s"after decontamination: ${decontaminated.count()}")
+
     // 4. stratified downsample: keep 20% of dominant 'en', 60% of tail —
     //    hash-gated, reproducible on any cluster
-    val sampled = deduped.filter(expr(
+    val sampled = decontaminated.filter(expr(
       """md5num(cast(doc_id as string)) % 10 <
          case when lang = 'en' then 2 else 6 end"""))
     println("sampled per lang:")

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: suppress corpus documents that near-match
+  * any document in an evaluation set, so benchmark answers cannot leak
+  * into training data.
+  *
+  * Scale shape (100 TB corpus, small eval set): the EVAL side is the one
+  * that gets shingled, minhash-signed, banded, and BROADCAST — the corpus
+  * is only ever scanned map-side. Each corpus partition computes its own
+  * shingles/signature/bands with the native codegen'd `minhash_sig`
+  * expression, probes the broadcast eval bands, and verifies exact
+  * n-gram Jaccard against the broadcast eval shingle sets immediately,
+  * inside the same map stage (a pair sharing k≤4 bands is verified k
+  * times and deduplicated afterwards — bounded extra map work instead of
+  * a candidate shuffle). The ONLY shuffle in the whole operator is the
+  * final `distinct` over pairs that PASSED the threshold — the
+  * contaminated set, vanishingly small next to the corpus.
+  *
+  * Banding follows the dedup family (16 minhashes, 4 bands × 4 rows —
+  * see [[graft.functions.MinHashSig]]); candidates are band collisions,
+  * verification is exact Jaccard over distinct 3-gram word shingles, so
+  * the result is deterministic and oracle-checkable (`q_decontaminate`
+  * mirrors the banding in DuckDB SQL).
+  */
+object Decontaminate {
+
+  /** (id, shingle-set, minhash band) rows for one side. */
+  private def banded(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), split(col(textCol), " ").as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(col("_id"),
+        expr("""array_distinct(transform(
+                  sequence(1, size(w) - 2),
+                  i -> concat_ws(' ', slice(w, i, 3))))""").as("s"))
+      .select(col("_id"), col("s"), expr("minhash_sig(s)").as("sig"))
+      .select(col("_id"), col("s"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> slice(sig, b * 4 + 1, 4))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bvals")
+
+  /** Contaminated (corpus id, eval id, jaccard) pairs: band collision
+    * against the broadcast eval side, then exact Jaccard ≥ `threshold`.
+    * Column names in the result: `idCol`, `eval_id`, `jaccard`.
+    */
+  def pairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val ev = banded(evalSet, idCol, textCol)
+      .select(col("_id").as("_eid"), col("s").as("_es"),
+        col("band"), col("bvals"))
+    banded(corpus, idCol, textCol)
+      .join(broadcast(ev), Seq("band", "bvals"))
+      .withColumn("jac",
+        size(array_intersect(col("s"), col("_es"))).cast("double")
+          / size(array_union(col("s"), col("_es"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("_id").as(idCol), col("_eid").as("eval_id"),
+        round(col("jac"), 6).as("jaccard"))
+      .distinct()
+  }
+
+  /** The corpus minus every document contaminated by the eval set. The
+    * suppression list is a broadcast anti-join key set — the corpus again
+    * stays un-shuffled.
+    */
+  def clean(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val dirty = pairs(corpus, evalSet, idCol, textCol, threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

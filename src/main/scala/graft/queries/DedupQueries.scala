@@ -191,6 +191,51 @@ object DedupQueries {
             ORDER BY ai, bi"""),
     bench = true)
 
+  /** Train/eval decontamination ([[graft.ops.Decontaminate]]): the corpus
+    * (doc_id % 7 != 0) is scrubbed of near-matches to the eval slice
+    * (doc_id % 7 == 0). Same minhash banding as q_dedup_minhash, but the
+    * eval side is broadcast and verification runs inside the map-side
+    * band probe — the corpus never shuffles; only the contaminated pairs
+    * do (for the final distinct). The oracle mirrors the banding in SQL
+    * and recomputes exact Jaccard over the candidate pairs.
+    */
+  val decontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Decontaminate.pairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id", "eval_id")
+    },
+    Some(s"""WITH sh AS ($duckShingled),
+            based AS (
+              SELECT doc_id, [${duckMd5num("x")} % $P for x in s] AS bases
+              FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     [list_min([(([${A.mkString(", ")}])[j + 1] * h
+                                 + ([${B.mkString(", ")}])[j + 1]) % $P
+                                for h in bases])
+                      for j in generate_series(0, 15)] AS sig
+              FROM based),
+            bands AS (
+              SELECT doc_id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bvals
+              FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+            cands AS (
+              SELECT DISTINCT x.doc_id AS di, y.doc_id AS ei
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bvals = y.bvals
+              WHERE x.doc_id % 7 <> 0 AND y.doc_id % 7 = 0)
+            SELECT di AS doc_id, ei AS eval_id,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+            FROM cands JOIN sh a ON a.doc_id = di JOIN sh b ON b.doc_id = ei
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+            ORDER BY doc_id, eval_id"""))
+
   /** SimHash near-dup: 16-bit majority-vote signature from per-token
     * 60-bit hashes via the native [[graft.functions.SimHash16]] kernel
     * (one pass, 16 bit counters — replaces 16 interpreted filter sweeps);
@@ -485,5 +530,5 @@ object DedupQueries {
     minhashLsh.oracle)
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    simhash60, embeddingCosine, embeddingLsh, storeBucketed)
+    simhash60, embeddingCosine, embeddingLsh, storeBucketed, decontaminate)
 }
