@@ -17,7 +17,7 @@ object LogCompactor {
   final case class CompactionReport(
       partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  /** Compact the given `date=` partitions (default: all).
+  /** Compact the given partitions (default: all with `partitionPrefix`).
     *
     * `clusterBy`: optionally sort each partition's rows by these columns
     * while rewriting — compaction is the one moment the data is being
@@ -25,16 +25,21 @@ object LogCompactor {
     * its hot filter key lets parquet row-group stats skip whole groups
     * on read (measured in LayoutSkippingSpec). The canonical choice for
     * the log table is `run_id` or `event_type`.
+    *
+    * `partitionPrefix`: the hive key the layout partitions by — `date=`
+    * for log dirs, `bucket=` for the IVF index (see
+    * [[VectorIndex.compactIvf]]).
     */
   def compact(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitions: Option[Seq[String]] = None,
-      clusterBy: Seq[String] = Nil): Seq[CompactionReport] = {
+      clusterBy: Seq[String] = Nil,
+      partitionPrefix: String = "date="): Seq[CompactionReport] = {
     val root = new java.io.File(dir)
     val parts = root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .filter(f => f.isDirectory && f.getName.startsWith(partitionPrefix))
       .filter(f => partitions.forall(_.contains(f.getName)))
 
     parts.map { p =>

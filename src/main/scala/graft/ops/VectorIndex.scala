@@ -65,6 +65,39 @@ object VectorIndex {
       .withColumn("bucket", assignBucket(cents))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Incremental maintenance: a 100 TB corpus APPENDS — rebuilding the
+    * index per arriving batch would rewrite everything. New vectors are
+    * assigned to the EXISTING (frozen) centroid set map-side and appended
+    * into the bucket partition directories, mirroring
+    * [[SignatureStore]]'s incremental band-store pattern. Append ≡
+    * rebuild exactly: bucket assignment depends only on the centroids and
+    * the row itself, so the per-bucket row set is identical either way
+    * (VectorIndexSpec proves equal probe answers), and dynamic partition
+    * pruning keeps working — partition discovery sees the union layout.
+    *
+    * Each append lands one small file set per touched bucket; fold them
+    * periodically with [[compactIvf]]. Re-clustering (new centroids) is a
+    * [[buildIvf]] rebuild by design — that is the operation that moves
+    * rows between buckets.
+    */
+  def appendToIvf(
+      batch: DataFrame, cents: Seq[Centroid], path: String): Unit =
+    batch
+      .withColumn("bucket", assignBucket(cents))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
+  /** Per-bucket small-file compaction of an appended index — delegates to
+    * [[LogCompactor]] over the `bucket=` partition layout. Answers are
+    * unchanged; file counts drop to ⌈bytes/target⌉ per bucket.
+    */
+  def compactIvf(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[LogCompactor.CompactionReport] =
+    LogCompactor.compact(spark, path, targetFileBytes,
+      partitionPrefix = "bucket=")
+
   /** Exact top-k per query inside the probed buckets. `queries` must
     * carry (query_id, qv, qn). The probe frame (queries × nprobe rows) is
     * broadcast; dynamic partition pruning turns its bucket values into
