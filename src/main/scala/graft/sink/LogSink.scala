@@ -69,12 +69,21 @@ final class BufferedSink(downstream: Seq[LogEntry] => Unit, bufferSize: Int = 10
   * clock at flush time (logger.py:465-470) — the partition value is a real
   * `to_date(timestamp)` column, so partition pruning works on the read
   * side (`PruneFileSourcePartitions` fires on `WHERE date = ...`).
+  *
+  * `hourGrain` adds a second partition key (`date=.../hour=N/`) for
+  * high-volume deployments: at 100 TB/day a single date partition is
+  * terabytes, so intraday dashboards ("last 2 hours") would scan a full
+  * day; with the hour key both predicates land in the scan's
+  * PartitionFilters and the read is 1/24th the I/O. Readers that filter
+  * on `date` alone still prune — hive layouts prune on any prefix of the
+  * key list.
   */
 final class ParquetDirSink(
     spark: SparkSession,
     dir: String,
     partitionOnDate: Boolean = true,
-    compression: String = "snappy")
+    compression: String = "snappy",
+    hourGrain: Boolean = false)
     extends Serializable {
 
   def write(entries: Seq[LogEntry]): Unit = {
@@ -87,7 +96,11 @@ final class ParquetDirSink(
     * without routing rows through the driver.
     */
   def writeDataset(df: org.apache.spark.sql.DataFrame): Unit = {
-    val writer = (if (partitionOnDate) {
+    val writer = (if (partitionOnDate && hourGrain) {
+      df.withColumn("date", to_date(col("timestamp")))
+        .withColumn("hour", hour(col("timestamp")))
+        .write.partitionBy("date", "hour")
+    } else if (partitionOnDate) {
       df.withColumn("date", to_date(col("timestamp")))
         .write.partitionBy("date")
     } else df.write)

@@ -86,4 +86,37 @@ class LogTableSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
   }
+
+  test("hour-grain sink: date=/hour= layout, BOTH keys in the scan's " +
+    "partition filters, date-only filters still prune") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("log_hourly").toString
+    val sink = new graft.sink.ParquetDirSink(spark, dir, hourGrain = true)
+    def entry(minute: Int) = graft.core.LogEntry(
+      new java.sql.Timestamp(1700000000000L + minute * 60000L),
+      s"run-$minute", "", "", "chain_start", "{}",
+      """{"event_type":"chain_start"}""")
+    // 22:13 and 23:23 UTC on 2023-11-14, plus one row two days later
+    sink.write(Seq(entry(0), entry(70), entry(60 * 48)))
+
+    val dates = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dates === Array("date=2023-11-14", "date=2023-11-16"))
+    val hours = new java.io.File(s"$dir/date=2023-11-14").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(hours === Array("hour=22", "hour=23"))
+
+    val df = spark.read.parquet(dir)
+    val both = df.filter(col("date") === "2023-11-14" && col("hour") === 23)
+    assert(both.count() === 1L)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+    assert(plan.contains("(hour"), "hour key missing from partition filters:\n" + plan)
+
+    // prefix pruning: a date-only predicate still reaches PartitionFilters
+    val dOnly = df.filter(col("date") === "2023-11-16")
+    assert(dOnly.count() === 1L)
+    assert(dOnly.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(date"))
+  }
 }
