@@ -19,6 +19,11 @@ object Verify {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
     val sfDir = args(0)
     val outDir = args(1)
+    // Must precede any SparkEntry/Registry access: LogInteropQuery captures
+    // this at object init, giving each scale factor its own interop log dir
+    // (concurrent or interleaved sweeps at different SFs stay independent).
+    sys.props("graft.interop.dir") =
+      "/tmp/graft_interop_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
 object LogInteropQuery {
 
   /** The oracle SQL is static text, so the written dir must be a fixed
-    * absolute path. The query rebuilds it from scratch on every run
-    * (delete + write), so its content always reflects the current sfDir —
-    * the one constraint is not running two Verify sweeps against DIFFERENT
-    * scale factors concurrently (sweep-internal query parallelism is fine:
-    * this query owns the path).
+    * path AT ORACLE-DUMP TIME. The query rebuilds it from scratch on every
+    * run (delete + write), so its content always reflects the current
+    * sfDir. `graft.Verify` sets the `graft.interop.dir` system property to
+    * an sfDir-tagged path BEFORE this object initializes, so sweeps at
+    * different scale factors own different directories and a later sweep
+    * can no longer invalidate an earlier sweep's oracle compare (the
+    * failure a fixed shared path produced when sweeping sf0.001/0.01/0.1
+    * back-to-back). Within one JVM the path is stable — the oracle string
+    * and the writer always agree.
     */
-  val logDir = "/tmp/graft_interop_log"
+  val logDir: String =
+    sys.props.getOrElse("graft.interop.dir", "/tmp/graft_interop_log")
 
   val interop = Q(
     "q_log_interop",

@@ -36,7 +36,11 @@ object SketchQueries {
       : org.apache.spark.sql.DataFrame = {
     // Deterministic accuracy contract carried in-row: both estimators are
     // deterministic algorithms over the same input, so the booleans are
-    // stable (HLL++ default rsd = 5%).
+    // stable. HLL++ rsd is pinned at 0.02 (not the 0.05 default): rsd is
+    // a STANDARD deviation, not a bound — at the sf0.1 cardinality regime
+    // (~1500 distinct) the default sketch deterministically undercounts
+    // by 6.7%, while rsd=0.02 measures ≤0.7% at every SF, giving the 5%
+    // contract real margin.
     def within5pct(est: Column): Column =
       abs(est.cast("double") - col("exact_users").cast("double")) <=
         col("exact_users").cast("double") * 0.05
@@ -44,7 +48,7 @@ object SketchQueries {
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("hllpp_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("hllpp_users"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id")))
           .as("datasketches_users"))
       .withColumn("hllpp_within_5pct", within5pct(col("hllpp_users")))
