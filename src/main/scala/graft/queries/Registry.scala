@@ -6,7 +6,7 @@ object Registry {
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
       RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
-      SubqueryQueries.all ++ SketchQueries.all ++
+      SubqueryQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
