@@ -234,7 +234,8 @@ object DedupQueries {
             FROM cands JOIN sh a ON a.doc_id = di JOIN sh b ON b.doc_id = ei
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
-            ORDER BY doc_id, eval_id"""))
+            ORDER BY doc_id, eval_id"""),
+    bench = true)
 
   /** SimHash near-dup: 16-bit majority-vote signature from per-token
     * 60-bit hashes via the native [[graft.functions.SimHash16]] kernel
