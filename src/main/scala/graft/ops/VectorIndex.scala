@@ -49,11 +49,16 @@ object VectorIndex {
         / sqrt(lit(c.nrm) * col(ncol))).as("c"),
       lit(-c.id).as("nc"))): _*)
 
-  /** Map-only bucket assignment (int, the partition column). */
+  /** Map-only bucket assignment (int, the partition column). An empty
+    * centroid set (bootstrap / empty model partition) assigns null — the
+    * zero-row frames it occurs with stay analyzable instead of failing on
+    * `array()` of no struct terms.
+    */
   def assignBucket(
       cents: Seq[Centroid], vcol: String = "v",
       ncol: String = "nrm"): Column =
-    (-array_max(centroidTerms(cents, vcol, ncol)).getField("nc"))
+    if (cents.isEmpty) lit(null).cast("int")
+    else (-array_max(centroidTerms(cents, vcol, ncol)).getField("nc"))
       .cast("int")
 
   /** Build the index: corpus (vec_id, v, nrm) → parquet partitioned by
@@ -111,6 +116,15 @@ object VectorIndex {
       nProbe: Int,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("rnk", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("cosine", DoubleType))))
+    }
     val idx = spark.read.parquet(path)
     val probes = queries.select(col("query_id"), col("qv"), col("qn"),
       explode(slice(

@@ -442,6 +442,14 @@ object DedupQueries {
       val raw = e.filter(col("vec_id") < 64)
         .select(col("vec_id"), col("v")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+      if (raw.length < 64) {
+        // plane-construction rows absent (empty partition / bootstrap):
+        // degrade to the empty pair set instead of indexing thin air
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("ai", LongType),
+            StructField("bi", LongType), StructField("cosine", DoubleType))))
+      } else {
       def planes(t: Int) = (0 until 4).map(i =>
         raw(8 * t + i).zip(raw(8 * t + 4 + i)).map { case (x, y) => x - y })
       def sigCol(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
@@ -472,6 +480,7 @@ object DedupQueries {
         .distinct()
         .select(col("ai"), col("bi"), round(col("cos"), 6).as("cosine"))
         .orderBy("ai", "bi")
+      }
     },
     Some("""WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -38,6 +38,15 @@ object LogRoundtripQuery {
             col("user_id").cast("string").as("custom_id")).as("execution"),
           struct(get_json_object(col("props"), "$.k").cast("long").as("k"),
             col("value").as("value")).as("data"))).as("payload"))
+      if (entries.limit(1).count() == 0L) {
+        // nothing to write: a zero-file dir has no inferable schema, so
+        // answer the degenerate aggregate directly (EmptyInputGate)
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("custom_id", StringType),
+            StructField("total_k", LongType),
+            StructField("n_events", LongType))))
+      } else {
       entries
         .withColumn("date", to_date(col("timestamp")))
         .write.mode("overwrite").partitionBy("date")
@@ -51,6 +60,7 @@ object LogRoundtripQuery {
         .groupBy("custom_id")
         .agg(sum("k").cast("long").as("total_k"), cnt("n_events"))
         .orderBy("custom_id")
+      }
     },
     Some("""SELECT CAST(user_id AS VARCHAR) AS custom_id,
                    CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS total_k,

@@ -37,6 +37,21 @@ object SimilarityQueries {
 
   private val dotExpr = "dot_product(qv, v)"
 
+  /** Degenerate answer when the corpus lacks the model-state rows
+    * (empty partition, bootstrap day): the ANN queries return an empty
+    * (query_id, rnk, neighbor_id, cosine) frame instead of throwing from
+    * an `array()` over zero centroids or an index into zero planes —
+    * pinned by `tools/EmptyInputGate`.
+    */
+  private def emptyKnn(s: org.apache.spark.sql.SparkSession) = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType), StructField("rnk", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("cosine", DoubleType))))
+  }
+
   private val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
@@ -106,6 +121,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("v"), col("nrm")).collect()
         .sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      if (cents.isEmpty) emptyKnn(s) else {
       def cosTo(cid: Long, cv: Seq[Double], cn: Double) =
         call_function("dot_product", col("v"), typedLit(cv)) /
           sqrt(lit(cn) * col("nrm"))
@@ -136,6 +152,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cosine"))
         .orderBy("query_id", "rnk")
+      }
     },
     Some(s"""WITH e AS ($duckCorpus),
             cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
@@ -201,6 +218,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("v")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1))
+      if (raw.length < 2 * nBits) emptyKnn(s) else {
       val planes = (0 until nBits).map(i =>
         raw(i).zip(raw(nBits + i)).map { case (x, y) => x - y })
       val sigCol = planes.zipWithIndex.map { case (p, i) =>
@@ -224,6 +242,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cosine"))
         .orderBy("query_id", "rnk")
+      }
     },
     Some(s"""WITH e AS ($duckCorpus),
             planes AS (
@@ -275,6 +294,12 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1))
+    if (raw.length < 2 * nBits * nTables) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("vec_id", LongType))))
+    } else {
     def planes(t: Int) = (0 until nBits).map(i =>
       raw(2 * nBits * t + i).zip(raw(2 * nBits * t + nBits + i))
         .map { case (x, y) => x - y })
@@ -296,6 +321,7 @@ object SimilarityQueries {
         col("t") === col("pt") && col("sig") === col("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
+    }
   }
 
   /** Multi-table LSH ANN — recall AMPLIFICATION, the standard fix for a
@@ -386,6 +412,7 @@ object SimilarityQueries {
     (s, dir) => {
       val e = corpus(s, dir)
       val cents = graft.ops.VectorIndex.centroidsFrom(e, nCentroids)
+      if (cents.isEmpty) emptyKnn(s) else {
       // path is unique per scale dir: concurrent Verify sweeps at
       // different SFs must not clobber each other's index builds
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -397,6 +424,7 @@ object SimilarityQueries {
           col("nrm").as("qn"))
       graft.ops.VectorIndex.probe(s, path, q, cents, nProbe, topK)
         .orderBy("query_id", "rnk")
+      }
     },
     knnIvf.oracle)
 
