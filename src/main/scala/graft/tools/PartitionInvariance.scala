@@ -58,6 +58,11 @@ object PartitionInvariance {
 
     val perCount: Seq[(Int, Map[String, String])] = counts.map { n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      // vary the INPUT partitioning with the shuffle count: tiny file
+      // splits at the low count force many map partitions, catching
+      // order-dependence fed by scan partitioning (not just exchanges)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        if (n == counts.min) (512 * 1024).toString else (128 * 1024 * 1024).toString)
       n -> Registry.all.map(q => q.name -> digest(q)).toMap
     }
     val base = perCount.head
