@@ -66,6 +66,50 @@ object Decontaminate {
       .distinct()
   }
 
+  /** Exact n-gram contamination (the GPT-3/PaLM-style decontamination
+    * rule): a corpus document is contaminated iff it shares at least one
+    * exact word n-gram with any eval document. Complements [[pairs]]:
+    * minhash banding catches near-duplicate PASSAGES, the exact-gram rule
+    * catches verbatim eval SNIPPETS quoted inside otherwise-unrelated
+    * documents (a 0.5-Jaccard threshold never fires on those).
+    *
+    * Scale shape: the eval side collapses to its distinct gram set —
+    * small, broadcast once. The corpus explodes to (doc_id, gram)
+    * map-side and probes the broadcast hash table; only MATCHING pairs
+    * reach the per-doc count shuffle, so corpus bytes shuffled is
+    * proportional to contamination found, not corpus size.
+    *
+    * Returns (idCol, n_grams, n_hit_grams, hit_ratio) for contaminated
+    * documents only. Grams are distinct-per-document, so `n_hit_grams`
+    * counts distinct shared grams and `hit_ratio` is a containment-style
+    * score in (0, 1].
+    */
+  def exactGramHits(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("_id"), split(col(textCol), " ").as("w"))
+        .filter(expr(s"size(w) >= $n"))
+        .select(col("_id"),
+          expr(s"""array_distinct(transform(
+                     sequence(1, size(w) - ${n - 1}),
+                     i -> concat_ws(' ', slice(w, i, $n))))""").as("g"))
+    val evalGrams = grams(evalSet)
+      .select(explode(col("g")).as("gram")).distinct()
+    grams(corpus)
+      .select(col("_id"), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("_id").as(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .select(col(idCol), col("n_grams"), col("n_hit_grams"),
+        round(col("n_hit_grams").cast("double")
+          / col("n_grams").cast("double"), 6).as("hit_ratio"))
+  }
+
   /** The corpus minus every document contaminated by the eval set. The
     * suppression list is a broadcast anti-join key set — the corpus again
     * stays un-shuffled.

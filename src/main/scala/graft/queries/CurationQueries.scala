@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextQueries.duckMd5num
+
+/** Corpus-curation operators — the second wave of training-data-pipeline
+  * surface: exact-snippet decontamination, semantic (embedding-space)
+  * deduplication, chunk-level cross-document dedup, balanced shard
+  * export, and mergeable-sketch reuse. All deterministic, all
+  * oracle-checked.
+  */
+object CurationQueries {
+
+  private val nGram = 5
+  private val nClusters = 16
+  private val cosThreshold = 0.4
+  private val nShards = 8
+
+  private val duckCorpus =
+    """SELECT vec_id, embedding::DOUBLE[] AS v,
+              list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
+       FROM embeddings"""
+
+  private def duckDot(a: String, b: String) =
+    s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
+
+  /** Exact n-gram decontamination ([[graft.ops.Decontaminate.exactGramHits]]):
+    * corpus docs (doc_id % 7 != 0) sharing at least one exact 5-gram with
+    * any eval doc (doc_id % 7 == 0). The eval gram set is broadcast; the
+    * corpus probes it map-side, and only matching (doc, gram) pairs reach
+    * the per-doc count shuffle — shuffle bytes scale with contamination
+    * found, not corpus size. Complements `q_decontaminate` (minhash
+    * near-dup): this rule catches verbatim eval snippets quoted inside
+    * otherwise-unrelated documents, which a document-level Jaccard
+    * threshold never fires on.
+    */
+  val decontaminateExact = Q(
+    "q_decontaminate_exact",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ops.Decontaminate.exactGramHits(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = nGram)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (
+              SELECT doc_id,
+                     list_distinct([list_aggr(list_slice(w, i, i + ${nGram - 1}),
+                                              'string_agg', ' ')
+                       for i in generate_series(1, len(w) - ${nGram - 1})]) AS gs
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+              WHERE len(w) >= $nGram),
+            ex AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g),
+            ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 7 = 0)
+            SELECT ex.doc_id, CAST(ex.n_grams AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit_grams,
+                   ROUND(COUNT(*)::DOUBLE / ex.n_grams, 6) AS hit_ratio
+            FROM ex JOIN ev USING (gram)
+            WHERE ex.doc_id % 7 <> 0
+            GROUP BY ex.doc_id, ex.n_grams
+            ORDER BY doc_id"""),
+    bench = true)
+
+  /** SemDeDup-style semantic dedup ([[graft.ops.SemanticDedup]]): coarse
+    * k-means-style clustering (the IVF centroid rule — lowest-16 vec_ids,
+    * model state folded into a map-only projection), then within each
+    * cluster drop every vector with an earlier near-identical neighbor
+    * (cosine ≥ 0.4). The per-cluster quadratic is the SemDeDup design
+    * point — cluster count is the knob that bounds it, and
+    * `SkewGuard.requirePairBound` enforces the budget. The oracle replays
+    * assignment and the keep rule exactly (argmax tie-break on lowest
+    * centroid id, double-precision left-to-right dot products).
+    */
+  val semanticDedup = Q(
+    "q_semantic_dedup",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("dot_product(v, v)"))
+      val cents = graft.ops.VectorIndex.centroidsFrom(e, nClusters)
+      val assigned = e.withColumn(
+        "bucket", graft.ops.VectorIndex.assignBucket(cents))
+      graft.ops.SemanticDedup.mark(assigned, "vec_id", cosThreshold)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+          col("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                     WHERE vec_id < $nClusters),
+            assigned AS (
+              SELECT vec_id, v, nrm, cid AS bucket FROM (
+                SELECT e.vec_id, e.v, e.nrm, cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${duckDot("e.v", "cent.cv")}
+                                    / sqrt(e.nrm * cent.cn) DESC,
+                                  cent.cid) AS arn
+                FROM e CROSS JOIN cent)
+              WHERE arn = 1),
+            dropped AS (
+              SELECT DISTINCT a.vec_id
+              FROM assigned a JOIN assigned b
+                ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+              WHERE ${duckDot("a.v", "b.v")} / sqrt(a.nrm * b.nrm)
+                      >= $cosThreshold)
+            SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+                   d.vec_id IS NULL AS kept
+            FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+            ORDER BY a.vec_id"""),
+    bench = true)
+
+  /** Chunk-level cross-document dedup: chunk every document
+    * ([[graft.ops.Chunker]] 20-word windows, stride 15), dedup chunks
+    * globally by content hash with deterministic keep-first
+    * ((doc_id, chunk_idx) order), and report per-document survival. The
+    * dedup shuffle carries (64-bit hash, doc_id, chunk_idx) — chunk TEXT
+    * is projected away before the exchange, so shuffle bytes are ~24/row
+    * regardless of chunk size. This is the passage-level dedup pass a
+    * pipeline runs between document-level dedup and packing.
+    */
+  val chunkDedup = Q(
+    "q_chunk_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+      graft.ops.Chunker.chunk(
+          tbl(s, dir, "documents").select("doc_id", "lang", "text"), "text")
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("md5num(chunk)").as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(cnt("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          (col("n_chunks") - col("n_dup_chunks")).as("n_kept_chunks"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) > 0),
+            wi AS (
+              SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(len(w) / 15.0) AS BIGINT))) AS i
+              FROM w),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                     ${duckMd5num(
+      "list_aggr(list_slice(w, i * 15 + 1, i * 15 + 20), 'string_agg', ' ')")}
+                       AS h
+              FROM wi),
+            r AS (
+              SELECT doc_id, h,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                       ORDER BY doc_id, chunk_idx) AS rn
+              FROM c)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   CAST(COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept_chunks
+            FROM r GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** Token-balanced shard export: rank documents globally by token count
+    * (descending) with [[graft.ops.GlobalRank]] — the distributed
+    * replacement for a partition-less `row_number()` window, which would
+    * coalesce 100 TB into one task — then deal them round-robin into 8
+    * shards (longest-processing-time-first balancing). Per-shard token
+    * sums land within a fraction of a percent of each other; the oracle
+    * recomputes rank, deal, and balance ratio exactly.
+    */
+  val shardAssign = Q(
+    "q_shard_assign",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      val ranked = graft.ops.GlobalRank.withRowNumber(
+        docs, Seq(col("tokens").desc, col("doc_id")), "rn")
+      val shards = ranked
+        .withColumn("shard", ((col("rn") - 1) % nShards).cast("long"))
+        .groupBy("shard")
+        .agg(cnt("n_docs"), sum(col("tokens")).as("tok_sum"))
+      val total = docs.agg(sum(col("tokens")).as("total"))
+      shards.crossJoin(broadcast(total))
+        .select(col("shard"), col("n_docs"), col("tok_sum"),
+          round(col("tok_sum") * lit(nShards.toDouble) / col("total"), 6)
+            .as("balance_ratio"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+              FROM documents),
+            r AS (
+              SELECT doc_id, tokens,
+                     ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS rn
+              FROM d),
+            sh AS (
+              SELECT (rn - 1) % $nShards AS shard,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(tokens) AS BIGINT) AS tok_sum
+              FROM r GROUP BY 1)
+            SELECT shard, n_docs, tok_sum,
+                   ROUND(tok_sum * ${nShards}.0
+                     / (SELECT SUM(tok_sum) FROM sh), 6) AS balance_ratio
+            FROM sh ORDER BY shard"""))
+
+  /** Mergeable-sketch reuse: one DataSketches HLL sketch per event type
+    * (the "store a sketch per day/source" pattern), then a second-level
+    * union over the BINARY sketch column re-estimates the global distinct
+    * count without re-touching raw data — the associative re-aggregation
+    * that makes sketch stores work at 100 TB. The oracle pins the exact
+    * distinct counts and expects the union's 5% accuracy contract to hold
+    * (lgK=14 → ~0.4% RSE, wide margin).
+    */
+  val sketchUnion = Q(
+    "q_sketch_union",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val unioned = perType.agg(
+        count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("union_est"))
+      val exact = ev.agg(
+        countDistinct(col("user_id")).as("exact_total_users"))
+      unioned.crossJoin(exact)
+        .select(col("n_groups"), col("exact_total_users"),
+          coalesce(
+            abs(col("union_est").cast("double")
+              - col("exact_total_users").cast("double"))
+              <= col("exact_total_users").cast("double") * 0.05,
+            col("n_groups") === 0).as("union_within_5pct"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total_users,
+                   TRUE AS union_within_5pct
+            FROM events"""))
+
+  val all: Seq[Q] = Seq(
+    decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion)
+}
