@@ -65,9 +65,48 @@ object TrainingDataPipeline {
       deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text")
     println(s"after decontamination: ${decontaminated.count()}")
 
+    // 3c. exact-snippet decontamination: the n-gram collision rule
+    //     catches verbatim eval quotes that document-level Jaccard
+    //     misses — eval gram set broadcast, corpus probed map-side
+    val gramHits = graft.ops.Decontaminate.exactGramHits(
+      decontaminated, evalSet, "doc_id", "text", n = 5)
+    val exactClean = decontaminated.join(
+      broadcast(gramHits.select("doc_id")), Seq("doc_id"), "left_anti")
+    println(s"after exact-gram decontamination: ${exactClean.count()}")
+
+    // 3d. semantic dedup on the embedding view of the corpus (SemDeDup):
+    //     coarse clusters from frozen centroids, drop near-identical
+    //     vectors within each cluster
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("dot_product(v, v)"))
+    val cents = graft.ops.VectorIndex.centroidsFrom(emb, 16)
+    val semMarked = graft.ops.SemanticDedup.mark(
+      emb.withColumn("bucket", graft.ops.VectorIndex.assignBucket(cents)),
+      "vec_id", threshold = 0.4)
+    println(s"semantic dedup over embeddings: " +
+      s"${semMarked.filter(col("kept")).count()} kept of ${semMarked.count()}")
+
+    // 3e. model-based quality gate: hashed-bigram linear classifier
+    //     (deterministic stand-in weights; swap for trained ones) —
+    //     map-only scoring, gate on the logit sign
+    val scored = exactClean
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .withColumn("fs", expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> md5num(concat_ws(' ', w[i-1], w[i])) % 1024)"""))
+      .withColumn("logit", expr(
+        """aggregate(fs, cast(0.0 as double),
+             (acc, f) -> acc + ((f * 2654435761L) % 2001 - 1000) / 1000.0)""")
+        / size(col("fs")))
+      .filter(col("logit") > 0).drop("w", "fs", "logit")
+    println(s"after classifier gate: ${scored.count()}")
+
     // 4. stratified downsample: keep 20% of dominant 'en', 60% of tail —
     //    hash-gated, reproducible on any cluster
-    val sampled = decontaminated.filter(expr(
+    val sampled = scored.filter(expr(
       """md5num(cast(doc_id as string)) % 10 <
          case when lang = 'en' then 2 else 6 end"""))
     println("sampled per lang:")
@@ -95,6 +134,23 @@ object TrainingDataPipeline {
     val violations = graft.ops.QualityGates.violations(gates)
     println(s"quality gate: rows=${gates.get("rows")} " +
       (if (violations.isEmpty) "clean" else s"VIOLATIONS: $violations"))
+
+    // 7. training layout: curriculum phases (easy→hard by length, exact
+    //    NTILE without a single-partition window) and token-balanced
+    //    shard assignment (global rank, round-robin deal)
+    val toks = capped.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    graft.ops.GlobalRank.ntile(
+        toks, Seq(col("tokens"), col("doc_id")), 4, "phase")
+      .groupBy("phase").agg(count(lit(1)).as("docs"),
+        sum("tokens").as("tokens"))
+      .orderBy("phase").show()
+    graft.ops.GlobalRank.withRowNumber(
+        toks, Seq(col("tokens").desc, col("doc_id")), "rn")
+      .withColumn("shard", (col("rn") - 1) % 4)
+      .groupBy("shard").agg(count(lit(1)).as("docs"),
+        sum("tokens").as("tokens"))
+      .orderBy("shard").show()
 
     spark.stop()
   }

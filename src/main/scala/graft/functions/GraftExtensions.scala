@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinShingleHash].getName, "min_shingle_hash"),
       exprs => MinShingleHash(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      exprs => ShingleHashes(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       exprs => SimHash16(exprs.head)))

@@ -31,6 +31,8 @@ object GraftFunctions {
         exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("min_shingle_hash",
         exprs => MinShingleHash(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("shingle_hashes",
+        exprs => ShingleHashes(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash16",
         exprs => SimHash16(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash60",

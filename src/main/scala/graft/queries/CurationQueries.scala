@@ -47,9 +47,11 @@ object CurationQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH g AS (
+              -- grams as 60-bit md5-prefix digests, mirroring the native
+              -- shingle_hashes kernel (hash identity with md5num)
               SELECT doc_id,
-                     list_distinct([list_aggr(list_slice(w, i, i + ${nGram - 1}),
-                                              'string_agg', ' ')
+                     list_distinct([${duckMd5num(
+      s"list_aggr(list_slice(w, i, i + ${nGram - 1}), 'string_agg', ' ')")}
                        for i in generate_series(1, len(w) - ${nGram - 1})]) AS gs
               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
               WHERE len(w) >= $nGram),
@@ -242,6 +244,220 @@ object CurationQueries {
                    TRUE AS union_within_5pct
             FROM events"""))
 
+  private val nFeatures = 1024
+  private val hashMix = 2654435761L // Knuth multiplicative constant
+
+  /** Fasttext-style quality classifier: a linear model over hashed word
+    * bigrams (the standard cheap quality-filter architecture — hash each
+    * bigram into a fixed feature table, average the feature weights, gate
+    * on the sign of the logit). Weights here are derived from the feature
+    * id by a fixed multiplicative hash, so the whole model is
+    * deterministic and the oracle replays inference bit-for-bit — swap
+    * the derived weights for trained ones in production, the execution
+    * shape is identical. Map-only: one projection per document, no
+    * shuffle at any scale; the sum is a left-to-right `aggregate` fold,
+    * matching DuckDB's sequential list_sum.
+    */
+  val qualityClassifier = Q(
+    "q_quality_classifier",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(expr("size(w) >= 2"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(1, size(w) - 1),
+                   i -> md5num(concat_ws(' ', w[i-1], w[i])) % $nFeatures)""")
+          .as("fs"))
+      .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
+        round(
+          expr(s"""aggregate(fs, cast(0.0 as double),
+                     (acc, f) -> acc + ((f * ${hashMix}L) % 2001 - 1000)
+                                   / 1000.0)""")
+            / size(col("fs")), 6).as("quality_logit"))
+      .withColumn("keep", col("quality_logit") > 0)
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            f AS (
+              SELECT doc_id,
+                     [${duckMd5num("w[i] || ' ' || w[i+1]")} % $nFeatures
+                      for i in generate_series(1, len(w) - 1)] AS fs
+              FROM w)
+            SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+                   ROUND(list_sum([((f * $hashMix) % 2001 - 1000) / 1000.0
+                                   for f in fs]) / len(fs), 6)
+                     AS quality_logit,
+                   list_sum([((f * $hashMix) % 2001 - 1000) / 1000.0
+                             for f in fs]) / len(fs) > 0 AS keep
+            FROM f ORDER BY doc_id"""),
+    bench = true)
+
+  /** Curriculum phasing: order the corpus easy-to-hard (shortest first as
+    * the difficulty proxy) and cut it into 4 phases with
+    * [[graft.ops.GlobalRank.ntile]] — exact SQL NTILE semantics without
+    * the single-partition window that `ntile().over(Window.orderBy(...))`
+    * would plan (a guaranteed OOM at 100 TB). The oracle recomputes
+    * NTILE(4) natively.
+    */
+  val curriculum = Q(
+    "q_curriculum",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.ops.GlobalRank.ntile(
+          docs, Seq(col("tokens"), col("doc_id")), 4, "phase")
+        .groupBy("phase")
+        .agg(cnt("n_docs"), min(col("tokens")).as("tok_min"),
+          max(col("tokens")).as("tok_max"),
+          sum(col("tokens")).as("tok_sum"))
+        .orderBy("phase")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+              FROM documents),
+            t AS (
+              SELECT tokens,
+                     CAST(NTILE(4) OVER (ORDER BY tokens, doc_id) AS BIGINT)
+                       AS phase
+              FROM d)
+            SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(tokens) AS tok_min, MAX(tokens) AS tok_max,
+                   CAST(SUM(tokens) AS BIGINT) AS tok_sum
+            FROM t GROUP BY phase ORDER BY phase"""))
+
+  /** Token-budget selection ([[graft.ops.GlobalRank.withRunningTotal]]):
+    * order the corpus by priority (shortest-first here) and keep documents
+    * while the GLOBAL running token total stays within a budget (60% of
+    * the corpus token mass). The running total is a distributed prefix
+    * sum — per-partition sums, a driver-side prefix over numPartitions
+    * longs, one sweep — where `SUM(x) OVER (ORDER BY ...)` would coalesce
+    * 100 TB into a single partition. The oracle recomputes the cumulative
+    * sum natively.
+    */
+  val tokenBudget = Q(
+    "q_token_budget",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      val total = Option(docs.agg(sum(col("tokens"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val budget = total * 6 / 10
+      graft.ops.GlobalRank.withRunningTotal(
+          docs, Seq(col("tokens"), col("doc_id")), "tokens", "ct")
+        .filter(col("ct") <= budget)
+        .groupBy("lang")
+        .agg(cnt("n_docs"), sum(col("tokens")).as("tok_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+              FROM documents),
+            r AS (
+              SELECT lang, tokens,
+                     SUM(tokens) OVER (ORDER BY tokens, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ct
+              FROM d)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS tok_sum
+            FROM r
+            WHERE ct <= (SELECT SUM(tokens) FROM d) * 6 // 10
+            GROUP BY lang ORDER BY lang"""))
+
+  private val kmK = 8
+  private val kmIters = 2
+
+  /** One DuckDB Lloyd assignment round against centroid CTE `cin`,
+    * emitting (vec_id, v, nrm, bucket, cos) as CTE `aout`.
+    */
+  private def duckAssign(cin: String, aout: String): String =
+    s"""$aout AS (
+         SELECT vec_id, v, nrm, cid AS bucket, cos FROM (
+           SELECT e.vec_id, e.v, e.nrm, c.cid,
+                  ${duckDot("e.v", "c.cv")} / sqrt(e.nrm * c.cn) AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${duckDot("e.v", "c.cv")}
+                               / sqrt(e.nrm * c.cn) DESC, c.cid) AS arn
+           FROM e CROSS JOIN $cin c) WHERE arn = 1)"""
+
+  /** One DuckDB Lloyd recompute from assignment CTE `ain`: exact
+    * fixed-point (1e-9) per-dimension means, centroids as CTE `cout`.
+    */
+  private def duckRecompute(ain: String, cout: String): String =
+    s"""${cout}_u AS (
+         -- parallel unnest zips each component with its 1-based position
+         SELECT bucket, unnest(v) AS val,
+                unnest(generate_series(1, len(v))) AS pos
+         FROM $ain),
+       ${cout}_m AS (
+         SELECT bucket, pos,
+                CAST(SUM(CAST(floor(val * 1e9) AS BIGINT)) AS DOUBLE)
+                  / 1e9 / COUNT(*) AS mu
+         FROM ${cout}_u
+         GROUP BY bucket, pos),
+       $cout AS (
+         SELECT bucket AS cid, list(mu ORDER BY pos) AS cv,
+                list_sum([x * x for x in list(mu ORDER BY pos)]) AS cn
+         FROM ${cout}_m GROUP BY bucket)"""
+
+  /** Distributed Lloyd k-means ([[graft.ops.KMeans]]): k=8 clusters on
+    * the embedding corpus, deterministic lowest-id seed, TWO full Lloyd
+    * refinements — and the DuckDB oracle replays the TRAINING itself
+    * (both assignment rounds and both exact fixed-point centroid
+    * recomputes), not just the final inference. A hash-match therefore
+    * proves the entire iterative trainer is deterministic and
+    * cross-engine exact: assignment argmax (lowest-id tie-break), 1e-9
+    * fixed-point component sums, IEEE mean division, cosine inertia.
+    * Per iteration the corpus is scanned map-side against k driver-side
+    * literal centroids and the shuffle carries numPartitions × k × d
+    * partial sums — constant in corpus size.
+    */
+  val kmeans = Q(
+    "q_kmeans",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("dot_product(v, v)"))
+      val cents = graft.ops.KMeans.lloyd(e, kmK, kmIters)
+      if (cents.isEmpty) {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("cluster", LongType),
+            StructField("n_members", LongType),
+            StructField("mean_cos", DoubleType))))
+      } else {
+        val best = graft.ops.VectorIndex.bestCentroid(cents)
+        e.select((-best.getField("nc")).cast("long").as("cluster"),
+            best.getField("c").as("cos"))
+          .groupBy("cluster")
+          .agg(cnt("n_members"),
+            round(sum(floor(col("cos") * lit(1e9))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double") / lit(1e9) / count(lit(1)), 6).as("mean_cos"))
+          .orderBy("cluster")
+      }
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                   WHERE vec_id < $kmK),
+            ${duckAssign("c0", "a1")},
+            ${duckRecompute("a1", "c1")},
+            ${duckAssign("c1", "a2")},
+            ${duckRecompute("a2", "c2")},
+            ${duckAssign("c2", "af")}
+            SELECT bucket AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   ROUND(CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE)
+                     / 1e9 / COUNT(*), 6) AS mean_cos
+            FROM af GROUP BY bucket ORDER BY cluster"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
-    decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion)
+    decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion,
+    qualityClassifier, curriculum, tokenBudget, kmeans)
 }

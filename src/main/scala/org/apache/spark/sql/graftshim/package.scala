@@ -26,6 +26,16 @@ package object graftshim {
   /** Wrap an RDD of InternalRows into a DataFrame without a row-level
     * conversion pass (`internalCreateDataFrame` is `private[sql]`).
     */
+  /** Physical-plan string of a RUNNING streaming query, for plan asserts
+    * (statelessness, broadcast joins). `explainInternal` is `private[sql]`.
+    */
+  def streamPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q match {
+      case w: execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.explainInternal(extended = false)
+      case other => other.toString
+    }
+
   def internalDataFrame(
       spark: classic.SparkSession,
       rdd: org.apache.spark.rdd.RDD[

@@ -25,6 +25,26 @@ class GlobalRankSpec extends SparkSpec {
     assert(viaRank.nonEmpty)
   }
 
+  test("distributed running total equals the single-partition window cumsum") {
+    val toks = graft.queries.tbl(spark, sf(), "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val order = Seq(col("tokens"), col("doc_id"))
+    val viaWindow = toks
+      .withColumn("ct", sum("tokens").over(
+        Window.orderBy(col("tokens"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "ct").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val df = GlobalRank.withRunningTotal(toks, order, "tokens", "ct")
+    val viaRank = df.select("doc_id", "ct").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaRank === viaWindow)
+    assert(viaRank.nonEmpty)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "distributed running total must not plan a window")
+  }
+
   test("distributed ntile matches SQL NTILE and plans no Window operator") {
     val order = Seq(col("revenue").desc, col("o_custkey"))
     val viaWindow = rev
