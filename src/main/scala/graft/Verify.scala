@@ -43,25 +43,34 @@ object Verify {
     val parallelism =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
     val pool = Executors.newFixedThreadPool(parallelism)
+    // Frames persisted inside a query (minhash signatures, tf, LSH
+    // projections) are dead once its write completes. The per-query
+    // clearCache() that used to live here was a correctness hazard:
+    // clearing while ANOTHER pooled query is mid-flight yanks a cached
+    // frame out from under a running plan, which has produced an empty
+    // (0-row) result under AQE (observed once on q_tfidf_top_term at
+    // sf0.1 — its persisted tf frame was cleared by a concurrently
+    // finishing query). The cache is now cleared only when NO query is
+    // in flight — with a saturated pool that is the end of the sweep, so
+    // accumulation is bounded by one sweep (tens of MB at sf0.1) and
+    // freed before the session is reused.
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(todo.size)
     todo.foreach { case (name, fn) =>
       pool.submit(new Runnable {
-        def run(): Unit =
+        def run(): Unit = {
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
-            // Frames persisted inside a query (minhash signatures, tf, LSH
-            // projections) are dead once its write completes; without this
-            // the executor store accumulates every dedup query's cache for
-            // the whole sweep (Bench clears too, Verify previously never
-            // did). Clearing may force a CONCURRENT pooled query to
-            // recompute a frame it had persisted — safe, all persisted
-            // frames here are deterministic — at a small, bounded cost.
-            if (spark.sparkContext.getPersistentRDDs.nonEmpty)
-              spark.catalog.clearCache()
           }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+          finally {
+            if (inFlight.decrementAndGet() == 0 &&
+                spark.sparkContext.getPersistentRDDs.nonEmpty)
+              spark.catalog.clearCache()
+          }
+        }
       })
     }
     pool.shutdown()
