@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       exprs => ShingleHashes(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("bigram_logit"),
+      new ExpressionInfo(classOf[BigramLogit].getName, "bigram_logit"),
+      exprs => BigramLogit(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       exprs => SimHash16(exprs.head)))

@@ -33,6 +33,8 @@ object GraftFunctions {
         exprs => MinShingleHash(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("shingle_hashes",
         exprs => ShingleHashes(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("bigram_logit",
+        exprs => BigramLogit(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash16",
         exprs => SimHash16(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash60",

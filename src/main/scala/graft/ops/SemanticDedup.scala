@@ -31,9 +31,12 @@ object SemanticDedup {
     * `bucket`) with `kept`: false iff some lower-id same-bucket row has
     * cosine ≥ `threshold`. Returns (idCol, bucket, kept) rows.
     */
-  def mark(assigned: DataFrame, idCol: String, threshold: Double)
-      : DataFrame = {
-    SkewGuard.requirePairBound(assigned, Seq("bucket"))
+  def mark(
+      assigned: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxPairs: Long = SkewGuard.DefaultMaxQuadraticPairs): DataFrame = {
+    SkewGuard.requirePairBound(assigned, Seq("bucket"), maxPairs)
     val a = assigned.select(col("bucket"), col(idCol).as("__ai"),
       col("v").as("__av"), col("nrm").as("__an"))
     val b = assigned.select(col("bucket").as("__bbucket"),

@@ -260,21 +260,24 @@ object CurationQueries {
     */
   val qualityClassifier = Q(
     "q_quality_classifier",
-    (s, dir) => tbl(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(expr("size(w) >= 2"))
-      .select(col("doc_id"),
-        expr(s"""transform(sequence(1, size(w) - 1),
-                   i -> md5num(concat_ws(' ', w[i-1], w[i])) % $nFeatures)""")
-          .as("fs"))
-      .select(col("doc_id"), size(col("fs")).cast("long").as("n_feats"),
-        round(
-          expr(s"""aggregate(fs, cast(0.0 as double),
-                     (acc, f) -> acc + ((f * ${hashMix}L) % 2001 - 1000)
-                                   / 1000.0)""")
-            / size(col("fs")), 6).as("quality_logit"))
-      .withColumn("keep", col("quality_logit") > 0)
-      .orderBy("doc_id"),
+    (s, dir) => {
+      // the weight table is MODEL STATE: a literal array the native
+      // kernel indexes per hashed bigram — these derived stand-ins swap
+      // for trained weights without touching the plan. Value identity
+      // with the oracle: weights[f] = ((f·mix) % 2001 − 1000)/1000,
+      // the exact formula DuckDB recomputes inline.
+      val weights = Array.tabulate(nFeatures)(f =>
+        ((f.toLong * hashMix) % 2001 - 1000) / 1000.0)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(expr("size(w) >= 2"))
+        .select(col("doc_id"),
+          (size(col("w")) - 1).cast("long").as("n_feats"),
+          round(call_function("bigram_logit", col("w"), typedLit(weights)), 6)
+            .as("quality_logit"))
+        .withColumn("keep", col("quality_logit") > 0)
+        .orderBy("doc_id")
+    },
     Some(s"""WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
               WHERE len(string_split(text, ' ')) >= 2),
@@ -457,7 +460,99 @@ object CurationQueries {
             FROM af GROUP BY bucket ORDER BY cluster"""),
     bench = true)
 
+  private val ivfQueries = 8
+  private val ivfProbe = 2
+  private val ivfTopK = 5
+
+  /** IVF ANN over TRAINED centroids — the trainer→index integration:
+    * [[graft.ops.KMeans.lloyd]] refines the coarse quantizer, the corpus
+    * buckets map-side under the trained model, query probes fan out to
+    * the nProbe nearest trained centroids, and exact search runs inside
+    * the probed buckets only. The oracle replays the WHOLE chain —
+    * two Lloyd iterations, final bucket assignment, probe selection,
+    * in-bucket top-k — so a hash-match proves training and serving
+    * compose deterministically across engines. Same scale shape as
+    * `q_knn_ivf` (model state as literals, broadcast probe frame, no
+    * corpus shuffle before the per-query top-k).
+    */
+  val knnIvfKmeans = Q(
+    "q_knn_ivf_kmeans",
+    (s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("dot_product(v, v)"))
+      val cents = graft.ops.KMeans.lloyd(e, kmK, kmIters)
+      if (cents.isEmpty) {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("query_id", LongType),
+            StructField("rnk", LongType),
+            StructField("neighbor_id", LongType),
+            StructField("cosine", DoubleType))))
+      } else {
+        def cosTo(c: graft.ops.VectorIndex.Centroid) =
+          call_function("dot_product", col("v"), typedLit(c.v)) /
+            sqrt(lit(c.nrm) * col("nrm"))
+        val terms = cents.map(c =>
+          struct(cosTo(c).as("c"), lit(-c.id).as("nc")))
+        val assigned = e.withColumn("bucket",
+          (-array_max(array(terms: _*)).getField("nc")).cast("int"))
+        val probes = assigned.filter(col("vec_id") < ivfQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"),
+            explode(slice(sort_array(array(terms: _*), asc = false),
+              1, ivfProbe)).as("p"))
+          .select(col("query_id"), col("qv"), col("qn"),
+            (-col("p.nc")).cast("int").as("bucket"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            expr("dot_product(qv, v)") / sqrt(col("qn") * col("nrm")))
+          .withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= ivfTopK)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy("query_id", "rnk")
+      }
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                   WHERE vec_id < $kmK),
+            ${duckAssign("c0", "a1")},
+            ${duckRecompute("a1", "c1")},
+            ${duckAssign("c1", "a2")},
+            ${duckRecompute("a2", "c2")},
+            ${duckAssign("c2", "af")},
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+                  WHERE vec_id < $ivfQueries),
+            pr AS (
+              SELECT query_id, qv, qn, cid AS bucket FROM (
+                SELECT q.query_id, q.qv, q.qn, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY ${duckDot("q.qv", "c.cv")}
+                                    / sqrt(q.qn * c.cn) DESC, c.cid) AS prn
+                FROM q CROSS JOIN c2 c) WHERE prn <= $ivfProbe),
+            scored AS (
+              SELECT pr.query_id, a.vec_id,
+                     ${duckDot("pr.qv", "a.v")} / sqrt(pr.qn * a.nrm) AS cos
+              FROM pr JOIN af a
+                ON a.bucket = pr.bucket AND a.vec_id <> pr.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $ivfTopK
+            ORDER BY query_id, rnk"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(
     decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion,
-    qualityClassifier, curriculum, tokenBudget, kmeans)
+    qualityClassifier, curriculum, tokenBudget, kmeans, knnIvfKmeans)
 }

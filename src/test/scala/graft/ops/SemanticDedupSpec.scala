@@ -53,6 +53,18 @@ class SemanticDedupSpec extends SparkSpec {
     assert(marked(0L) && !marked(1L) && !marked(2L))
   }
 
+  test("pair budget is an executable contract: an adversarial single " +
+    "cluster refuses before materializing any pair") {
+    val corpus = frame((0L until 40L).map(i => i -> Seq(1.0, 0.0)))
+    val cents = VectorIndex.centroidsFrom(corpus, 1)
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.mark(
+        corpus.withColumn("bucket", VectorIndex.assignBucket(cents)),
+        "vec_id", threshold = 0.9, maxPairs = 1000L)
+    }
+    assert(e.getMessage.contains("quadratic verifier refused"), e.getMessage)
+  }
+
   test("empty corpus degrades to a typed empty result") {
     val empty = frame(Seq.empty)
     val cents = VectorIndex.centroidsFrom(empty, 4)
