@@ -145,12 +145,13 @@ object TrainingDataPipeline {
       .groupBy("phase").agg(count(lit(1)).as("docs"),
         sum("tokens").as("tokens"))
       .orderBy("phase").show()
-    graft.ops.GlobalRank.withRowNumber(
-        toks, Seq(col("tokens").desc, col("doc_id")), "rn")
-      .withColumn("shard", (col("rn") - 1) % 4)
-      .groupBy("shard").agg(count(lit(1)).as("docs"),
-        sum("tokens").as("tokens"))
-      .orderBy("shard").show()
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("shard_export_example").toString + "/shards"
+    val stats = graft.ops.ShardExporter.export(
+      toks, "tokens", Seq(col("doc_id")), 4, shardDir)
+    stats.foreach(s => println(
+      f"shard=${s.shard} docs=${s.nDocs} tokens=${s.weight} " +
+        f"balance=${s.balanceRatio}%.4f"))
 
     spark.stop()
   }

@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramLogit].getName, "bigram_logit"),
       exprs => BigramLogit(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+      exprs => TermCounts(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       exprs => SimHash16(exprs.head)))

@@ -35,6 +35,8 @@ object GraftFunctions {
         exprs => ShingleHashes(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("bigram_logit",
         exprs => BigramLogit(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("term_counts",
+        exprs => TermCounts(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash16",
         exprs => SimHash16(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash60",

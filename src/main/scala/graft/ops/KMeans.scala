@@ -64,6 +64,30 @@ object KMeans {
       .toSeq.sortBy(_.id)
   }
 
+  /** Persist a trained centroid set as parquet (id, v, nrm) — model
+    * registry for the serving side: [[VectorIndex.buildIvf]] /
+    * [[VectorIndex.appendToIvf]] / [[SemanticDedup]] consume the loaded
+    * model without retraining. k×d doubles — KBs, one file.
+    */
+  def save(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Centroid], path: String): Unit = {
+    import spark.implicits._
+    cents.map(c => (c.id, c.v, c.nrm)).toDF("id", "v", "nrm")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved model, sorted by centroid id (the order assignment
+    * tie-breaks depend on).
+    */
+  def load(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Centroid] =
+    spark.read.parquet(path)
+      .select("id", "v", "nrm").collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.id).toSeq
+
   /** `iters` Lloyd refinements from the deterministic seed
     * ([[VectorIndex.centroidsFrom]]: the k lowest vec_ids).
     */

@@ -26,14 +26,19 @@ object AnalyticsQueries {
     bench = true)
 
   /** Per-document top TF-IDF term: tf × ln((N+1)/(df+1)), rank-1 per doc.
-    * One explode → one (doc,term) aggregate; document frequency is derived
-    * from that same tf frame (it already holds exactly one row per
-    * doc×term), so the corpus is tokenized once, not twice. N is a scalar
-    * broadcast. The per-doc winner is an ARGMAX AGGREGATE —
-    * `min(struct(-tfidf, term))` selects highest score with ties to the
-    * lexicographically first term — which gets map-side partial
-    * aggregation; the window/row_number formulation (what the oracle
-    * runs) would shuffle and sort every (doc, term) row instead.
+    *
+    * The per-document term count is LOCAL work, so it happens in the
+    * projection — the native one-pass [[graft.functions.TermCounts]]
+    * kernel emits (term, tf) structs per doc and the explode produces one
+    * row per DISTINCT doc×term. The old formulation
+    * (`explode(words) → groupBy(doc, term)`) paid a full shuffle of every
+    * token occurrence for that same collapse — the biggest exchange in
+    * the query, now deleted. Document frequency derives from the same tf
+    * frame; N is a scalar broadcast. The per-doc winner is an ARGMAX
+    * AGGREGATE — `min(struct(-tfidf, term))` selects highest score with
+    * ties to the lexicographically first term — which gets map-side
+    * partial aggregation; the window/row_number formulation (what the
+    * oracle runs) would shuffle and sort every (doc, term) row instead.
     * Negation round-trips doubles exactly, so values stay bit-equal.
     */
   val tfidf = Q(
@@ -41,9 +46,10 @@ object AnalyticsQueries {
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("long").as("tf"))
+        .select(col("doc_id"),
+          explode(expr("term_counts(split(text, ' '))")).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"),
+          col("tc.tf").as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       val n = docs.count() // scalar: one value, broadcast into the expr

@@ -552,7 +552,41 @@ object CurationQueries {
             ORDER BY query_id, rnk"""),
     bench = true)
 
+  /** Deterministic train/val/test split (80/10/10): the split key is a
+    * hash of the stable document id, so membership is reproducible on
+    * any cluster, any partitioning, any run — no sampled randomness to
+    * version. Map-only plus one small aggregate; at 100 TB the split
+    * labels are computed in the scan projection and never shuffled
+    * (only the per-(lang, split) counters move).
+    */
+  val trainSplit = Q(
+    "q_train_split",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"),
+        expr("md5num(cast(doc_id as string)) % 100").as("h"))
+      .withColumn("split",
+        when(col("h") < 80, "train")
+          .when(col("h") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(cnt("n_docs"), sum(col("tokens")).as("tok_sum"))
+      .orderBy("lang", "split"),
+    Some(s"""SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS tok_sum
+            FROM (
+              SELECT lang,
+                     CASE WHEN h < 80 THEN 'train'
+                          WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+                     tokens
+              FROM (
+                SELECT lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                       ${duckMd5num("CAST(doc_id AS VARCHAR)")} % 100 AS h
+                FROM documents))
+            GROUP BY lang, split ORDER BY lang, split"""))
+
   val all: Seq[Q] = Seq(
     decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion,
-    qualityClassifier, curriculum, tokenBudget, kmeans, knnIvfKmeans)
+    qualityClassifier, curriculum, tokenBudget, kmeans, knnIvfKmeans,
+    trainSplit)
 }
