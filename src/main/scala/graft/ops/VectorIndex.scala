@@ -34,6 +34,8 @@ object VectorIndex {
     */
   def centroidsFrom(corpus: DataFrame, n: Int): Seq[Centroid] =
     corpus.filter(col("vec_id") < n)
+      // model state must be dense: a null vector can never be a centroid
+      .filter(col("v").isNotNull && col("nrm").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .sortBy(_.getLong(0))
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))

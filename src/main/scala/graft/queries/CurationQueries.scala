@@ -21,7 +21,7 @@ object CurationQueries {
   private val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-       FROM embeddings"""
+       FROM embeddings WHERE embedding IS NOT NULL"""
 
   private def duckDot(a: String, b: String) =
     s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
@@ -80,6 +80,7 @@ object CurationQueries {
     "q_semantic_dedup",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // defined null semantic: excluded
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
@@ -223,6 +224,7 @@ object CurationQueries {
     "q_sketch_union",
     (s, dir) => {
       val ev = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull) // defined null semantic: excluded
       val perType = ev.groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       val unioned = perType.agg(
@@ -242,7 +244,7 @@ object CurationQueries {
     Some("""SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total_users,
                    TRUE AS union_within_5pct
-            FROM events"""))
+            FROM events WHERE event_type IS NOT NULL"""))
 
   private val nFeatures = 1024
   private val hashMix = 2654435761L // Knuth multiplicative constant
@@ -306,6 +308,7 @@ object CurationQueries {
     "q_curriculum",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
+        .filter(col("text").isNotNull) // defined null semantic: excluded
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
       graft.ops.GlobalRank.ntile(
@@ -319,7 +322,7 @@ object CurationQueries {
     Some("""WITH d AS (
               SELECT doc_id,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             t AS (
               SELECT tokens,
                      CAST(NTILE(4) OVER (ORDER BY tokens, doc_id) AS BIGINT)
@@ -343,6 +346,7 @@ object CurationQueries {
     "q_token_budget",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
+        .filter(col("text").isNotNull) // defined null semantic: excluded
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
       val total = Option(docs.agg(sum(col("tokens"))).head.get(0))
@@ -358,7 +362,7 @@ object CurationQueries {
     Some("""WITH d AS (
               SELECT doc_id, lang,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             r AS (
               SELECT lang, tokens,
                      SUM(tokens) OVER (ORDER BY tokens, doc_id
@@ -369,7 +373,7 @@ object CurationQueries {
                    CAST(SUM(tokens) AS BIGINT) AS tok_sum
             FROM r
             WHERE ct <= (SELECT SUM(tokens) FROM d) * 6 // 10
-            GROUP BY lang ORDER BY lang"""))
+            GROUP BY lang ORDER BY lang NULLS FIRST"""))
 
   private val kmK = 8
   private val kmIters = 2
@@ -423,6 +427,7 @@ object CurationQueries {
     "q_kmeans",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // defined null semantic: excluded
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
@@ -479,6 +484,7 @@ object CurationQueries {
     "q_knn_ivf_kmeans",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // defined null semantic: excluded
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
@@ -583,7 +589,7 @@ object CurationQueries {
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
                        ${duckMd5num("CAST(doc_id AS VARCHAR)")} % 100 AS h
                 FROM documents))
-            GROUP BY lang, split ORDER BY lang, split"""))
+            GROUP BY lang, split ORDER BY lang NULLS FIRST, split"""))
 
   val all: Seq[Q] = Seq(
     decontaminateExact, semanticDedup, chunkDedup, shardAssign, sketchUnion,

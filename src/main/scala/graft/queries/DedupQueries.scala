@@ -257,6 +257,9 @@ object DedupQueries {
       // persisted: the skew-guard's bucket-size pass and the main
       // expansion both derive from this narrow (id, lang, signature) frame
       val docs = tbl(s, dir, "documents")
+        // defined null semantic: no text → no signature; no lang → no
+        // block (the oracle's equality predicates reject NULL anyway)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
         .select(col("doc_id"), col("lang"),
           expr("simhash16(split(text, ' '))").as("sh16"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -290,7 +293,8 @@ object DedupQueries {
     Some(s"""WITH toks AS (
               SELECT doc_id, lang,
                      [${duckMd5num("t")} for t in string_split(text, ' ')] AS th
-              FROM documents),
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
             docs AS (
               SELECT doc_id, lang,
                      list_sum([CASE WHEN 2 * len(list_filter(th,
@@ -323,11 +327,13 @@ object DedupQueries {
     "q_dedup_embedding",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // defined null semantic: excluded
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
       graft.ops.SkewGuard.requirePairBound(
-        tbl(s, dir, "embeddings"), Seq("label"))
+        tbl(s, dir, "embeddings").filter(col("embedding").isNotNull),
+        Seq("label"))
       val a = e.select(col("vec_id").as("ai"), col("label").as("al"),
         col("v").as("av"), col("nrm").as("an"))
       val b = e.select(col("vec_id").as("bi"), col("label").as("bl"),
@@ -342,7 +348,7 @@ object DedupQueries {
     Some("""WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v,
                      list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-              FROM embeddings)
+              FROM embeddings WHERE embedding IS NOT NULL)
             SELECT a.vec_id AS ai, b.vec_id AS bi,
                    ROUND(list_sum([a.v[i] * b.v[i]
                            for i in generate_series(1, len(a.v))])
@@ -363,6 +369,7 @@ object DedupQueries {
     "q_dedup_simhash60",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
         .select(col("doc_id"), col("lang"),
           expr("simhash60(split(text, ' '))").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -392,7 +399,8 @@ object DedupQueries {
     Some(s"""WITH toks AS (
               SELECT doc_id, lang,
                      [${duckMd5num("t")} for t in string_split(text, ' ')] AS th
-              FROM documents),
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
             docs AS (
               SELECT doc_id, lang,
                      CAST(list_sum([CASE WHEN 2 * len(list_filter(th,
@@ -433,31 +441,37 @@ object DedupQueries {
     "q_dedup_embedding_lsh",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // defined null semantic: excluded
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
         // persisted: plane construction, the skew-guard's bucket-size pass,
         // and the signature expansion all read this frame
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val raw = e.filter(col("vec_id") < 64)
+      val byId = e.filter(col("vec_id") < 64)
         .select(col("vec_id"), col("v")).collect()
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
-      if (raw.length < 64) {
-        // plane-construction rows absent (empty partition / bootstrap):
-        // degrade to the empty pair set instead of indexing thin air
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // id-arithmetic plane pairing (table t, plane i = vec(8t+i) −
+      // vec(8t+4+i)), exactly the oracle's rule — a missing/null seed
+      // vector drops just its plane on BOTH sides; a table with no
+      // planes drops entirely; no seeds at all degrades to no pairs
+      def planes(t: Int) = (0 until 4).flatMap { i =>
+        for (a <- byId.get(8L * t + i); b <- byId.get(8L * t + 4 + i))
+          yield (i, a.zip(b).map { case (x, y) => x - y })
+      }
+      val tables = (0 until 8).filter(t => planes(t).nonEmpty)
+      if (tables.isEmpty) {
         import org.apache.spark.sql.types._
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("ai", LongType),
             StructField("bi", LongType), StructField("cosine", DoubleType))))
       } else {
-      def planes(t: Int) = (0 until 4).map(i =>
-        raw(8 * t + i).zip(raw(8 * t + 4 + i)).map { case (x, y) => x - y })
-      def sigCol(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+      def sigCol(t: Int) = planes(t).map { case (i, p) =>
         when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = e.select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        explode(array((0 until 8).map(t =>
+        explode(array(tables.map(t =>
           struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*)).as("ts"))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
           col("ts.t").as("t"), col("ts.sig").as("sig"))
@@ -485,7 +499,7 @@ object DedupQueries {
     Some("""WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v,
                      list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-              FROM embeddings),
+              FROM embeddings WHERE embedding IS NOT NULL),
             planes AS (
               SELECT a.vec_id // 8 AS t, a.vec_id % 8 AS i,
                      [a.v[k] - b.v[k]

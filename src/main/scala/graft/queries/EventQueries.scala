@@ -86,14 +86,14 @@ object EventQueries {
       .groupBy("event_type").agg(cnt())
       .orderBy("event_type"),
     Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Q6: distinct membership. */
   val distinctTypes = Q(
     "q_distinct_types",
     (s, dir) => tbl(s, dir, "events")
       .select("event_type").distinct().orderBy("event_type"),
-    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type NULLS FIRST"))
 
   /** A8: checkpoint compaction — dedup keep-last per key with an explicit
     * order (the reference's pandas keep-last relies on implicit row order;
@@ -192,7 +192,7 @@ object EventQueries {
     Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    ${sqlSumRound("CAST(value AS DECIMAL(18,6))")} AS sum_value
-            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST"""),
     bench = true)
 
   /** Gap-based sessionization (30-min inactivity gap): lag + cumulative sum
@@ -260,8 +260,12 @@ object EventQueries {
                    COALESCE(LAG(event_type) OVER w1, '') AS prev_type,
                    COALESCE(LEAD(event_type) OVER w1, '') AS next_type,
                    COALESCE(tus - LAG(tus) OVER w1, -1) AS gap_us,
+                   -- NULLS FIRST pins Spark's ASC default (DuckDB
+                   -- defaults NULLS LAST — divergence surfaced by the
+                   -- null-injection gate)
                    ROUND(PERCENT_RANK() OVER
-                     (PARTITION BY user_id ORDER BY value, event_id), 6) AS pr
+                     (PARTITION BY user_id
+                      ORDER BY value NULLS FIRST, event_id), 6) AS pr
             FROM (SELECT event_id, user_id, event_type, value,
                          epoch_us(ts) AS tus FROM events)
             WINDOW w1 AS (PARTITION BY user_id ORDER BY tus, event_id)

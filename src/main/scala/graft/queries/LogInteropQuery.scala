@@ -80,5 +80,5 @@ object LogInteropQuery {
         FROM read_parquet('$logDir/date=*/*.parquet', hive_partitioning=1)
         WHERE parent_run_id = ''
           AND json_extract_string(logger_metadata, '$$.job') = 'interop'
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 }

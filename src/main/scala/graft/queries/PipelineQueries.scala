@@ -55,7 +55,7 @@ object PipelineQueries {
                    ROUND(LEAST(CAST(SUM(tokens) AS BIGINT), $budget)::DOUBLE
                      / $budget, 6) AS fill_ratio
             FROM p GROUP BY lang, shard, tb // $budget
-            ORDER BY lang, shard, seq_idx"""),
+            ORDER BY lang NULLS FIRST, shard, seq_idx"""),
     bench = true)
 
   /** Intra-document repetition scoring (the Gopher-style quality rule the

@@ -137,7 +137,7 @@ object ScaleQueries {
     Some(s"""SELECT event_type,
                    ${sqlSumRound(sqlPrice("value"))} AS total_value,
                    CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Date-spine gap fill: dense daily revenue per order status, zeros on
     * days with no orders — the sparse→dense densification every
@@ -321,7 +321,7 @@ object ScaleQueries {
                        ORDER BY ${duckMd5num("doc_id::VARCHAR")}, doc_id)
                        AS BIGINT) AS rn
               FROM documents)
-            WHERE rn <= 50 ORDER BY lang, rn"""))
+            WHERE rn <= 50 ORDER BY lang NULLS FIRST, rn"""))
 
   val all: Seq[Q] = Seq(rangeJoin, runningTotal, groupingSets,
     sampleStratified, saltedAgg, gapFill, listAgg, bloomPrejoin,

@@ -31,6 +31,10 @@ object SimilarityQueries {
     */
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
     tbl(s, dir, "embeddings")
+      // a vector-less row cannot participate in any similarity math;
+      // excluding it here (and in the oracle) is the defined null
+      // semantic for the whole ANN family
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("dot_product(v, v)"))
@@ -55,7 +59,7 @@ object SimilarityQueries {
   private val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-       FROM embeddings"""
+       FROM embeddings WHERE embedding IS NOT NULL"""
 
   private def duckDot(a: String, b: String) =
     s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
@@ -212,16 +216,21 @@ object SimilarityQueries {
     "q_knn_lsh",
     (s, dir) => {
       val e = corpus(s, dir)
-      val raw = e
+      // planes are keyed by vec_id ARITHMETIC (a paired with a+nBits),
+      // exactly like the oracle — a missing/null seed vector drops just
+      // its plane on BOTH sides instead of silently shifting positions
+      val byId = e
         .filter(col("vec_id") >= nQueries &&
           col("vec_id") < nQueries + 2 * nBits)
         .select(col("vec_id"), col("v")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1))
-      if (raw.length < 2 * nBits) emptyKnn(s) else {
-      val planes = (0 until nBits).map(i =>
-        raw(i).zip(raw(nBits + i)).map { case (x, y) => x - y })
-      val sigCol = planes.zipWithIndex.map { case (p, i) =>
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val planes = (0 until nBits).flatMap { i =>
+        for (a <- byId.get(nQueries + i.toLong);
+             b <- byId.get(nQueries + nBits + i.toLong))
+          yield (i, a.zip(b).map { case (x, y) => x - y })
+      }
+      if (planes.isEmpty) emptyKnn(s) else {
+      val sigCol = planes.map { case (i, p) =>
         when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -288,27 +297,33 @@ object SimilarityQueries {
   def lshMultiCandidates(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = corpus(s, dir)
-    val raw = e
+    val byId = e
       .filter(col("vec_id") >= nQueries &&
         col("vec_id") < nQueries + 2 * nBits * nTables)
       .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1))
-    if (raw.length < 2 * nBits * nTables) {
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // id-arithmetic plane pairing, as in the oracle: table t's plane i is
+    // (seed(nQ + 2·nBits·t + i) − seed(… + nBits)); a missing seed drops
+    // only that plane, a table with no planes drops entirely — identical
+    // degradation in both engines
+    def planes(t: Int) = (0 until nBits).flatMap { i =>
+      for (a <- byId.get(nQueries + 2L * nBits * t + i);
+           b <- byId.get(nQueries + 2L * nBits * t + nBits + i))
+        yield (i, a.zip(b).map { case (x, y) => x - y })
+    }
+    val tables = (0 until nTables).filter(t => planes(t).nonEmpty)
+    if (tables.isEmpty) {
       import org.apache.spark.sql.types._
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("query_id", LongType),
           StructField("vec_id", LongType))))
     } else {
-    def planes(t: Int) = (0 until nBits).map(i =>
-      raw(2 * nBits * t + i).zip(raw(2 * nBits * t + nBits + i))
-        .map { case (x, y) => x - y })
-    def sigCol(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+    def sigCol(t: Int) = planes(t).map { case (i, p) =>
       when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
-      explode(array((0 until nTables).map(t =>
+      explode(array(tables.map(t =>
         struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))

@@ -73,7 +73,7 @@ object SketchQueries {
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS hllpp_within_5pct,
                    TRUE AS datasketches_within_5pct
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Value quantiles per event type: approx_percentile (a mergeable
     * KLL-style summary) next to the exact percentile answers.
@@ -138,8 +138,9 @@ object SketchQueries {
           col("mn"), col("mx"))
       def rankOk(est: Column, target: Double): Column =
         abs(sum(when(col("value") <= est, 1L).otherwise(0L)).cast("double")
-          / count(lit(1)) - target) <= 0.05
-      ev.join(broadcast(ap), "event_type")
+          / count(col("value")) - target) <= 0.05
+      ev.join(broadcast(ap.withColumnRenamed("event_type", "__et")),
+          col("event_type") <=> col("__et")).drop("__et")
         .groupBy("event_type", "ap50", "ap95", "ap99", "mn", "mx")
         .agg(
           round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
@@ -167,7 +168,7 @@ object SketchQueries {
                    TRUE AS monotone_ok, TRUE AS in_range_ok,
                    TRUE AS p50_rank_ok, TRUE AS p95_rank_ok,
                    TRUE AS p99_rank_ok
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Value quantiles per event type from the engine's own KLL sketch
     * aggregate ([[graft.functions.KllSketchAgg]] on DataSketches) — the
@@ -191,13 +192,14 @@ object SketchQueries {
           expr("kll_sketch_quantile(sk, 0.99D)").as("kll_p99"))
       def rankOk(est: Column, target: Double): Column =
         abs(sum(when(col("value") <= est, 1L).otherwise(0L)).cast("double")
-          / count(lit(1)) - target) <= 0.05
+          / count(col("value")) - target) <= 0.05
       // Oracle-checked contract projection: the raw KLL estimates stay out
       // of the hash (randomized compaction — engine-specific values); what
       // DuckDB verifies is the exact interpolated percentiles plus literal
       // TRUE for each rank-contract boolean, so a hash-match is a
       // cross-engine proof the sketch held its rank bound on this data.
-      ev.join(broadcast(sk), "event_type")
+      ev.join(broadcast(sk.withColumnRenamed("event_type", "__et")),
+          col("event_type") <=> col("__et")).drop("__et")
         .groupBy("event_type", "kll_p50", "kll_p95", "kll_p99")
         .agg(
           round(expr("percentile(value, array(0.5, 0.95, 0.99))")(0), 6)
@@ -220,7 +222,7 @@ object SketchQueries {
                    CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS exact_p99,
                    TRUE AS p50_rank_ok, TRUE AS p95_rank_ok,
                    TRUE AS p99_rank_ok
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** The deterministic scaffolding of the sketch family, split out into a
     * hash-matched oracle query: every EXACT column the sketch queries
@@ -258,7 +260,7 @@ object SketchQueries {
                    MIN(value) AS min_value,
                    MAX(value) AS max_value,
                    CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Frequent-items ("heavy hitters") sketch over per-language tokens —
     * the engine's own [[graft.functions.FreqSketchAgg]] on DataSketches:
@@ -276,6 +278,7 @@ object SketchQueries {
     "q_freq_items",
     (s, dir) => {
       val toks = tbl(s, dir, "documents")
+        .filter(col("lang").isNotNull) // defined null semantic: excluded
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       toks.groupBy("lang")
@@ -292,7 +295,7 @@ object SketchQueries {
     },
     Some("""WITH toks AS (
               SELECT lang, unnest(string_split(text, ' ')) AS tok
-              FROM documents),
+              FROM documents WHERE lang IS NOT NULL),
             tc AS (
               SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
               FROM toks WHERE len(tok) > 0 GROUP BY lang, tok),

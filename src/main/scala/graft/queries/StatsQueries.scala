@@ -31,7 +31,7 @@ object StatsQueries {
                    ROUND(MIN(value), 6) AS min_v,
                    ROUND(MAX(value), 6) AS max_v,
                    CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY event_type ORDER BY event_type"""))
+            FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** Correlation / covariance between quantity and price per return flag. */
   val corrStats = Q(
