@@ -282,7 +282,10 @@ object SketchQueries {
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       toks.groupBy("lang")
-        .agg(expr("freq_sketch_agg(tok, 128)").as("sk"), cnt("n_tokens"))
+        // capacity 512 keeps Misra-Gries in its EXACT regime (vocab/lang is
+        // ~130 on the ascii corpus, ~270 under the unicode gate's rewritten
+        // tokens) — the oracle models the exact regime only
+        .agg(expr("freq_sketch_agg(tok, 512)").as("sk"), cnt("n_tokens"))
         .select(col("lang"),
           expr("freq_sketch_top1(sk)").as("top_token"),
           expr("freq_sketch_estimate(sk, freq_sketch_top1(sk))")

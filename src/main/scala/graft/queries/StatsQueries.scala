@@ -59,6 +59,11 @@ object StatsQueries {
     "q_edit_distance",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
+        // Spark levenshtein counts CODEPOINTS, DuckDB counts BYTES — the
+        // metrics coincide exactly on single-byte text, so the oracle
+        // contract scopes to it (octet_length = length ⇔ pure ASCII; a
+        // no-op on the ascii corpus, pinned by the unicode gate)
+        .filter(octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       val a = docs.select(col("doc_id").as("ai"), col("lang").as("al"),
         col("n_chars").as("an"), col("text").as("at"))
@@ -72,7 +77,10 @@ object StatsQueries {
     },
     Some("""SELECT a.doc_id AS ai, b.doc_id AS bi,
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
-            FROM documents a JOIN documents b
+            FROM (SELECT * FROM documents
+                  WHERE strlen(text) = length(text)) a
+            JOIN (SELECT * FROM documents
+                  WHERE strlen(text) = length(text)) b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 5
             ORDER BY ai, bi"""))

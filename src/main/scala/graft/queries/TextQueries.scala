@@ -170,10 +170,10 @@ object TextQueries {
         (length(col("blob")) % 480).cast("long").as("fake_height"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
-                   CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_hash,
-                   CAST(octet_length(text::BLOB) % 640 AS BIGINT) AS fake_width,
-                   CAST(octet_length(text::BLOB) % 480 AS BIGINT) AS fake_height
+                   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+                   CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
             FROM documents ORDER BY doc_id"""))
 
   /** PII scrubbing ([[graft.ops.Redaction]]), oracle-checked END TO END:
