@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantized bigram language-model quality filter — the CCNet-style
+  * "perplexity filter" of an LLM data pipeline (train a small LM on the
+  * corpus, score every document, gate on bits-per-token), re-expressed so
+  * the score is EXACT cross-engine.
+  *
+  * Why quantized: true perplexity needs `ln`, and libm/JVM transcendentals
+  * are not guaranteed to round identically — a hash-match oracle would be
+  * flaky at the last ulp. Instead each add-one-smoothed bigram probability
+  * p = (c+1)/(cu+V) (an IEEE-exact division of exact integers) is
+  * quantized to q = max(1, floor(p·2^30)) (power-of-two scaling and floor
+  * are exact), and the token cost is its integer bit-cost
+  * 30 − floor(log2 q) = 31 − length(bin(q)) — derived from the binary
+  * string length, never from a floating log. Every intermediate is
+  * bit-identical in any IEEE engine, so DuckDB can replay training AND
+  * scoring exactly; the price is that the score is the integer-bit
+  * envelope of −log2 p rather than its real value, which for a
+  * keep/drop gate is the same decision boundary family.
+  *
+  * Scale shape: training is ONE shuffle (bigram groupBy with map-side
+  * combine — the reduce side holds distinct bigrams, not corpus tokens);
+  * context totals and vocabulary size are aggregates of that small frame.
+  * Scoring broadcasts the model (bigram counts + context totals + |V|)
+  * and is otherwise map-side until the per-document sum. On a 100 TB
+  * corpus the model must be capped (top-V vocabulary, top-B bigrams by
+  * count — rare bigrams fall through to the unseen leg, which is exactly
+  * what add-one smoothing models); the cap keeps the broadcast bounded
+  * while the scoring plan is unchanged.
+  */
+object NgramLm {
+
+  /** 2^30 — the probability quantization grid. */
+  val Scale: Long = 1073741824L
+
+  final case class Model(bigrams: DataFrame, contexts: DataFrame, vocab: DataFrame)
+
+  /** Consecutive-pair (doc_id-ish idCol, u, v) rows; the pair array is
+    * built locally with zip_with over two slices — no shuffle, no UDF.
+    */
+  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS u, b AS v))")).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"))
+
+  /** Train: bigram counts, per-context totals, vocabulary size. */
+  def train(docs: DataFrame, idCol: String, textCol: String): Model = {
+    val pe = pairs(docs, idCol, textCol)
+    val big = pe.groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val ctx = big.groupBy("u").agg(sum("c").as("cu"))
+    val voc = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct("tok").as("v_size"))
+    Model(big, ctx, voc)
+  }
+
+  /** Score: per-document (n_bigrams, bits_sum, bits_per_token). The model
+    * frames are broadcast; the only exchange is the per-document sum.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val pe = pairs(docs, idCol, textCol)
+    val q = greatest(lit(1L), floor(
+      (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+        / (coalesce(col("cu"), lit(0L)) + col("v_size")).cast("double")
+        * lit(Scale.toDouble)))
+    pe.join(broadcast(m.bigrams), Seq("u", "v"), "left")
+      .join(broadcast(m.contexts), Seq("u"), "left")
+      .crossJoin(broadcast(m.vocab))
+      .select(col(idCol), (lit(31) - length(bin(q))).cast("long").as("bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_sum"))
+      .select(col(idCol), col("n_bigrams"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("bits_per_token"))
+  }
+}
