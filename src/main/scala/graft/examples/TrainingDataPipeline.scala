@@ -10,7 +10,10 @@ import graft.ops.SignatureStore
   *
   *   1. quality gate (codegen'd text heuristics, scan-level filter)
   *   2. exact dedup (hash groupBy — shuffle carries hashes, not text)
-  *   3. near-dup dedup via the materialized MinHash signature store
+  *      + exact long-span self-dedup (keep-first over 6-word spans)
+  *   3. near-dup dedup via the materialized MinHash signature store,
+  *      eval decontamination (near-dup + exact-gram), semantic dedup,
+  *      classifier gate, LM perplexity gate, DSIR importance selection
   *   4. deterministic stratified downsampling of the dominant language
   *   5. token accounting for the surviving corpus
   *
@@ -45,16 +48,25 @@ object TrainingDataPipeline {
       .filter(col("keep")).drop("h", "keep")
     println(s"after exact dedup: ${exactKept.count()}")
 
+    // 2b. exact long-span self-dedup: drop docs repeating a 6-word span
+    //     already seen in an earlier doc (verbatim reuse that
+    //     document-level near-dup misses)
+    val spanKept = graft.ops.SelfDedup
+      .markSpans(exactKept, "doc_id", "text", n = 6)
+      .filter(col("kept")).select("doc_id")
+    val spanDeduped = exactKept.join(spanKept, Seq("doc_id"), "left_semi")
+    println(s"after span self-dedup: ${spanDeduped.count()}")
+
     // 3. near-dup dedup: build the signature store once, drop the higher
     //    doc_id of every pair with jaccard >= 0.5
     val storeDir =
       java.nio.file.Files.createTempDirectory("sigstore_example").toString
-    SignatureStore.build(exactKept.select("doc_id", "text"), storeDir)
+    SignatureStore.build(spanDeduped.select("doc_id", "text"), storeDir)
     val store = SignatureStore.load(spark, storeDir)
     val nearDupLosers = SignatureStore
-      .incrementalNearDups(store.limit(0), exactKept.select("doc_id", "text"))
+      .incrementalNearDups(store.limit(0), spanDeduped.select("doc_id", "text"))
       .select(col("bi").as("doc_id")).distinct()
-    val deduped = exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val deduped = spanDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
     println(s"after near-dup dedup: ${deduped.count()}")
 
     // 3b. eval decontamination: scrub near-matches to the held-out eval
@@ -103,6 +115,20 @@ object TrainingDataPipeline {
         / size(col("fs")))
       .filter(col("logit") > 0).drop("w", "fs", "logit")
     println(s"after classifier gate: ${scored.count()}")
+
+    // 3f. LM-based selection: quantized bigram perplexity gate (CCNet
+    //     shape) and DSIR importance weighting against the eval-shaped
+    //     target slice — both models broadcast, scoring map-side
+    val lm = graft.ops.NgramLm.train(scored, "doc_id", "text")
+    val lmGated = scored.join(
+      graft.ops.NgramLm.score(scored, "doc_id", "text", lm)
+        .filter(col("bits_per_token") <= 5.5).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    println(s"after LM perplexity gate: ${lmGated.count()}")
+    val dsirTop = graft.ops.NgramLm
+      .importanceWeights(lmGated, evalSet, "doc_id", "text")
+      .orderBy(col("w").desc, col("doc_id")).limit(50).select("doc_id")
+    println(s"DSIR top-50 by importance weight: ${dsirTop.count()}")
 
     // 4. stratified downsample: keep 20% of dominant 'en', 60% of tail —
     //    hash-gated, reproducible on any cluster

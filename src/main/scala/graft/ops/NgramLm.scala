@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Quantized bigram language-model quality filter — the CCNet-style
@@ -61,23 +61,88 @@ object NgramLm {
     Model(big, ctx, voc)
   }
 
+  /** Per-pair integer bit-cost rows (idCol, bits) for a (possibly
+    * streaming) pair frame. All model joins are broadcast against static
+    * frames — on a streaming input this is a stateless stream-static
+    * plan (no state store); the 1-row vocabulary joins on a constant key
+    * so the streaming planner sees an equi-join, not a cross join.
+    */
+  /** Integer bit-cost of one smoothed, quantized probability. */
+  private def bitsOf(c: Column, cu: Column, vSize: Column): Column = {
+    val q = greatest(lit(1L), floor(
+      (coalesce(c, lit(0L)) + lit(1L)).cast("double")
+        / (coalesce(cu, lit(0L)) + vSize).cast("double")
+        * lit(Scale.toDouble)))
+    (lit(31) - length(bin(q))).cast("long")
+  }
+
+  /** Join one model's broadcast frames onto a pair frame, with the
+    * model's count columns renamed by `suffix` so two models can ride
+    * the same pass. The vocabulary row joins on a constant key so the
+    * streaming planner sees an equi-join, not a cross join.
+    */
+  private def joinModel(pe: DataFrame, m: Model, suffix: String): DataFrame =
+    pe.join(broadcast(
+        m.bigrams.select(col("u"), col("v"), col("c").as(s"c$suffix"))),
+        Seq("u", "v"), "left")
+      .join(broadcast(
+        m.contexts.select(col("u"), col("cu").as(s"cu$suffix"))),
+        Seq("u"), "left")
+      .join(broadcast(m.vocab.select(col("v_size").as(s"vs$suffix"))
+        .withColumn("_k", lit(1))), Seq("_k"))
+
+  private def pairBits(pe: DataFrame, idCol: String, m: Model): DataFrame =
+    joinModel(pe.withColumn("_k", lit(1)), m, "")
+      .select(col(idCol),
+        bitsOf(col("c"), col("cu"), col("vs")).as("bits"))
+
   /** Score: per-document (n_bigrams, bits_sum, bits_per_token). The model
     * frames are broadcast; the only exchange is the per-document sum.
     */
-  def score(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
-    val pe = pairs(docs, idCol, textCol)
-    val q = greatest(lit(1L), floor(
-      (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
-        / (coalesce(col("cu"), lit(0L)) + col("v_size")).cast("double")
-        * lit(Scale.toDouble)))
-    pe.join(broadcast(m.bigrams), Seq("u", "v"), "left")
-      .join(broadcast(m.contexts), Seq("u"), "left")
-      .crossJoin(broadcast(m.vocab))
-      .select(col(idCol), (lit(31) - length(bin(q))).cast("long").as("bits"))
+  def score(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame =
+    pairBits(pairs(docs, idCol, textCol), idCol, m)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_sum"))
       .select(col(idCol), col("n_bigrams"), col("bits_sum"),
         round(col("bits_sum").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("bits_per_token"))
+
+  /** Streaming scoring: the same per-pair bit-cost over a STREAMING
+    * corpus against a static broadcast model — stateless (no watermark,
+    * no state store), the inline shape of the batch filter. Per-document
+    * aggregation is the caller's `foreachBatch` side of the contract
+    * (micro-batch `groupBy` over complete documents), mirroring
+    * [[Decontaminate.streamGramFlags]].
+    */
+  def streamBits(corpusStream: DataFrame, idCol: String, textCol: String,
+      m: Model): DataFrame =
+    pairBits(pairs(corpusStream, idCol, textCol), idCol, m)
+
+  /** DSIR-style importance weights (Xie et al.: data selection via
+    * importance resampling, here with the quantized bigram LM as the
+    * feature model): every corpus document is scored under a TARGET
+    * model (trained on the in-domain slice) and a RAW model (trained on
+    * the corpus itself); the importance weight is the integer bit saving
+    * `bits_raw − bits_target` — positive means the target distribution
+    * finds the document more probable, i.e. select it. Both models are
+    * broadcast; the per-document score frames join on the id (one small
+    * aggregate-sized shuffle).
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val mT = train(target, idCol, textCol)
+    val mR = train(corpus, idCol, textCol)
+    // both models ride ONE pass over the corpus pairs (one explode, six
+    // broadcast probes, one per-document aggregate) — no second corpus
+    // scan, no score-frame join
+    val pe = pairs(corpus, idCol, textCol).withColumn("_k", lit(1))
+    joinModel(joinModel(pe, mT, "_t"), mR, "_r")
+      .select(col(idCol),
+        bitsOf(col("c_t"), col("cu_t"), col("vs_t")).as("bt"),
+        bitsOf(col("c_r"), col("cu_r"), col("vs_r")).as("br"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("bt").as("_bt"),
+        sum("br").as("_br"))
+      .select(col(idCol), col("n_bigrams"), (col("_br") - col("_bt")).as("w"))
   }
 }

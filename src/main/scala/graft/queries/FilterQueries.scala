@@ -86,5 +86,72 @@ object FilterQueries {
             ORDER BY doc_id"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(lmPerplexity, selfDedupGrams)
+  private val dsirK = 25
+
+  /** DuckDB CTEs for one quantized bigram LM trained on `pred` docs. */
+  private def lmModelCtes(p: String, pred: String): String =
+    s"""${p}_t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE text IS NOT NULL AND ($pred)),
+       ${p}_pe AS (SELECT doc_id, w[i] AS u, w[i + 1] AS v
+                   FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                         FROM ${p}_t WHERE len(w) >= 2)),
+       ${p}_big AS (SELECT u, v, count(*) AS c FROM ${p}_pe GROUP BY u, v),
+       ${p}_ctx AS (SELECT u, sum(c) AS cu FROM ${p}_big GROUP BY u),
+       ${p}_voc AS (SELECT count(DISTINCT tok) AS v_size
+                    FROM (SELECT unnest(w) AS tok FROM ${p}_t))"""
+
+  /** DuckDB CTEs scoring `cor_pe` under the model with prefix `p`. */
+  private def lmScoreCtes(p: String): String =
+    s"""sc_$p AS (
+         SELECT pe.doc_id,
+                31 - length(bin(greatest(1, CAST(floor(
+                  (COALESCE(b.c, 0) + 1)::DOUBLE
+                    / (COALESCE(x.cu, 0) + v.v_size)
+                    * 1073741824) AS BIGINT)))) AS bits
+         FROM cor_pe pe LEFT JOIN ${p}_big b ON pe.u = b.u AND pe.v = b.v
+              LEFT JOIN ${p}_ctx x ON pe.u = x.u
+              CROSS JOIN ${p}_voc v),
+       agg_$p AS (SELECT doc_id, count(*) AS n, sum(bits) AS bs
+                  FROM sc_$p GROUP BY doc_id)"""
+
+  /** DSIR-style data selection ([[graft.ops.NgramLm.importanceWeights]]):
+    * score every corpus document under a TARGET LM (trained on the
+    * in-domain slice, doc_id % 7 == 0 — the same eval-shaped slice the
+    * decontamination queries use) and a RAW LM (trained on the corpus
+    * itself); importance weight = integer bit saving bits_raw −
+    * bits_target; select the top-[[dsirK]] by (w DESC, doc_id) with the
+    * distributed [[graft.ops.GlobalRank.withRowNumber]] (no
+    * single-partition window). The oracle replays BOTH model trainings,
+    * both scorings, the weight join, and the rank — all in the exact
+    * integer arithmetic of the quantized LM.
+    */
+  val dsirSelect = Q(
+    "q_dsir_select",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val w = graft.ops.NgramLm.importanceWeights(corpus, target, "doc_id", "text")
+      graft.ops.GlobalRank
+        .withRowNumber(w, Seq(col("w").desc, col("doc_id")), "rnk")
+        .select(col("doc_id"), col("n_bigrams"), col("w"), col("rnk"),
+          (col("rnk") <= dsirK).as("selected"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${lmModelCtes("cor", "doc_id % 7 <> 0")},
+            ${lmModelCtes("tgt", "doc_id % 7 = 0")},
+            ${lmScoreCtes("tgt")},
+            ${lmScoreCtes("cor")},
+            wjoin AS (SELECT t.doc_id, t.n AS n_bigrams, (r.bs - t.bs) AS w
+                      FROM agg_tgt t JOIN agg_cor r USING (doc_id)),
+            ranked AS (SELECT doc_id, n_bigrams, w,
+                              ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rnk
+                       FROM wjoin)
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(w AS BIGINT) AS w, CAST(rnk AS BIGINT) AS rnk,
+                   rnk <= $dsirK AS selected
+            FROM ranked ORDER BY doc_id"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(lmPerplexity, selfDedupGrams, dsirSelect)
 }
