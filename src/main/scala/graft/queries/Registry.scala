@@ -7,7 +7,7 @@ object Registry {
       DedupQueries.all ++ SimilarityQueries.all ++ AnalyticsQueries.all ++
       RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
       SubqueryQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ FilterQueries.all ++
+      CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
