@@ -67,6 +67,9 @@ object GraftFunctions {
         exprs => FreqUpperBound(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("freq_sketch_top1",
         exprs => FreqTop1(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("gram_agg",
+        exprs => GramAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue), "scala_udf")
       // Spark's Bloom machinery is internal (used by automatic runtime
       // filters); exposing it lets queries apply the semi-join-reduction
       // pattern explicitly at any scale

@@ -34,7 +34,10 @@ object Pca {
 
   val Scale = 1000000000L // 1e9 fixed-point grid
 
-  /** Gram-matrix cells (i, j, s) as fixed-point long sums. */
+  /** Gram-matrix cells (i, j, s) as fixed-point long sums — the exploded
+    * reference formulation; [[fitTop]] uses the native `gram_agg` kernel,
+    * and `PcaSpec` pins their bit-equivalence.
+    */
   def gramCells(e: DataFrame, vecCol: String, d: Int): DataFrame =
     e.filter(col(vecCol).isNotNull)
       .select(explode(expr(
@@ -46,13 +49,28 @@ object Pca {
 
   /** Top principal direction after `iters` power-iteration steps from
     * the uniform start vector; None when the input has no vectors.
+    * The gram pass is the native [[graft.functions.GramAgg]] aggregate:
+    * one tight array loop per row, one d²-long buffer per partition
+    * through the exchange — no per-row cell materialization.
     */
   def fitTop(e: DataFrame, vecCol: String, d: Int, iters: Int): Option[Array[Double]] = {
-    val cells = gramCells(e, vecCol, d).collect()
-    if (cells.isEmpty) return None
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val row = e
+      .agg(expr(s"gram_agg($vecCol, $d)").as("g"),
+        count(col(vecCol)).as("n"))
+      .head()
+    if (row.getLong(1) == 0L) return None
+    val flat = row.getSeq[Long](0)
     val g = Array.ofDim[Double](d, d)
-    cells.foreach(r =>
-      g(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / Scale)
+    var ci = 0
+    while (ci < d) {
+      var cj = 0
+      while (cj < d) {
+        g(ci)(cj) = flat(ci * d + cj).toDouble / Scale
+        cj += 1
+      }
+      ci += 1
+    }
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var it = 0
     while (it < iters) {

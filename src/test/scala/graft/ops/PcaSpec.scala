@@ -40,6 +40,30 @@ class PcaSpec extends SparkSpec {
     assert(proj(2L) === (-2.9 * v(0) + 0.05 * v(1)))
   }
 
+  test("native gram_agg is bit-identical to the exploded formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = 5
+    // deterministic, sign-mixed, magnitude-mixed values; one null element
+    // (id 7, j 2) and one null vector (id 41) exercise the void-cells
+    // semantics on both paths
+    val e = (1L to 41L).map { id =>
+      id -> (0 until d).map(j =>
+        math.sin(id * 31 + j * 7) * (if (j % 2 == 0) 1e3 else 1e-3))
+    }.toDF("vec_id", "v")
+      .withColumn("v",
+        when(col("vec_id") === 41L, lit(null).cast("array<double>"))
+          .otherwise(expr("""transform(v, (x, j) ->
+            CASE WHEN vec_id = 7 AND j = 2
+                 THEN CAST(NULL AS DOUBLE) ELSE x END)""")))
+    val exploded = Pca.gramCells(e, "v", d).collect()
+      .map(r => (r.getInt(0) * d + r.getInt(1)) -> r.getLong(2)).toMap
+    val agged = e.agg(expr(s"gram_agg(v, $d)")).head().getSeq[Long](0)
+    (0 until d * d).foreach { k =>
+      assert(agged(k) === exploded.getOrElse(k, 0L), s"cell $k")
+    }
+  }
+
   test("null vectors are excluded; empty input yields None") {
     val e = frame(Seq(1L -> Seq(1.0, 0.0)))
       .union(frame(Seq(2L -> Seq(0.0)))
