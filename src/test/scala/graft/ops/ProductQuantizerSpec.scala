@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ProductQuantizer contract: L2 sub-assignment with deterministic
+  * tie-breaks, exact-fixed-point codebook refinement, reconstruction
+  * identity when the corpus IS the codebook, compression shape, and
+  * null/empty cleanliness.
+  */
+class ProductQuantizerSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "v")
+  }
+
+  test("codes pick the L2-nearest entry; reconstruction concatenates winners") {
+    // d=4, m=2, ds=2; 2 seed rows (vec_id 0, 1) that are L2-separated,
+    // and probes that sit near one seed per subspace
+    val e = frame(Seq(
+      0L -> Seq(0.0, 0.0, 10.0, 10.0),
+      1L -> Seq(5.0, 5.0, 0.0, 0.0),
+      2L -> Seq(0.2, -0.1, 0.2, 0.1), // sub0 → code 0, sub1 → code 1
+      3L -> Seq(4.9, 5.2, 9.0, 9.9))) // sub0 → code 1, sub1 → code 0
+    val books = ProductQuantizer.train(e, "v", d = 4, m = 2, k = 2,
+      iters = 0) // iters=0: codebook = the raw seeds, easy to reason about
+    assert(books.map(_.sub) === Seq(0, 1))
+    val enc = ProductQuantizer.encodeDecode(e, "v", books)
+      .select(col("vec_id"), col("codes"), col("dv"), col("dn"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getSeq[Double](2), r.getDouble(3)))).toMap
+    assert(enc(2L)._1 === Seq(0, 1))
+    assert(enc(3L)._1 === Seq(1, 0))
+    // reconstruction = concatenation of the winning sub-centroids
+    assert(enc(2L)._2 === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(enc(3L)._2 === Seq(5.0, 5.0, 10.0, 10.0))
+    // a seed row reconstructs to itself exactly
+    assert(enc(0L)._2 === Seq(0.0, 0.0, 10.0, 10.0))
+    assert(enc(1L)._2 === Seq(5.0, 5.0, 0.0, 0.0))
+    // dn is the left-fold squared norm of the reconstruction
+    assert(enc(3L)._3 === (((0.0 + 5.0 * 5.0) + 5.0 * 5.0) + 10.0 * 10.0)
+      + 10.0 * 10.0)
+  }
+
+  test("refinement moves a code to the exact fixed-point member mean") {
+    // one subspace (m=1), k=1: every row joins code 0, whose refined
+    // vector must be the exact fixed-point mean of all members
+    val e = frame(Seq(0L -> Seq(1.0, 2.0), 1L -> Seq(2.0, 3.0),
+      2L -> Seq(4.0, 7.0)))
+    val books = ProductQuantizer.train(e, "v", d = 2, m = 1, k = 1,
+      iters = 1)
+    val c = books.head.cents.head
+    assert(c.v === Seq((1e9 + 2e9 + 4e9) / 1e9 / 3,
+      (2e9 + 3e9 + 7e9) / 1e9 / 3))
+  }
+
+  test("stored codes are m integers regardless of d") {
+    val e = frame((0L until 20L).map(id =>
+      id -> (0 until 16).map(j => math.cos(id * 13 + j).toDouble)))
+    val books = ProductQuantizer.train(e, "v", d = 16, m = 4, k = 4,
+      iters = 2)
+    assert(books.length === 4)
+    val enc = ProductQuantizer.encodeDecode(e, "v", books)
+    val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_.length === 4))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 4)))
+    // reconstruction always has full dimensionality
+    assert(enc.select("dv").collect().forall(_.getSeq[Double](0).length === 16))
+  }
+
+  test("null vectors are excluded; empty input trains nothing") {
+    val e = frame(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+      .union(frame(Seq(9L -> Seq(0.0)))
+        .withColumn("v", lit(null).cast("array<double>")))
+    val books = ProductQuantizer.train(e, "v", d = 2, m = 1, k = 2,
+      iters = 1)
+    assert(ProductQuantizer.encodeDecode(e, "v", books)
+      .select("vec_id").collect().map(_.getLong(0)).sorted === Seq(0L, 1L))
+    assert(ProductQuantizer.train(frame(Seq.empty), "v", 2, 1, 2, 1).isEmpty)
+  }
+}
