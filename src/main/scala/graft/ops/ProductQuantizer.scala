@@ -129,4 +129,76 @@ object ProductQuantizer {
       .withColumn("dv", flatten(array(best.map(_.getField("cv")): _*)))
       .withColumn("dn", expr("dot_product(dv, dv)"))
   }
+
+  /** Materialize the IVF-PQ index: each row stored as its coarse bucket
+    * plus `m` code ints — the ONLY per-row state the serving side needs
+    * (the full vectors stay in cold storage). Partitioned by bucket so
+    * probes prune directories exactly like [[VectorIndex.buildIvf]];
+    * at (d=64, m=4) the hot index is ~128× smaller than the IVF-Flat
+    * store, which is what keeps a 100 TB corpus's ANN index resident.
+    * Incremental appends follow [[VectorIndex.appendToIvf]]'s pattern:
+    * bucket + codes depend only on the frozen models and the row itself.
+    * `e` must carry (vec_id, `vecCol`, nrm) — the same corpus frame every
+    * vector query builds.
+    */
+  def buildStore(e: DataFrame, vecCol: String, books: Seq[Codebook],
+      cents: Seq[Centroid], path: String): Unit =
+    encodeDecode(e, vecCol, books)
+      .withColumn("bucket", VectorIndex.assignBucket(cents, vecCol, "nrm"))
+      .select(col("vec_id"), col("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Reconstruct `dv`/`dn` from STORED codes (no original vectors): per
+    * subspace, a literal code→sub-centroid map lookup — map-only, the
+    * codebooks are broadcast model state.
+    */
+  def decodeFromCodes(stored: DataFrame, books: Seq[Codebook]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stored.sparkSession)
+    val subs = books.map(b =>
+      element_at(
+        typedLit(b.cents.map(c => c.id.toInt -> c.v).toMap),
+        col("codes").getItem(b.sub)))
+    stored
+      .withColumn("dv", flatten(array(subs: _*)))
+      .withColumn("dn", expr("dot_product(dv, dv)"))
+  }
+
+  /** Serving probe over a materialized store: read codes from the
+    * `nprobe` nearest bucket partitions (dynamic partition pruning via
+    * the broadcast probe frame, like [[VectorIndex.probe]]), reconstruct
+    * map-side, score asymmetric, rank top-k. `queries` must carry
+    * (query_id, qv, qn).
+    */
+  def probeStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      books: Seq[Codebook],
+      cents: Seq[Centroid],
+      nProbe: Int,
+      topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val idx = decodeFromCodes(spark.read.parquet(path), books)
+    val terms = cents.map(c => struct(
+      (call_function("dot_product", col("qv"), typedLit(c.v))
+        / sqrt(lit(c.nrm) * col("qn"))).as("c"),
+      lit(-c.id).as("nc")))
+    val probes = queries.select(col("query_id"), col("qv"), col("qn"),
+      explode(slice(sort_array(array(terms: _*), asc = false),
+        1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (-col("p.nc")).cast("int").as("bucket"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    idx.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        call_function("dot_product", col("qv"), col("dv"))
+          / sqrt(col("qn") * col("dn")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("approx_cos"))
+  }
 }

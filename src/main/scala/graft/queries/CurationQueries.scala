@@ -18,12 +18,12 @@ object CurationQueries {
   private val cosThreshold = 0.4
   private val nShards = 8
 
-  private val duckCorpus =
+  private[queries] val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
        FROM embeddings WHERE embedding IS NOT NULL"""
 
-  private def duckDot(a: String, b: String) =
+  private[queries] def duckDot(a: String, b: String) =
     s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
 
   /** Exact n-gram decontamination ([[graft.ops.Decontaminate.exactGramHits]]):
@@ -375,13 +375,13 @@ object CurationQueries {
             WHERE ct <= (SELECT SUM(tokens) FROM d) * 6 // 10
             GROUP BY lang ORDER BY lang NULLS FIRST"""))
 
-  private val kmK = 8
-  private val kmIters = 2
+  private[queries] val kmK = 8
+  private[queries] val kmIters = 2
 
   /** One DuckDB Lloyd assignment round against centroid CTE `cin`,
     * emitting (vec_id, v, nrm, bucket, cos) as CTE `aout`.
     */
-  private def duckAssign(cin: String, aout: String): String =
+  private[queries] def duckAssign(cin: String, aout: String): String =
     s"""$aout AS (
          SELECT vec_id, v, nrm, cid AS bucket, cos FROM (
            SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -394,7 +394,7 @@ object CurationQueries {
   /** One DuckDB Lloyd recompute from assignment CTE `ain`: exact
     * fixed-point (1e-9) per-dimension means, centroids as CTE `cout`.
     */
-  private def duckRecompute(ain: String, cout: String): String =
+  private[queries] def duckRecompute(ain: String, cout: String): String =
     s"""${cout}_u AS (
          -- parallel unnest zips each component with its 1-based position
          SELECT bucket, unnest(v) AS val,

@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object PqQuery {
 
-  private val dim = 64
-  private val m = 4 // subspaces
-  private val ds = dim / m
-  private val k = 8 // codes per subspace
-  private val iters = 2
+  private[queries] val dim = 64
+  private[queries] val m = 4 // subspaces
+  private[queries] val ds = dim / m
+  private[queries] val k = 8 // codes per subspace
+  private[queries] val iters = 2
   private val nQueries = 8
   private val topK = 5
 
@@ -65,7 +65,7 @@ object PqQuery {
     * seed, `iters` (assign, recompute) rounds, then the final winning
     * ENTRY per vec_id (code + its centroid vector) as CTE `f<s>`.
     */
-  private def duckSubspace(s: Int): String = {
+  private[queries] def duckSubspace(s: Int): String = {
     val sub = s"s$s"
     val lo = s * ds + 1
     val hi = (s + 1) * ds

@@ -70,6 +70,43 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(enc.select("dv").collect().forall(_.getSeq[Double](0).length === 16))
   }
 
+  test("materialized code store ≡ in-query IVF-PQ, with dynamic " +
+    "partition pruning, storing only m ints per row") {
+    import graft.queries.tbl
+    val e = tbl(spark, sf(), "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("dot_product(v, v)"))
+    val cents = KMeans.lloyd(e, 8, 2)
+    val books = ProductQuantizer.train(e, "v", 64, 4, 8, 2)
+    val path = java.nio.file.Files.createTempDirectory("pq_store").toString
+    ProductQuantizer.buildStore(e, "v", books, cents, path)
+
+    // stored schema is exactly (vec_id, codes) + the bucket partition key
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted === Seq("bucket", "codes", "vec_id"))
+    assert(stored.select("codes").head().getSeq[Int](0).length === 4)
+
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val viaStore = ProductQuantizer.probeStore(
+      spark, path, queries, books, cents, nProbe = 2, topK = 5)
+      .orderBy("query_id", "rnk")
+    val direct = graft.queries.IvfPqQuery.knnIvfPq.spark(spark, sf())
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(key(viaStore) === key(direct))
+    assert(key(direct).nonEmpty)
+
+    viaStore.collect() // finalize AQE before reading the executed plan
+    assert(viaStore.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      "PQ store scan has no dynamic partition pruning")
+  }
+
   test("null vectors are excluded; empty input trains nothing") {
     val e = frame(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
       .union(frame(Seq(9L -> Seq(0.0)))
