@@ -163,6 +163,45 @@ object ProductQuantizer {
       .withColumn("dn", expr("dot_product(dv, dv)"))
   }
 
+  /** Broadcast probe frame: each query row fans out to its `nprobe`
+    * nearest coarse buckets. `queries` must carry (query_id, qv, qn).
+    */
+  def probesOf(queries: DataFrame, cents: Seq[Centroid],
+      nProbe: Int): DataFrame = {
+    val terms = cents.map(c => struct(
+      (call_function("dot_product", col("qv"), typedLit(c.v))
+        / sqrt(lit(c.nrm) * col("qn"))).as("c"),
+      lit(-c.id).as("nc")))
+    queries.select(col("query_id"), col("qv"), col("qn"),
+      explode(slice(sort_array(array(terms: _*), asc = false),
+        1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (-col("p.nc")).cast("int").as("bucket"))
+  }
+
+  /** Scored in-bucket candidates of one decoded index frame: the probe
+    * join broadcasts, so a bucket-partitioned scan underneath gets its
+    * partition list from dynamic partition pruning.
+    */
+  def candidates(idx: DataFrame, probes: DataFrame): DataFrame =
+    idx.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        call_function("dot_product", col("qv"), col("dv"))
+          / sqrt(col("qn") * col("dn")))
+      .select(col("query_id"), col("vec_id"), col("approx_cos"))
+
+  /** Per-query top-k over (possibly unioned) candidate frames. */
+  def rankTopK(cand: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("approx_cos"))
+  }
+
   /** Serving probe over a materialized store: read codes from the
     * `nprobe` nearest bucket partitions (dynamic partition pruning via
     * the broadcast probe frame, like [[VectorIndex.probe]]), reconstruct
@@ -178,27 +217,7 @@ object ProductQuantizer {
       nProbe: Int,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    import org.apache.spark.sql.expressions.Window
     val idx = decodeFromCodes(spark.read.parquet(path), books)
-    val terms = cents.map(c => struct(
-      (call_function("dot_product", col("qv"), typedLit(c.v))
-        / sqrt(lit(c.nrm) * col("qn"))).as("c"),
-      lit(-c.id).as("nc")))
-    val probes = queries.select(col("query_id"), col("qv"), col("qn"),
-      explode(slice(sort_array(array(terms: _*), asc = false),
-        1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        (-col("p.nc")).cast("int").as("bucket"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("approx_cos").desc, col("vec_id"))
-    idx.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("approx_cos",
-        call_function("dot_product", col("qv"), col("dv"))
-          / sqrt(col("qn") * col("dn")))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        col("approx_cos"))
+    rankTopK(candidates(idx, probesOf(queries, cents, nProbe)), topK)
   }
 }
