@@ -179,6 +179,29 @@ object TrainingDataPipeline {
       f"shard=${s.shard} docs=${s.nDocs} tokens=${s.weight} " +
         f"balance=${s.balanceRatio}%.4f"))
 
+    // 8. serving-side index over the corpus embeddings: trained coarse
+    //    quantizer (k-means) + trained PQ codebooks → a materialized
+    //    IVF-PQ code store (m ints per row, bucket-partitioned — probes
+    //    read nprobe directories of an index ~128× smaller than the
+    //    vectors). This is the retrieval index a curated corpus ships
+    //    with; StreamIndex appends later arrivals exactly-once.
+    val evec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("dot_product(v, v)"))
+    val cents2 = graft.ops.KMeans.lloyd(evec, 8, 2)
+    val books = graft.ops.ProductQuantizer.train(evec, "v", 64, 4, 8, 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("pq_index_example").toString + "/index"
+    graft.ops.ProductQuantizer.buildStore(evec, "v", books, cents2, idxDir)
+    val q8 = evec.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    graft.ops.ProductQuantizer.probeStore(
+      spark, idxDir, q8, books, cents2, nProbe = 2, topK = 3)
+      .orderBy("query_id", "rnk").show()
+
     spark.stop()
   }
 }
