@@ -8,13 +8,22 @@ import org.apache.spark.sql.functions._
   * (the "keeper"). This is the step that turns pairwise dedup verdicts
   * (minhash/simhash/cosine pairs) into actionable keep/drop sets.
   *
-  * Implementation: iterative min-label propagation — each round joins the
-  * current labels across the undirected edge set and takes the min of a
-  * node's label and its neighbors' labels. Rounds needed = graph diameter
-  * (near-dup components are tiny — usually 2–3 nodes), each round is one
-  * co-partitioned join + aggregate, nothing on the driver except the
-  * convergence check. The same loop structure GraphFrames uses, without
-  * the dependency.
+  * Implementation: iterative min-label propagation WITH pointer jumping —
+  * each round (a) joins the current labels across the undirected edge set
+  * and takes the min of a node's label and its neighbors' labels (one hop),
+  * then (b) replaces each node's label by its label's OWN label (a pointer
+  * jump — labels are always node ids, so the label frame doubles as the
+  * id→label mapping). The hop moves information one edge per round; the
+  * jump compresses chains geometrically, so convergence needs
+  * O(log diameter) rounds instead of O(diameter) — a 10k-node path
+  * converges in ~14 rounds where plain propagation needs 10k (and with a
+  * bounded iteration budget would silently return PARTIAL labels; we now
+  * throw instead). Near-dup components are usually tiny, but adversarial
+  * corpora produce long similarity chains (a document series with
+  * step-wise drift), and a dedup keeper rule built on wrong components
+  * deletes documents it should keep. Each round is two joins + an
+  * aggregate, nothing on the driver except the convergence check — the
+  * large-star/small-star family's round structure without the dependency.
   */
 object DedupClusters {
 
@@ -40,15 +49,26 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each node, the min label among its neighbors
+      // (a) hop: for each node, the min label among its neighbors
       val neighborMin = undirected
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val hopped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // (b) jump: label := min(label, label[label]). Every label is a node
+      // id (initialized to ids, updated only by mins over ids), so the
+      // label frame itself is the id→label mapping; the left join misses
+      // only for self-labels already at their fixpoint.
+      val mapping = hopped.select(col("id").as("lid"),
+        col("label").as("llabel"))
+      val next = hopped
+        .join(mapping, col("label") === col("lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
@@ -58,6 +78,12 @@ object DedupClusters {
       iter += 1
     }
     undirected.unpersist()
+    // A non-converged result is PARTIALLY labeled — some nodes still carry
+    // a non-minimal label, and a keeper rule acting on it would drop the
+    // wrong documents. Fail loudly; with pointer jumping the default
+    // budget covers components of astronomical diameter (~2^maxIter).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import TextQueries.duckMd5num
+import TextQueries.{duckMd5num, md5numSql}
 
 /** Training-pipeline assembly operators over `documents` — the steps
   * between a cleaned corpus and a training run: sequence packing,
@@ -138,5 +138,40 @@ object PipelineQueries {
             WHERE rn <= quota
             ORDER BY r.lang, rn"""))
 
-  val all: Seq[Q] = Seq(packSequences, repetition, corpusMix)
+  /** Weighted sampling without replacement via priority sampling
+    * (Duffield–Lund–Thorup): each doc gets priority w/u with
+    * u = deterministic-uniform(0,1] from its id hash, and the sample is
+    * the top-k priorities — inclusion probability ∝ weight, reproducible
+    * on any cluster (no RNG state). This is the selection rule that turns
+    * DSIR/quality importance weights into an actual corpus subset. Here
+    * w = n_chars (long docs favored). Scale shape: map-only scoring, then
+    * TakeOrdered top-k — no full sort, no shuffle of the corpus. Priority
+    * is one IEEE division of exact operands, so DuckDB replays it
+    * bit-identically; null/zero-length docs are excluded explicitly on
+    * both sides.
+    */
+  val weightedSample = Q(
+    "q_weighted_sample",
+    (s, dir) => tbl(s, dir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
+        // u in (0,1]: 20 low-order hash bits, never zero
+        ((expr(md5numSql("cast(doc_id as string)")) % lit(1048576L) + lit(1L))
+          .cast("double") / lit(1048576.0)).as("u"))
+      .withColumn("priority", col("w").cast("double") / col("u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("w"),
+        round(col("priority"), 6).as("priority")),
+    Some(s"""SELECT doc_id, lang, w, ROUND(priority, 6) AS priority
+            FROM (
+              SELECT doc_id, lang, n_chars AS w,
+                     CAST(n_chars AS DOUBLE) /
+                       ((${duckMd5num("doc_id::VARCHAR")} % 1048576 + 1)
+                          ::DOUBLE / 1048576.0) AS priority
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0)
+            ORDER BY priority DESC, doc_id LIMIT 50"""))
+
+  val all: Seq[Q] = Seq(packSequences, repetition, corpusMix, weightedSample)
 }

@@ -8,7 +8,7 @@ object Registry {
       RelationalQueries2.all ++ StatsQueries.all ++ ScaleQueries.all ++
       SubqueryQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
       CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
-      PqQuery.all ++ IvfPqQuery.all ++
+      PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 

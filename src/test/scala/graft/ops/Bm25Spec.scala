@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+
+  private val terms = Seq("spark", "vector", "stream", "hash")
+
+  test("materialized index probe equals in-query search exactly") {
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25_store").toString
+    Bm25.buildIndex(docs, "doc_id", "text", path, nBuckets = 16)
+
+    val direct = Bm25.search(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val probed = Bm25.probeIndex(spark, path, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(direct.nonEmpty)
+    assert(probed.toSeq === direct.toSeq)
+  }
+
+  test("probe prunes the postings scan to the query terms' buckets") {
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25_prune").toString
+    Bm25.buildIndex(docs, "doc_id", "text", path, nBuckets = 16)
+    val plan = Bm25.probeIndex(spark, path, "doc_id", terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"), plan)
+    // the pruned scan must touch strictly fewer partitions than exist:
+    // ≤ |terms| buckets of 16 written
+    import spark.implicits._
+    val hit = spark.createDataset(terms)
+      .select(pmod(xxhash64(col("value")), lit(16L)))
+      .as[Long].collect().distinct.length
+    assert(hit < 16)
+  }
+
+  test("scores rank by exact integer and quantization round-trips") {
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+    val out = Bm25.search(docs, "doc_id", "text", terms, topK = 10)
+      .collect()
+    val fps = out.map(_.getLong(2))
+    assert(fps.toSeq === fps.sortBy(-_).toSeq) // descending by score_fp
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / Bm25.Scale) < 1e-6)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= terms.length)
+    }
+  }
+
+  test("null/empty corpus degrades to a typed empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bm25.search(empty, "doc_id", "text", terms).count() === 0)
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(Bm25.search(nulls, "doc_id", "text", terms).count() === 0)
+  }
+}

@@ -24,4 +24,24 @@ class DedupClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).distinct
     assert(out === Array(1L))
   }
+
+  test("adversarial 2000-node chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // a similarity chain of step-wise-drifting docs: diameter 2000.
+    // Plain min-label propagation needs 2000 rounds (and with the default
+    // budget would have returned PARTIAL labels); pointer jumping must
+    // close it within the default maxIter=20 (~log2 diameter rounds).
+    val edges = (1L until 2000L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = DedupClusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out === Array(1L))
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    import spark.implicits._
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(edges, maxIter = 2)
+    }
+  }
 }
