@@ -37,6 +37,17 @@ object GraftFunctions {
         exprs => BigramLogit(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("term_counts",
         exprs => TermCounts(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("vocab_tokenize",
+        exprs => VocabTokenize(exprs(0), exprs(1)), "scala_udf")
+      // bare decimal literals (0.7) eval to Decimal, not a java Number
+      def litD(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+        }
+      reg.createOrReplaceTempFunction("mmr_select",
+        exprs => MmrSelect(exprs.head, litD(exprs(1)),
+          exprs(2).eval().asInstanceOf[Number].intValue), "scala_udf")
       reg.createOrReplaceTempFunction("simhash16",
         exprs => SimHash16(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("simhash60",
