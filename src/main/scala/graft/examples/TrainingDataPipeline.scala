@@ -161,6 +161,16 @@ object TrainingDataPipeline {
     println(s"quality gate: rows=${gates.get("rows")} " +
       (if (violations.isEmpty) "clean" else s"VIOLATIONS: $violations"))
 
+    // 6b. REAL token accounting: train a subword vocabulary on the
+    //     surviving corpus (one bounded aggregate) and count encoded
+    //     subwords — the number the training run actually consumes
+    val vocab = graft.ops.SubwordTokenizer.trainVocab(capped, "text", 48)
+    graft.ops.SubwordTokenizer.tokenize(capped, "text", vocab)
+      .select(col("lang"), size(col("toks")).cast("long").as("subwords"))
+      .groupBy("lang")
+      .agg(sum("subwords").as("total_subwords"), count(lit(1)).as("docs"))
+      .orderBy("lang").show()
+
     // 7. training layout: curriculum phases (easy→hard by length, exact
     //    NTILE without a single-partition window) and token-balanced
     //    shard assignment (global rank, round-robin deal)

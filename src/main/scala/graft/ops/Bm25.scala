@@ -136,6 +136,49 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a document batch to an existing index — the 100 TB shape is
+    * append-only ingestion, not nightly rebuilds. New postings land in
+    * the same `tb=` partitions (same hash, same bucket count, read from
+    * the stats row); the stats row is re-written with the batch's counts
+    * added. Document frequencies are NOT stored — [[scorePostings]]
+    * derives df from the probed postings at query time — so an appended
+    * index serves exactly like a rebuilt one with no maintenance step.
+    * Small files accumulate per partition; fold them periodically with
+    * [[compactIndex]].
+    */
+  def appendToIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val old = spark.read.parquet(s"$path/stats").collect().head
+    val nBuckets = old.getAs[Long]("n_buckets")
+    postings(docs, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.mode("append").partitionBy("tb")
+      .parquet(s"$path/postings")
+    val delta = corpusStats(docs, textCol).collect().head
+    val n = old.getAs[Long]("n") + delta.getAs[Long]("n")
+    val sdl = old.getAs[Long]("sdl") + delta.getAs[Long]("sdl")
+    import spark.implicits._
+    Seq((n, sdl, sdl.toDouble / n.toDouble, nBuckets))
+      .toDF("n", "sdl", "avgdl", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Per-term-bucket small-file compaction of an appended index —
+    * delegates to [[LogCompactor]] over the `tb=` layout. Answers are
+    * unchanged; file counts drop to ⌈bytes/target⌉ per bucket.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[LogCompactor.CompactionReport] =
+    LogCompactor.compact(spark, s"$path/postings", targetFileBytes,
+      partitionPrefix = "tb=")
+
   /** Probe the materialized index. The bucket ids for the query terms are
     * computed up front (a |query|-sized local job — model state, not
     * data) and pushed as literal partition filters, so the postings scan

@@ -443,5 +443,55 @@ object SimilarityQueries {
     },
     knnIvf.oracle)
 
-  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti, knnIvfStore)
+  /** ANN quality evaluation AS a query: per-query recall@k and
+    * reciprocal rank of the IVF leg against the brute-force ground
+    * truth. The eval harness that every ANN deployment runs offline is
+    * here a first-class, oracle-checked operator — both legs are the
+    * production queries themselves (reused verbatim), the metric join is
+    * over two k-row frames, and the arithmetic is exact integer ratios.
+    * Recall denominators use the ground truth's own row count, so
+    * short-corpus edge cases stay well-defined.
+    */
+  val annRecall = Q(
+    "q_ann_recall",
+    (s, dir) => {
+      val brute = knnBrute.spark(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = knnIvf.spark(s, dir)
+        .select(col("query_id"), col("rnk").as("i_rnk"), col("neighbor_id"))
+      val bn = brute.groupBy("query_id").agg(cnt("brute_n"))
+      val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(cnt("n_hit"), min("i_rnk").as("first_hit"))
+      bn.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("brute_n"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("brute_n").cast("double"), 6).as("recall"),
+          round(coalesce(lit(1.0) / col("first_hit").cast("double"),
+            lit(0.0)), 6).as("rr"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH brute AS (${knnBrute.oracle.get}),
+            ivf AS (${knnIvf.oracle.get}),
+            bn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS brute_n
+                   FROM brute GROUP BY query_id),
+            hits AS (
+              SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                     MIN(i.rnk) AS first_hit
+              FROM ivf i JOIN brute b
+                ON i.query_id = b.query_id
+                AND i.neighbor_id = b.neighbor_id
+              GROUP BY i.query_id)
+            SELECT bn.query_id,
+                   COALESCE(n_hit, 0) AS n_hit, brute_n,
+                   ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                     / CAST(brute_n AS DOUBLE), 6) AS recall,
+                   ROUND(COALESCE(1.0 / CAST(first_hit AS DOUBLE), 0.0), 6)
+                     AS rr
+            FROM bn LEFT JOIN hits ON bn.query_id = hits.query_id
+            ORDER BY bn.query_id"""))
+
+  val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti, knnIvfStore,
+    annRecall)
 }

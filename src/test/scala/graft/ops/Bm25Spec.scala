@@ -39,6 +39,32 @@ class Bm25Spec extends SparkSpec {
     assert(hit < 16)
   }
 
+  test("append ≡ rebuild: incremental index serves identical answers") {
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val full = java.nio.file.Files
+      .createTempDirectory("bm25_full").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("bm25_inc").toString
+    Bm25.buildIndex(docs, "doc_id", "text", full, nBuckets = 16)
+    Bm25.buildIndex(half1, "doc_id", "text", inc, nBuckets = 16)
+    Bm25.appendToIndex(half2, "doc_id", "text", inc)
+
+    val want = Bm25.probeIndex(spark, full, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Bm25.probeIndex(spark, inc, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+
+    // compaction folds the doubled files per bucket, answers intact
+    val reports = Bm25.compactIndex(spark, inc, targetFileBytes = 1L << 30)
+    assert(reports.nonEmpty)
+    val after = Bm25.probeIndex(spark, inc, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq === want.toSeq)
+  }
+
   test("scores rank by exact integer and quantization round-trips") {
     val docs = graft.queries.tbl(spark, sf(), "documents")
     val out = Bm25.search(docs, "doc_id", "text", terms, topK = 10)
