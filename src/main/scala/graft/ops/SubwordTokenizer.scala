@@ -26,38 +26,34 @@ import org.apache.spark.sql.functions._
   */
 object SubwordTokenizer {
 
-  /** Char n-grams (2..4) of a word, as a SQL fragment over column `word`
-    * — empty per-n slice when the word is shorter than n (mirroring the
-    * oracle's empty generate_series, NOT a truncated full-word gram).
-    */
-  private val gramsExpr =
-    """flatten(transform(sequence(2, 4), n ->
-         if(length(word) >= n,
-            transform(sequence(1, length(word) - n + 1),
-                      i -> substring(word, i, n)),
-            array_remove(array(''), ''))))"""
-
   /** Train the vocabulary: all observed single codepoints ∪ top-k
     * n-grams (n = 2..4) by (count DESC, gram ASC). Bounded model state —
     * the collect is ≤ k + alphabet strings.
+    *
+    * One corpus pass: the native [[graft.functions.CharGramCounts]]
+    * kernel collapses gram occurrences per document in the projection,
+    * so the exchange carries one row per distinct gram per doc (not per
+    * occurrence), and the aggregated frame — vocabulary-sized, bounded
+    * by alphabet^4 — serves both the top-k selection and the singles
+    * set. Counts are identical to the per-occurrence formulation the
+    * oracle replays.
     */
   def trainVocab(docs: DataFrame, textCol: String, k: Int): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.filter(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-    val top = words
-      .select(explode(expr(gramsExpr)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(explode(expr(s"char_gram_counts(split($textCol, ' '))"))
+        .as("gc"))
+      .groupBy(col("gc.g").as("g")).agg(sum("gc.c").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = grams.filter(length(col("g")) >= 2)
       .orderBy(col("c").desc, col("g"))
       .limit(k)
       .select("g").as[String].collect().toSeq
-    val singles = words
-      .select(explode(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .as("g"))
-      .distinct().as[String].collect().toSeq
+    val singles = grams.filter(length(col("g")) === 1)
+      .select("g").as[String].collect().toSeq
+    grams.unpersist()
     (singles ++ top).distinct.sorted
   }
 

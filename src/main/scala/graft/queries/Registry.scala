@@ -9,7 +9,7 @@ object Registry {
       SubqueryQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
       CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
       PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
-      TokenizeQuery.all ++
+      TokenizeQuery.all ++ CdcQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
