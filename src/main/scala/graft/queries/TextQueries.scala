@@ -266,6 +266,87 @@ object TextQueries {
             FROM wi
             ORDER BY doc_id, chunk_idx"""))
 
+  /** Corpus n-gram diversity per language — the mode-collapse detector
+    * for synthetic/generated data: distinct 3-grams across the corpus ÷
+    * total per-document distinct 3-grams. 1.0 = no gram shared between
+    * any two documents; a collapsing generator (many documents reusing
+    * the same phrasing) drags it toward 0 long before exact or near-dup
+    * rules fire. Complements `q_repetition` (which scores repetition
+    * WITHIN a document). Grams travel as the 60-bit `shingle_hashes`
+    * digests — 8-byte longs through the (lang, gram) distinct, never
+    * strings; the oracle replays the digest identity.
+    */
+  val ngramDiversity = Q(
+    "q_ngram_diversity",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"),
+          expr("shingle_hashes(split(text, ' '), 3)").as("gs"))
+        .filter(size(col("gs")) > 0) // docs shorter than n: no grams
+      docs.select(col("lang"), explode(col("gs")).as("g"))
+        .groupBy("lang")
+        .agg(countDistinct(col("g")).as("n_distinct"),
+          count(lit(1)).as("n_total"))
+        .withColumn("diversity",
+          round(col("n_distinct").cast("double") /
+            col("n_total").cast("double"), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH g AS (
+              SELECT lang,
+                     list_distinct([${duckMd5num(
+      "list_aggr(list_slice(w, i, i + 2), 'string_agg', ' ')")}
+                       for i in generate_series(1, len(w) - 2)]) AS gs
+              FROM (SELECT lang, string_split(text, ' ') AS w
+                    FROM documents
+                    WHERE text IS NOT NULL AND lang IS NOT NULL)
+              WHERE len(w) >= 3),
+            ex AS (SELECT lang, unnest(gs) AS g FROM g)
+            SELECT lang, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6)
+                     AS diversity
+            FROM ex GROUP BY lang
+            ORDER BY lang"""))
+
+  /** k-anonymity report over the events stream (k = 5): group sizes on
+    * the quasi-identifier pair (user-id bucket, event type), then a
+    * per-type enforcement summary — rows whose QI group has fewer than k
+    * members would be SUPPRESSED before release (the
+    * generalize-or-suppress rule; the companion to `q_redact_pii`, which
+    * scrubs content while this bounds linkability). Two aggregates, both
+    * map-side combining; group-size state is bounded by the QI domain,
+    * never row count.
+    */
+  val kAnonymity = Q(
+    "q_kanonymity",
+    (s, dir) => {
+      val qi = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select((col("user_id") % 100).as("ub"), col("event_type"))
+      qi.groupBy("ub", "event_type").agg(cnt("gn"))
+        .groupBy("event_type")
+        .agg(sum("gn").as("n_rows"), cnt("n_groups"),
+          sum(when(col("gn") < 5, col("gn")).otherwise(0L))
+            .as("n_suppressed"),
+          min("gn").as("min_group"))
+        .orderBy("event_type")
+    },
+    Some("""WITH qi AS (
+              SELECT user_id % 100 AS ub, event_type FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            g AS (
+              SELECT ub, event_type, COUNT(*) AS gn
+              FROM qi GROUP BY ub, event_type)
+            SELECT event_type, CAST(SUM(gn) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+                     AS n_suppressed,
+                   CAST(MIN(gn) AS BIGINT) AS min_group
+            FROM g GROUP BY event_type
+            ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    multimodalFeatures, redactPii, chunkDocs)
+    multimodalFeatures, redactPii, chunkDocs, ngramDiversity, kAnonymity)
 }
