@@ -45,30 +45,51 @@ object Bench {
     // same burst costs one rep of many queries and each query's min comes
     // from a burst-free rep minutes apart.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    def runOnce(q: graft.queries.Q): Double = {
+    // A query that throws must record an ERROR, never a wall-time: round 5
+    // benched 6 analysis-failing queries as 0.057–0.065 s rows, which read
+    // as a 10× speedup in the artifact. Right = None + message.
+    def runOnce(q: graft.queries.Q): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val res =
+        try {
+          q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
       // frames persisted inside a query (minhash signatures, tf) are
       // dead after its run — drop them so later queries get full memory
       spark.catalog.clearCache()
-      dt
+      res
     }
     val times = Array.fill(headline.length)(List.empty[Double])
+    val errors = Array.fill[Option[String]](headline.length)(None)
     for (_ <- 1 to reps; (q, i) <- headline.zipWithIndex)
-      times(i) ::= runOnce(q)
-    val results = headline.zipWithIndex.map { case (q, i) =>
-      (q.name, times(i).min, times(i).max / times(i).min)
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      if (errors(i).isEmpty) runOnce(q) match {
+        case Right(dt) => times(i) ::= dt
+        case Left(msg) => errors(i) = Some(msg)
+      }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = headline.zipWithIndex.filter { case (_, i) => errors(i).isEmpty }
+      .map { case (q, i) => (q.name, times(i).min, times(i).max / times(i).min) }
+    val failed = headline.zipWithIndex
+      .collect { case (q, i) if errors(i).isDefined => (q.name, errors(i).get) }
+    val qs = ok.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, s) => "\"" + k + f"\":$s%.2f" }
+    val spread = ok.map { case (k, _, s) => "\"" + k + f"\":$s%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"stat":"min","sf":"$sfDir"}""")
+    val errJson = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"n_ok":${ok.length},"n_err":${failed.length},"reps":$reps,"stat":"min","sf":"$sfDir"}""")
     spark.stop()
+    // Nonzero rc on any failed query: a bench with missing rows must not
+    // pass for a clean (faster) run.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -55,6 +55,12 @@ object Verify {
     // accumulation is bounded by one sweep (tens of MB at sf0.1) and
     // freed before the session is reused.
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(todo.size)
+    // Every query that throws lands here and in _failures.json — round 5
+    // proved that stderr-only reporting lets a 15-query regression read as
+    // a clean artifact (the driver's compare simply skipped the missing
+    // output dirs).
+    val failures =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     todo.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
@@ -64,6 +70,8 @@ object Verify {
           }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            failures.put(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
           }
           finally {
             if (inFlight.decrementAndGet() == 0 &&
@@ -90,6 +98,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing failure manifest: always written (empty object when
+    // clean) so its ABSENCE is also a signal, and a consumer reading only
+    // the output dir can distinguish "all green" from "silently skipped".
+    import scala.jdk.CollectionConverters._
+    val failJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
+    // rc stays 0 even on per-query failure: the driver must still run the
+    // DuckDB compare over every query that DID produce output (a nonzero
+    // exit could abort the whole correctness pass and hide the green
+    // majority). The manifest + stderr banner carry the failure signal.
+    if (!failures.isEmpty)
+      System.err.println(
+        s"[verify] ${failures.size}/${todo.size} queries FAILED — see $outDir/_failures.json")
   }
 }

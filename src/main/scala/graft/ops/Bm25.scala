@@ -131,20 +131,74 @@ object Bm25 {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings")
-    corpusStats(docs, textCol)
+    corpusStats(docs, textCol).drop("avgdl")
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Aggregate the stats DELTA LEDGER to the one-row (n, sdl, avgdl,
+    * n_buckets) frame the scorer consumes. The store keeps one delta row
+    * per ingested batch instead of one mutable total: summing commutes,
+    * so concurrent appends cannot lose each other's contribution (the
+    * old read-modify-overwrite row lost a delta whenever two appends
+    * interleaved — last writer won).
+    */
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/stats")
+      .agg(sum("n").cast("long").as("n"), sum("sdl").cast("long").as("sdl"),
+        max("n_buckets").cast("long").as("n_buckets"))
+      .withColumn("avgdl",
+        col("sdl").cast("double") / col("n").cast("double"))
+
+  /** Stage-write `df` to a unique sibling directory, then move the data
+    * files into `destDir` (preserving `c=v` partition subdirs) with
+    * per-file atomic renames. Two concurrent `df.write.mode("append")`
+    * calls on one directory share `destDir/_temporary` and can delete
+    * each other's in-flight task output; unique staging dirs remove the
+    * shared mutable path entirely, and Spark's UUID part-file names
+    * guarantee no rename collision. Readers list the destination, so
+    * each file becomes visible atomically.
+    */
+  private def stageInto(
+      df: DataFrame, partCol: Option[String], destDir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val staging = Paths.get(destDir).toAbsolutePath.getParent
+      .resolve(s".staging-${java.util.UUID.randomUUID}")
+    val w = df.write.mode("overwrite")
+    partCol.fold(w)(w.partitionBy(_)).parquet(staging.toString)
+    val walk = Files.walk(staging)
+    try {
+      walk.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.forEach { p =>
+        val dest = Paths.get(destDir).resolve(staging.relativize(p))
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally walk.close()
+    val rm = Files.walk(staging)
+    try
+      rm.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    finally rm.close()
   }
 
   /** Append a document batch to an existing index — the 100 TB shape is
     * append-only ingestion, not nightly rebuilds. New postings land in
     * the same `tb=` partitions (same hash, same bucket count, read from
-    * the stats row); the stats row is re-written with the batch's counts
-    * added. Document frequencies are NOT stored — [[scorePostings]]
-    * derives df from the probed postings at query time — so an appended
-    * index serves exactly like a rebuilt one with no maintenance step.
-    * Small files accumulate per partition; fold them periodically with
-    * [[compactIndex]].
+    * the ledger) via staged atomic moves, and the batch's corpus counts
+    * land as a NEW delta row in the stats ledger — nothing is read,
+    * modified and rewritten, so interleaved appends commute and none is
+    * lost (spec-proven with genuinely concurrent appends in Bm25Spec).
+    * Postings are moved before the delta row, so a reader never sees a
+    * batch counted in the stats that has no postings on disk — at worst
+    * it scores fresh postings against slightly stale corpus totals,
+    * which the next listing heals. Document frequencies are NOT stored —
+    * [[scorePostings]] derives df from the probed postings at query time
+    * — so an appended index serves exactly like a rebuilt one with no
+    * maintenance step. Small files accumulate per partition; fold them
+    * periodically with [[compactIndex]].
     */
   def appendToIndex(
       docs: DataFrame,
@@ -152,19 +206,17 @@ object Bm25 {
       textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
-    val old = spark.read.parquet(s"$path/stats").collect().head
-    val nBuckets = old.getAs[Long]("n_buckets")
-    postings(docs, idCol, textCol)
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
-      .write.mode("append").partitionBy("tb")
-      .parquet(s"$path/postings")
-    val delta = corpusStats(docs, textCol).collect().head
-    val n = old.getAs[Long]("n") + delta.getAs[Long]("n")
-    val sdl = old.getAs[Long]("sdl") + delta.getAs[Long]("sdl")
     import spark.implicits._
-    Seq((n, sdl, sdl.toDouble / n.toDouble, nBuckets))
-      .toDF("n", "sdl", "avgdl", "n_buckets")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .agg(max("n_buckets")).as[Long].head()
+    stageInto(
+      postings(docs, idCol, textCol)
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets))),
+      Some("tb"), s"$path/postings")
+    stageInto(
+      corpusStats(docs, textCol).drop("avgdl")
+        .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
+      None, s"$path/stats")
   }
 
   /** Per-term-bucket small-file compaction of an appended index —
@@ -194,7 +246,7 @@ object Bm25 {
       b: String = "0.75",
       topK: Int = 20): DataFrame = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = readStats(spark, path)
     val nBuckets = stats.select(col("n_buckets")).as[Long].head()
     val buckets = spark.createDataset(terms)
       .select(pmod(xxhash64(col("value")), lit(nBuckets)))

@@ -443,54 +443,84 @@ object SimilarityQueries {
     },
     knnIvf.oracle)
 
-  /** ANN quality evaluation AS a query: per-query recall@k and
-    * reciprocal rank of the IVF leg against the brute-force ground
-    * truth. The eval harness that every ANN deployment runs offline is
-    * here a first-class, oracle-checked operator — both legs are the
-    * production queries themselves (reused verbatim), the metric join is
-    * over two k-row frames, and the arithmetic is exact integer ratios.
-    * Recall denominators use the ground truth's own row count, so
-    * short-corpus edge cases stay well-defined.
+  /** ANN quality evaluation AS a query: per-(index, query) recall@k and
+    * reciprocal rank of EVERY approximate index — IVF (flat), PQ, and the
+    * composed IVF-PQ — against the brute-force ground truth. The eval
+    * harness every ANN deployment runs offline is here a first-class,
+    * oracle-checked operator: all four legs are the production queries
+    * themselves (reused verbatim, including their trainings), the metric
+    * join is over k-row frames, and the arithmetic is exact integer
+    * ratios. Recall denominators use the ground truth's own row count
+    * (ground truth is top-10; the PQ legs serve top-5, so their ceiling
+    * is 0.5 by construction — that asymmetry is the honest serving
+    * number: "of the true 10, how many does a 5-deep probe return").
+    * The 100 TB decision this feeds: whether the 128×-smaller PQ
+    * resident index is accurate enough to replace IVF-Flat.
     */
   val annRecall = Q(
     "q_ann_recall",
     (s, dir) => {
+      import s.implicits._
       val brute = knnBrute.spark(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = knnIvf.spark(s, dir)
-        .select(col("query_id"), col("rnk").as("i_rnk"), col("neighbor_id"))
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("idx"), col("query_id"),
+          col("rnk").cast("long").as("i_rnk"), col("neighbor_id"))
+      val approx = leg("ivf", knnIvf.spark(s, dir))
+        .unionByName(leg("pq", PqQuery.knnPq.spark(s, dir)))
+        .unionByName(leg("ivfpq", IvfPqQuery.knnIvfPq.spark(s, dir)))
       val bn = brute.groupBy("query_id").agg(cnt("brute_n"))
-      val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id")
+      // every (index, query) pair must emit a row, hits or not — a
+      // zero-recall index that silently vanishes from the eval is how
+      // a broken serving index ships
+      val base = Seq("ivf", "pq", "ivfpq").toDF("idx").crossJoin(bn)
+      val hits = approx.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy("idx", "query_id")
         .agg(cnt("n_hit"), min("i_rnk").as("first_hit"))
-      bn.join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
+      base.join(hits, Seq("idx", "query_id"), "left")
+        .select(col("idx"), col("query_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("brute_n"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double")
             / col("brute_n").cast("double"), 6).as("recall"),
           round(coalesce(lit(1.0) / col("first_hit").cast("double"),
             lit(0.0)), 6).as("rr"))
-        .orderBy("query_id")
+        .orderBy("idx", "query_id")
     },
     Some(s"""WITH brute AS (${knnBrute.oracle.get}),
             ivf AS (${knnIvf.oracle.get}),
+            pq AS (${PqQuery.knnPq.oracle.get}),
+            ivfpq AS (${IvfPqQuery.knnIvfPq.oracle.get}),
+            approx AS (
+              SELECT 'ivf' AS idx, query_id,
+                     CAST(rnk AS BIGINT) AS i_rnk, neighbor_id FROM ivf
+              UNION ALL
+              SELECT 'pq', query_id, CAST(rnk AS BIGINT), neighbor_id
+              FROM pq
+              UNION ALL
+              SELECT 'ivfpq', query_id, CAST(rnk AS BIGINT), neighbor_id
+              FROM ivfpq),
             bn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS brute_n
                    FROM brute GROUP BY query_id),
+            base AS (
+              SELECT l.idx, bn.query_id, bn.brute_n
+              FROM (SELECT unnest(['ivf', 'pq', 'ivfpq']) AS idx) l
+              CROSS JOIN bn),
             hits AS (
-              SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
-                     MIN(i.rnk) AS first_hit
-              FROM ivf i JOIN brute b
-                ON i.query_id = b.query_id
-                AND i.neighbor_id = b.neighbor_id
-              GROUP BY i.query_id)
-            SELECT bn.query_id,
+              SELECT a.idx, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                     MIN(a.i_rnk) AS first_hit
+              FROM approx a JOIN brute b
+                ON a.query_id = b.query_id
+                AND a.neighbor_id = b.neighbor_id
+              GROUP BY a.idx, a.query_id)
+            SELECT base.idx, base.query_id,
                    COALESCE(n_hit, 0) AS n_hit, brute_n,
                    ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
                      / CAST(brute_n AS DOUBLE), 6) AS recall,
                    ROUND(COALESCE(1.0 / CAST(first_hit AS DOUBLE), 0.0), 6)
                      AS rr
-            FROM bn LEFT JOIN hits ON bn.query_id = hits.query_id
-            ORDER BY bn.query_id"""))
+            FROM base LEFT JOIN hits
+              ON base.idx = hits.idx AND base.query_id = hits.query_id
+            ORDER BY base.idx, base.query_id"""))
 
   val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti, knnIvfStore,
     annRecall)

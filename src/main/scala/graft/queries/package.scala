@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the oracle-checked query registry.
   *
@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.DecimalType
   *   - Sums of doubles are order-dependent; cast operands to exact decimals
   *     first, round the exact decimal sum, then cast to double. Both engines
   *     then produce bit-identical values.
-  *   - Never emit raw timestamps (testdata `ts` is ns; Spark truncates to µs
-  *     while DuckDB keeps ns). Emit `unix_micros`/`epoch_us` bigints or
+  *   - Never emit raw timestamps (engines disagree on sub-second rendering
+  *     and timezone attachment). Emit `unix_micros`/`epoch_us` bigints or
   *     formatted strings instead, and order by those.
   *   - Every query ends in a total ORDER BY over a unique key set.
   */
@@ -28,15 +28,36 @@ package object queries {
       bench: Boolean = false)
 
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // testdata `events.ts` is TIMESTAMP(NANOS), which Spark rejects by
-    // default; read it as a ns-epoch long and derive µs/timestamps
-    // explicitly (DuckDB oracle side uses epoch_us for the same floor).
+    // testdata `events.ts` has shipped as both TIMESTAMP(NANOS) (which
+    // Spark only reads as a ns-epoch long under the legacy flag) and
+    // TIMESTAMP(MICROS). Accept both and normalize below.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→Timestamp casts in normalizeTs use the session zone; pin UTC so
+    // the derived epochs match DuckDB's epoch_us over the same naive values.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.ensureRegistered(s)
-    s.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** events.ts (ns-epoch long) → µs-epoch long, matching DuckDB epoch_us. */
+  /** Engine-internal contract: `ts` is a ns-epoch long. The testdata has
+    * shipped it as ns-long (legacy nanos parquet) and as a µs timestamp /
+    * TIMESTAMP_NTZ; normalize every accepted shape to the ns-long contract
+    * so downstream arithmetic (`ts div 1000`, ns-epoch literals) is
+    * type-stable. 2026 ns epochs are ~1.8e18, well inside Long range.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
+  /** events.ts (ns-epoch long after [[normalizeTs]]) → µs-epoch long,
+    * matching DuckDB epoch_us. */
   def tsMicros: Column = expr("ts div 1000")
 
   /** Exact money-ish operand: double → DECIMAL(14,4). */

@@ -65,6 +65,45 @@ class Bm25Spec extends SparkSpec {
     assert(after.toSeq === want.toSeq)
   }
 
+  test("two concurrent appends lose no delta (commutative stats ledger)") {
+    // the old store kept ONE mutable stats row that each append
+    // read-modified-overwrote: two interleaved appends both read the same
+    // base and the last writer erased the other's delta. The ledger keeps
+    // one delta row per batch and readers sum — appends commute. This
+    // test runs the two appends GENUINELY concurrently on two threads.
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+    val part0 = docs.filter(col("doc_id") % 3 === 0)
+    val part1 = docs.filter(col("doc_id") % 3 === 1)
+    val part2 = docs.filter(col("doc_id") % 3 === 2)
+    val full = java.nio.file.Files
+      .createTempDirectory("bm25_cfull").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("bm25_cinc").toString
+    Bm25.buildIndex(docs, "doc_id", "text", full, nBuckets = 16)
+    Bm25.buildIndex(part0, "doc_id", "text", inc, nBuckets = 16)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appends = Seq(part1, part2).map(p => Future {
+      Bm25.appendToIndex(p, "doc_id", "text", inc)
+    })
+    Await.result(Future.sequence(appends), 5.minutes)
+
+    // ledger carries one delta row per batch; totals are exact
+    val ledger = spark.read.parquet(s"$inc/stats").collect()
+    assert(ledger.length === 3)
+    val stats = Bm25.readStats(spark, inc).collect().head
+    assert(stats.getAs[Long]("n") ===
+      docs.filter(col("text").isNotNull).count())
+
+    val want = Bm25.probeIndex(spark, full, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Bm25.probeIndex(spark, inc, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("scores rank by exact integer and quantization round-trips") {
     val docs = graft.queries.tbl(spark, sf(), "documents")
     val out = Bm25.search(docs, "doc_id", "text", terms, topK = 10)

@@ -62,7 +62,7 @@ def main():
                          if x is not None and i % 11 == 3)
             note = f" ({n_long} docs inflated to 2000+3*doc_id words)"
         elif t == "events":
-            # copy via pyarrow to preserve TIMESTAMP(NANOS)
+            # copy via pyarrow to preserve the source ts type (ns or µs)
             import pyarrow.parquet as pq
             tbl = pq.read_table(src)
             pq.write_table(tbl, dst)

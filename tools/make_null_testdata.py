@@ -33,8 +33,9 @@ RULES = {
 
 
 def null_inject_arrow(src, dst, rules):
-    """pyarrow path: preserves the physical schema exactly (events.ts is
-    TIMESTAMP(NANOS), which DuckDB would silently truncate to µs)."""
+    """pyarrow path: preserves the physical schema exactly — events.ts has
+    shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS); the mirror must
+    carry whichever the source has (DuckDB rewriting would coerce it)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

@@ -22,8 +22,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def skew_events_arrow(src, dst):
-    """pyarrow path (preserves TIMESTAMP(NANOS)): user_id % 3 == 0 rows
-    all collapse onto user 0."""
+    """pyarrow path (preserves the source ts type, ns or µs): user_id % 3
+    == 0 rows all collapse onto user 0."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

@@ -55,7 +55,7 @@ def main():
             n = tbl.num_rows
             note = " (doc_id%5 rewritten to unicode)"
         elif t == "events":
-            # copy via pyarrow to preserve TIMESTAMP(NANOS)
+            # copy via pyarrow to preserve the source ts type (ns or µs)
             import pyarrow.parquet as pq
             tbl = pq.read_table(src)
             pq.write_table(tbl, dst)
