@@ -9,7 +9,7 @@ object Registry {
       SubqueryQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
       CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
       PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
-      TokenizeQuery.all ++ CdcQuery.all ++
+      TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
