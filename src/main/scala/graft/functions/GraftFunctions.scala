@@ -41,6 +41,8 @@ object GraftFunctions {
         exprs => VocabTokenize(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("char_gram_counts",
         exprs => CharGramCounts(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("norm_text",
+        exprs => NormText(exprs.head), "scala_udf")
       // bare decimal literals (0.7) eval to Decimal, not a java Number
       def litD(e: org.apache.spark.sql.catalyst.expressions.Expression) =
         e.eval() match {

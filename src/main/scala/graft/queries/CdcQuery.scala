@@ -121,5 +121,75 @@ object CdcQuery {
             FROM v WHERE NOT is_delete
             ORDER BY user_id, valid_from"""))
 
-  val all: Seq[Q] = Seq(cdcMerge, scd2History)
+  /** Point-in-time dimension join — the fact-to-SCD2 lookup every
+    * warehouse needs: each purchase (fact) is joined to the profile
+    * version that was LIVE at purchase time, where the profile dimension
+    * is built from `signup` upserts and `error` deletes under the same
+    * (key, seq) LWW lattice as [[cdcMerge]]. Expressed as an AS-OF join
+    * of facts against the deduped CHANGE log ([[graft.ops.AsOfJoin]] —
+    * one key shuffle, no interval expansion: matching the latest change
+    * ≤ t and nulling tombstones is equivalent to probing the derived
+    * [valid_from, valid_to) intervals, without materializing them or
+    * paying a range join). Purchases before any profile change, and
+    * purchases whose latest change is a delete, both surface as
+    * `has_dim = false` — the rows a naive inner range-join silently
+    * drops. The oracle runs DuckDB's native ASOF LEFT JOIN over the
+    * identically-deduped change log.
+    */
+  val pitJoin = Q(
+    "q_pit_join",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), tsMicros.as("tus"), col("event_type"),
+          (col("event_type") === "error").as("is_delete"),
+          col("value").isNull.as("vn"), col("value"), col("event_id"))
+      val changes = ev
+        .filter(col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "tus")
+        .agg(max(struct(col("is_delete"), col("vn"), col("value")))
+          .as("w"))
+        .select(col("user_id"), col("tus"), col("tus").as("vseq"),
+          col("w.is_delete").as("is_delete"), col("w.value").as("value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tus")
+      val live = col("asof_vseq").isNotNull && !col("asof_is_delete")
+      graft.ops.AsOfJoin.asOf(facts, changes, key = "user_id",
+          ts = "tus", rightCols = Seq("vseq", "is_delete", "value"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          when(live, col("asof_vseq")).otherwise(lit(-1L)).as("dim_seq"),
+          when(live, round(col("asof_value"), 6)).as("dim_value"),
+          live.as("has_dim"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_type,
+                     event_type = 'error' AS is_delete,
+                     value IS NULL AS vn, value, event_id
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            ch AS (
+              SELECT user_id, tus,
+                     MAX(struct_pack(is_delete := is_delete, vn := vn,
+                                     value := value)) AS w
+              FROM ev WHERE event_type IN ('signup', 'error')
+              GROUP BY user_id, tus),
+            chf AS (
+              SELECT user_id, tus AS seq, w.is_delete AS is_delete,
+                     w.value AS value
+              FROM ch),
+            f AS (
+              SELECT event_id, user_id, tus FROM ev
+              WHERE event_type = 'purchase')
+            SELECT f.event_id, f.user_id, f.tus,
+                   CASE WHEN c.seq IS NOT NULL AND NOT c.is_delete
+                        THEN c.seq ELSE -1 END AS dim_seq,
+                   CASE WHEN c.seq IS NOT NULL AND NOT c.is_delete
+                        THEN ROUND(c.value, 6) END AS dim_value,
+                   c.seq IS NOT NULL AND NOT c.is_delete AS has_dim
+            FROM f ASOF LEFT JOIN chf c
+              ON f.user_id = c.user_id AND f.tus >= c.seq
+            ORDER BY f.event_id"""))
+
+  val all: Seq[Q] = Seq(cdcMerge, scd2History, pitJoin)
 }

@@ -10,6 +10,7 @@ object Registry {
       CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
       PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
       TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
+      NormalizeQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
