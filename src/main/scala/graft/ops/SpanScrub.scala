@@ -96,9 +96,13 @@ object SpanScrub {
     val t = tiles(batch, idCol, textCol, tileWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ledgerExists = new java.io.File(ledgerPath).exists()
+    // distinct: the ledger is semantically a SET — a crash-replayed
+    // append may have written the same hashes twice, and a duplicated
+    // ledger row would otherwise EXPAND the membership join
     val seen =
       if (ledgerExists)
-        spark.read.parquet(ledgerPath).select(col("h"), lit(true).as("_old"))
+        spark.read.parquet(ledgerPath).select(col("h")).distinct()
+          .select(col("h"), lit(true).as("_old"))
       else {
         import spark.implicits._
         Seq.empty[Long].toDF("h").select(col("h"), lit(true).as("_old"))
@@ -120,4 +124,35 @@ object SpanScrub {
     t.unpersist()
     out
   }
+
+  /** Streaming scrub: fold a document STREAM through the persistent tile
+    * ledger, one [[scrubIncremental]] per micro-batch, appending scrubbed
+    * documents to `outPath`. Cross-batch dedup comes from the ledger, so
+    * a span first seen in micro-batch 3 is deleted from every later
+    * batch — state the engine's `dropDuplicates` cannot express (it
+    * dedups rows, not sub-document spans). Crash safety: the source
+    * checkpoint replays an unacknowledged batch; a replayed ledger
+    * append only re-adds hashes the SET semantics ignore (reads are
+    * distinct), so the ledger converges — the scrubbed OUTPUT of a
+    * replayed batch is the one non-idempotent artifact (its tiles are
+    * now all "seen"), the same at-least-once caveat every
+    * foreachBatch-parquet sink carries unless wrapped in
+    * [[graft.streaming.IdempotentSink]].
+    */
+  def streamScrub(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tileWords: Int,
+      ledgerPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scrubIncremental(batch, idCol, textCol, tileWords, ledgerPath)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
 }

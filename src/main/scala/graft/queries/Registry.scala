@@ -10,7 +10,7 @@ object Registry {
       CurationQueries.all ++ FilterQueries.all ++ PcaQuery.all ++
       PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
       TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
-      NormalizeQuery.all ++
+      NormalizeQuery.all ++ FilterGateQuery.all ++ QuantizeQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
