@@ -469,11 +469,13 @@ object SimilarityQueries {
       val approx = leg("ivf", knnIvf.spark(s, dir))
         .unionByName(leg("pq", PqQuery.knnPq.spark(s, dir)))
         .unionByName(leg("ivfpq", IvfPqQuery.knnIvfPq.spark(s, dir)))
+        .unionByName(leg("int8", QuantizeQuery.knnInt8.spark(s, dir)))
       val bn = brute.groupBy("query_id").agg(cnt("brute_n"))
       // every (index, query) pair must emit a row, hits or not — a
       // zero-recall index that silently vanishes from the eval is how
       // a broken serving index ships
-      val base = Seq("ivf", "pq", "ivfpq").toDF("idx").crossJoin(bn)
+      val base = Seq("ivf", "pq", "ivfpq", "int8").toDF("idx")
+        .crossJoin(bn)
       val hits = approx.join(brute, Seq("query_id", "neighbor_id"))
         .groupBy("idx", "query_id")
         .agg(cnt("n_hit"), min("i_rnk").as("first_hit"))
@@ -490,6 +492,7 @@ object SimilarityQueries {
             ivf AS (${knnIvf.oracle.get}),
             pq AS (${PqQuery.knnPq.oracle.get}),
             ivfpq AS (${IvfPqQuery.knnIvfPq.oracle.get}),
+            int8 AS (${QuantizeQuery.knnInt8.oracle.get}),
             approx AS (
               SELECT 'ivf' AS idx, query_id,
                      CAST(rnk AS BIGINT) AS i_rnk, neighbor_id FROM ivf
@@ -498,12 +501,16 @@ object SimilarityQueries {
               FROM pq
               UNION ALL
               SELECT 'ivfpq', query_id, CAST(rnk AS BIGINT), neighbor_id
-              FROM ivfpq),
+              FROM ivfpq
+              UNION ALL
+              SELECT 'int8', query_id, CAST(rnk AS BIGINT), neighbor_id
+              FROM int8),
             bn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS brute_n
                    FROM brute GROUP BY query_id),
             base AS (
               SELECT l.idx, bn.query_id, bn.brute_n
-              FROM (SELECT unnest(['ivf', 'pq', 'ivfpq']) AS idx) l
+              FROM (SELECT unnest(['ivf', 'pq', 'ivfpq', 'int8']) AS idx)
+                l
               CROSS JOIN bn),
             hits AS (
               SELECT a.idx, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
