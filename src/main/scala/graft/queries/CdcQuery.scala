@@ -191,5 +191,32 @@ object CdcQuery {
               ON f.user_id = c.user_id AND f.tus >= c.seq
             ORDER BY f.event_id"""))
 
-  val all: Seq[Q] = Seq(cdcMerge, scd2History, pitJoin)
+  /** AS-OF snapshot (time travel): the dimension table exactly as it
+    * stood at 2024-01-15T00:00Z — the table-format `VERSION AS OF` read,
+    * derived from the SCD2 history instead of a transaction log: the
+    * version live at T is the row with `valid_from ≤ T < valid_to`
+    * (open version = null valid_to). Deletes need no special case — a
+    * key deleted before T has a closed last version and simply has no
+    * row at T. Cost: the history derivation plus a map-side filter; no
+    * extra shuffle over [[scd2History]].
+    */
+  private val asOfUs = 1705276800000000L // 2024-01-15T00:00:00Z, µs
+
+  val scd2AsOf = Q(
+    "q_scd2_asof",
+    (s, dir) =>
+      scd2History.spark(s, dir)
+        .filter(col("valid_from") <= asOfUs &&
+          (col("valid_to").isNull || col("valid_to") > asOfUs))
+        .select(col("user_id"), col("valid_from"), col("value"))
+        .orderBy("user_id"),
+    Some(s"""WITH h AS (${scd2History.oracle.get.replaceAll(
+        "ORDER BY user_id, valid_from\\s*$", "")})
+            SELECT user_id, valid_from, value
+            FROM h
+            WHERE valid_from <= $asOfUs
+              AND (valid_to IS NULL OR valid_to > $asOfUs)
+            ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(cdcMerge, scd2History, pitJoin, scd2AsOf)
 }
