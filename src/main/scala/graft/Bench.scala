@@ -86,7 +86,15 @@ object Bench {
     val errJson = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"n_ok":${ok.length},"n_err":${failed.length},"reps":$reps,"stat":"min","sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"n_ok":${ok.length},"n_err":${failed.length},"reps":$reps,"stat":"min","sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a front-truncated TAIL of stdout, so a long
+    // JSON line can lose its leading fields in the artifact (BENCH_r06's
+    // `parsed: null`). Persist the full line to a file a reader can pick
+    // up regardless of console truncation.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     // Nonzero rc on any failed query: a bench with missing rows must not
     // pass for a clean (faster) run.

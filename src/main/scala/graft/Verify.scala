@@ -24,6 +24,8 @@ object Verify {
     // (concurrent or interleaved sweeps at different SFs stay independent).
     sys.props("graft.interop.dir") =
       "/tmp/graft_interop_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    sys.props("graft.runtree.dir") =
+      "/tmp/graft_runtree_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -72,6 +74,17 @@ object Verify {
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             failures.put(name,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            // Also land the failure IN the per-query artifact: a one-row
+            // `_graft_error` parquet where the result would be. A compare
+            // that skips missing output dirs (the driver's does) would
+            // otherwise record a partial sweep as clean; this way a failed
+            // query surfaces as an explicit schema-mismatch red row.
+            try {
+              import spark.implicits._
+              Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+                .toDF("_graft_error").coalesce(1)
+                .write.mode("overwrite").parquet(s"$outDir/$name")
+            } catch { case _: Throwable => () }
           }
           finally {
             if (inFlight.decrementAndGet() == 0 &&

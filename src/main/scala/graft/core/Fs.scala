@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem access for persistent-store operators, routed through the
+  * Hadoop FileSystem API so every path-keyed store (span-dedup ledgers,
+  * retrieval checkpoints, log directories, index partitions) behaves
+  * identically on local disk, HDFS, and object stores (`s3a://`,
+  * `gs://`, `abfs://`). A bare `java.io.File` probe of an `s3a://` URI
+  * silently answers "doesn't exist", which flips append-mode writers
+  * into overwrite mode and discards state — so operator code must never
+  * touch `java.io.File` for data paths. [[graft.ops.MergeStore.merge]]
+  * was the original correct pattern; this object is that pattern shared.
+  *
+  * Rename caveat: `FileSystem.rename` is atomic on HDFS and local disk
+  * but a copy-then-delete on S3-family stores; stage-then-rename callers
+  * therefore get all-or-nothing visibility PER FILE (readers list the
+  * destination, and part-file names are unique), not atomic directory
+  * swaps — the same contract Spark's own FileOutputCommitter lives with.
+  */
+object Fs {
+
+  def apply(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    apply(spark, path).exists(new Path(path))
+
+  /** Directory exists and has at least one child — the "was this store
+    * ever written" probe (a bare exists() is true for the empty dir a
+    * failed first write can leave behind).
+    */
+  def nonEmptyDir(spark: SparkSession, path: String): Boolean = {
+    val fs = apply(spark, path)
+    val p = new Path(path)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Immediate children of `path`; empty when the path is missing. */
+  def list(spark: SparkSession, path: String): Seq[FileStatus] = {
+    val fs = apply(spark, path)
+    val p = new Path(path)
+    if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+  }
+
+  /** Recursive delete; quiet no-op when the path is missing. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    apply(spark, path).delete(new Path(path), true)
+    ()
+  }
+
+  /** Move every DATA file under `srcDir` into `destDir`, preserving
+    * relative subpaths (hive `c=v` partition dirs); `_SUCCESS`,
+    * `_temporary` and dot-files are skipped. Each file lands via one
+    * `rename`, so a reader listing `destDir` sees whole files only.
+    */
+  def moveDataFiles(spark: SparkSession, srcDir: String, destDir: String): Unit = {
+    val fs = apply(spark, srcDir)
+    val src = fs.makeQualified(new Path(srcDir))
+    val dest = fs.makeQualified(new Path(destDir))
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = src.toUri.relativize(st.getPath.toUri).getPath
+      val inHiddenDir = rel.split('/').init
+        .exists(d => d.startsWith("_") || d.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith(".") && !inHiddenDir) {
+        val target = new Path(dest, rel)
+        fs.mkdirs(target.getParent)
+        fs.rename(st.getPath, target)
+      }
+    }
+  }
+}

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Fs
+
 /** Small-file compaction for buffered log directories.
   *
   * A count-triggered sink (reference flush behavior) produces one parquet
@@ -11,6 +13,10 @@ import org.apache.spark.sql.functions._
   * date partition into ⌈bytes / targetFileBytes⌉ files while preserving
   * the data exactly. Runs per-partition so it can be applied
   * incrementally to closed (past-date) partitions only.
+  *
+  * All directory listing/deletion goes through [[graft.core.Fs]] (Hadoop
+  * FileSystem API), so the same compactor runs against `s3a://`/`hdfs://`
+  * log directories — which is where a 100 TB log lives.
   */
 object LogCompactor {
 
@@ -37,29 +43,31 @@ object LogCompactor {
       partitions: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil,
       partitionPrefix: String = "date="): Seq[CompactionReport] = {
-    val root = new java.io.File(dir)
-    val parts = root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(partitionPrefix))
-      .filter(f => partitions.forall(_.contains(f.getName)))
+    val parts = Fs.list(spark, dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionPrefix))
+      .filter(s => partitions.forall(_.contains(s.getPath.getName)))
+      .sortBy(_.getPath.getName)
 
     parts.map { p =>
-      val files = p.listFiles().filter(_.getName.endsWith(".parquet"))
-      val bytes = files.map(_.length()).sum
+      val pPath = p.getPath.toString
+      val files = Fs.list(spark, pPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
       val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      val report = CompactionReport(p.getName, files.length, target, bytes)
+      val report = CompactionReport(p.getPath.getName, files.length, target, bytes)
       if (files.length > target || clusterBy.nonEmpty) {
-        val df0 = spark.read.parquet(p.getAbsolutePath).coalesce(target)
+        val df0 = spark.read.parquet(pPath).coalesce(target)
         val df =
           if (clusterBy.isEmpty) df0
           else df0.sortWithinPartitions(clusterBy.map(col): _*)
-        val tmp = p.getAbsolutePath + ".compact"
+        val tmp = pPath + ".compact"
         df.write.mode(SaveMode.Overwrite)
           .option("compression", "snappy").parquet(tmp)
         // atomic-ish swap: rewrite into place from the compacted copy
         val compacted = spark.read.parquet(tmp)
         compacted.coalesce(target).write.mode(SaveMode.Overwrite)
-          .option("compression", "snappy").parquet(p.getAbsolutePath)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          .option("compression", "snappy").parquet(pPath)
+        Fs.delete(spark, tmp)
       }
       report
     }
@@ -72,21 +80,19 @@ object LogCompactor {
     * names. At 100 TB, retention by dropping whole partition directories
     * is the only delete that does not rewrite data.
     */
-  def expire(dir: String, cutoff: String): Seq[String] = {
+  def expire(spark: SparkSession, dir: String, cutoff: String): Seq[String] = {
     // The cutoff must be well-formed too: a garbage cutoff like "20231115"
     // still compares lexicographically against valid names ('-' < '1') and
     // would mass-delete every partition. Fail loudly instead.
     require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"expire cutoff must be yyyy-MM-dd, got '$cutoff'")
-    val root = new java.io.File(dir)
-    val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
-      .filter { f =>
-        val d = f.getName.stripPrefix("date=")
+    val victims = Fs.list(spark, dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix("date=")
         d.matches("\\d{4}-\\d{2}-\\d{2}") && d < cutoff
       }
-    victims.foreach(f =>
-      org.apache.commons.io.FileUtils.deleteDirectory(f))
-    victims.map(_.getName)
+    victims.foreach(s => Fs.delete(spark, s.getPath.toString))
+    victims.map(_.getPath.getName)
   }
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-table run-tree resolution over (id, parent) rows — the log
+  * table's `run_id`/`parent_run_id` hierarchy (reference AGENTS.md:237-258
+  * run trees; 3-level chain→llm→tool hierarchy in
+  * tests/test_enhanced_logging.py:322-388) resolved for EVERY node at
+  * once: root id, depth, and the full root→node path.
+  *
+  * Complements [[graft.query.LogTable.subtree]] (per-trace BFS from one
+  * run): debugging one trace wants BFS; analytics over ALL traces ("group
+  * by root", "depth histogram", "cost per agent tree") wants every node's
+  * root/depth in one pass. Pointer jumping gets there in ⌈log₂ depth⌉
+  * self-join rounds instead of depth rounds — each round every unresolved
+  * node's ancestor pointer jumps to its ancestor's pointer, doubling the
+  * climbed distance (same machinery as the connected-components loop in
+  * [[DedupClusters]], here preserving depth and path order, which
+  * components discard).
+  *
+  * Scale shape: each round is one equi-join of the node set against
+  * itself on the current pointer (shuffle on a single key column, AQE
+  * skew-splittable — a hot root is the common skew) followed by a
+  * `localCheckpoint` that truncates the otherwise exponentially deepening
+  * lineage. State per node is O(path length) for the `path` column only;
+  * root/depth stay constant-width. For a log with max trace depth 64 the
+  * loop runs 6 rounds regardless of row count.
+  */
+object RunTree {
+
+  /** Resolve every node to (idCol, root_id, depth, path).
+    *
+    * `nodes` must have one row per node: a unique `idCol` and a
+    * `parentCol` that is null or empty-string for roots (the log
+    * envelope's "no parent" is `""`, LogSchema.scala). `depth` is edges
+    * from the root (root = 0); `path` is the `sep`-joined ids from root
+    * to node inclusive (ids must not contain `sep`).
+    *
+    * A parent id that matches no node (dangling pointer — a trace whose
+    * root fell outside retention) terminates its chain visibly: the
+    * missing id becomes the chain's root_id and leads its paths, so
+    * orphaned subtrees group together instead of crashing the job or
+    * silently vanishing (what a recursive CTE anchored at roots does).
+    * A cycle (corrupt parent pointers) can never resolve, so the loop
+    * throws after `maxIters` rounds rather than spin — at the default 40
+    * rounds any acyclic chain up to 2^40 edges deep has resolved.
+    */
+  def resolve(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxIters: Int = 40,
+      sep: String = "/"): DataFrame = {
+    val isRoot = col(parentCol).isNull || col(parentCol) === ""
+    var cur = nodes.select(
+      col(idCol).cast("string").as("_id"),
+      when(isRoot, lit(null).cast("string"))
+        .otherwise(col(parentCol).cast("string")).as("_anc"),
+      when(isRoot, lit(0L)).otherwise(lit(1L)).as("_depth"),
+      when(isRoot, col(idCol).cast("string"))
+        .otherwise(lit(null).cast("string")).as("_root"),
+      col(idCol).cast("string").as("_path"))
+      .localCheckpoint()
+
+    // Invariants kept by every round: _depth = edges from _anc to _id;
+    // _path = ids from (just below _anc) to _id; _anc null ⇒ resolved,
+    // with _root set and _path the full root→node path.
+    var iters = 0
+    while (!cur.filter(col("_anc").isNotNull).isEmpty) {
+      iters += 1
+      if (iters > maxIters)
+        throw new IllegalStateException(
+          s"RunTree.resolve: unresolved chains after $maxIters rounds — " +
+            "cycle in parent pointers?")
+      val anc = cur.select(
+        col("_id").as("_aid"), col("_anc").as("_aanc"),
+        col("_depth").as("_adepth"), col("_root").as("_aroot"),
+        col("_path").as("_apath"))
+      cur = cur.join(anc, cur("_anc") === anc("_aid"), "left")
+        .select(
+          col("_id"),
+          when(col("_anc").isNull || col("_aid").isNull,
+            lit(null).cast("string"))
+            .otherwise(col("_aanc")).as("_anc2"),
+          when(col("_anc").isNull || col("_aid").isNull, col("_depth"))
+            .otherwise(col("_depth") + col("_adepth")).as("_depth2"),
+          when(col("_anc").isNull, col("_root"))
+            .when(col("_aid").isNull, col("_anc")) // dangling parent
+            .otherwise(col("_aroot")).as("_root2"),
+          when(col("_anc").isNull, col("_path"))
+            .when(col("_aid").isNull,
+              concat_ws(sep, col("_anc"), col("_path")))
+            .otherwise(concat_ws(sep, col("_apath"), col("_path")))
+            .as("_path2"))
+        .withColumnsRenamed(Map("_anc2" -> "_anc", "_depth2" -> "_depth",
+          "_root2" -> "_root", "_path2" -> "_path"))
+        .localCheckpoint()
+    }
+    cur.select(col("_id").as(idCol), col("_root").as("root_id"),
+      col("_depth").as("depth"), col("_path").as("path"))
+  }
+
+  /** Per-root rollup of a resolved tree: tree size, max depth, and leaf
+    * count (nodes no other node points at). One aggregate over the
+    * resolved frame joined with the distinct-parent set — output is one
+    * row per trace, the frame a trace-level dashboard reads.
+    */
+  def rollup(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String): DataFrame = {
+    val resolved = resolve(nodes, idCol, parentCol)
+    val parents = nodes
+      .filter(col(parentCol).isNotNull && col(parentCol) =!= "")
+      .select(col(parentCol).cast("string").as(idCol)).distinct()
+      .withColumn("_is_parent", lit(true))
+    resolved.join(parents, Seq(idCol), "left")
+      .groupBy(col("root_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_runs"),
+        max("depth").as("max_depth"),
+        sum(when(col("_is_parent").isNull, 1L).otherwise(0L))
+          .as("n_leaves"))
+  }
+}

@@ -95,7 +95,10 @@ object SpanScrub {
     val spark = batch.sparkSession
     val t = tiles(batch, idCol, textCol, tileWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ledgerExists = new java.io.File(ledgerPath).exists()
+    // Hadoop-FS probe, not java.io.File: on s3a://hdfs:// a local-file
+    // probe answers "missing" and the append below would flip to
+    // overwrite, silently discarding the whole dedup history.
+    val ledgerExists = graft.core.Fs.nonEmptyDir(spark, ledgerPath)
     // distinct: the ledger is semantically a SET — a crash-replayed
     // append may have written the same hashes twice, and a duplicated
     // ledger row would otherwise EXPAND the membership join

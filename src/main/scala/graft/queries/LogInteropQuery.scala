@@ -39,7 +39,7 @@ object LogInteropQuery {
   val interop = Q(
     "q_log_interop",
     (s, dir) => {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(logDir))
+      graft.core.Fs.delete(s, logDir)
       val events = tbl(s, dir, "events")
       // ingest projection: the 7-column envelope (columnar bulk analog of
       // graft.ingest.ParquetLogger — same ParquetDirSink underneath, same

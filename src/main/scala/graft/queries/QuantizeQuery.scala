@@ -60,7 +60,11 @@ object QuantizeQuery {
             FROM c ORDER BY vec_id"""))
 
   private val nQueries = 8
-  private val topK = 5
+  // Serve the SAME k as the brute-force ground truth (top-10): the
+  // q_ann_recall int8 leg is then directly rankable against IVF at equal
+  // k (a 5-deep probe against 10-deep truth capped recall at 0.5 by
+  // construction and made the one index-decision table k-incomparable).
+  private val topK = 10
 
   /** Shared oracle chain: corpus → absmax scale → int8 codes →
     * reconstruction + its norm, as CTEs (e, q8, c8, dec8).

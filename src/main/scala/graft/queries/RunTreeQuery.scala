@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multi-level run-tree traversal over a REAL graft-written log directory
+  * (reference Q5 proper, not the one-level orders/lineitem analog): the
+  * events table is shaped into multi-level `run_id`/`parent_run_id`
+  * traces (256-run traces, 3-ary parent rule → 5 levels deep), written
+  * through the production sink ([[graft.sink.ParquetDirSink]], hive
+  * `date=` layout), read back through the production source
+  * ([[graft.query.LogTable.read]], declared schema), and resolved with
+  * [[graft.ops.RunTree]] pointer jumping — root, depth, and full
+  * root→node path for EVERY run in ⌈log₂ depth⌉ self-join rounds.
+  *
+  * The oracle replays the traversal as a DuckDB `WITH RECURSIVE` CTE
+  * over the same written files (`read_parquet`, like `q_log_interop`) —
+  * an independent recursion anchored at the roots — so a hash match
+  * proves sink layout, source schema, and the whole multi-level
+  * traversal (depths, path strings, per-trace rollups) cross-engine.
+  * This is the reference's run-tree debugging surface
+  * (AGENTS.md:237-258; 3-level hierarchy in
+  * tests/test_enhanced_logging.py:322-388) as a whole-table analytic.
+  */
+object RunTreeQuery {
+
+  /** Trace size (runs per tree) and parent-rule arity: local index 0 is
+    * the trace root; run l's parent is run (l-1) div 3 of the same trace
+    * — depth 5 at l=255, a strictly multi-level tree at every SF.
+    */
+  private val G = 256
+  private val B = 3
+
+  /** Like `q_log_interop`: the oracle SQL is static text, so the written
+    * dir must be fixed at oracle-dump time; `graft.Verify` sets the
+    * system property to an sfDir-tagged path before this object
+    * initializes so concurrent sweeps at different SFs stay independent.
+    * The two queries write SEPARATE dirs — they run concurrently in the
+    * Verify pool and must not rebuild one directory under each other.
+    */
+  private val baseDir: String =
+    sys.props.getOrElse("graft.runtree.dir", "/tmp/graft_runtree_log")
+  val treeDir: String = baseDir + "_tree"
+  val rollupDir: String = baseDir + "_rollup"
+
+  /** Build + write the synthetic-trace log, then return the distinct
+    * (run_id, parent_run_id) node set read back through LogTable.
+    */
+  private def writtenNodes(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      logDir: String): org.apache.spark.sql.DataFrame = {
+    graft.core.Fs.delete(s, logDir)
+    val runs = tbl(s, dir, "events")
+      .withColumn("eid", col("event_id").cast("long"))
+      .withColumn("run_id", concat(lit("run-"), col("eid")))
+      .withColumn("parent_run_id", expr(
+        s"IF(eid % $G = 0, ''," +
+          s" concat('run-', (eid div $G) * $G + (eid % $G - 1) div $B))"))
+      .withColumn("kind", expr(
+        "IF(parent_run_id = '', 'chain', IF(eid % 2 = 0, 'llm', 'tool'))"))
+      .select(
+        timestamp_micros(tsMicros).as("timestamp"),
+        col("run_id"), col("parent_run_id"),
+        col("user_id").cast("string").as("custom_id"),
+        col("kind"),
+        lit("""{"job":"runtree"}""").as("logger_metadata"),
+        to_json(struct(col("run_id"), col("parent_run_id"))).as("payload"))
+    // two envelope rows per run (start + end) — the real log shape where
+    // traversal must first reduce rows to distinct runs
+    val entries = Seq("_start", "_end").map(sfx =>
+      runs.withColumn("event_type", concat(col("kind"), lit(sfx)))
+        .drop("kind")
+        .select("timestamp", "run_id", "parent_run_id", "custom_id",
+          "event_type", "logger_metadata", "payload"))
+      .reduce(_.unionByName(_))
+    new graft.sink.ParquetDirSink(s, logDir).writeDataset(entries)
+    graft.query.LogTable.read(s, logDir).df
+      .select("run_id", "parent_run_id").distinct()
+  }
+
+  private def duckNodes(logDir: String): String =
+    s"""nodes AS (
+         SELECT DISTINCT run_id, parent_run_id
+         FROM read_parquet('$logDir/date=*/*.parquet',
+                           hive_partitioning=1)),
+       t AS (
+         SELECT run_id, parent_run_id, run_id AS root_run_id,
+                CAST(0 AS BIGINT) AS depth, run_id AS path
+         FROM nodes WHERE parent_run_id = ''
+         UNION ALL
+         SELECT n.run_id, n.parent_run_id, t.root_run_id, t.depth + 1,
+                t.path || '/' || n.run_id
+         FROM nodes n JOIN t ON n.parent_run_id = t.run_id)"""
+
+  /** Per-node resolution: every run's parent, root, depth, and full path. */
+  val runTree = Q(
+    "q_run_tree",
+    (s, dir) => {
+      val nodes = writtenNodes(s, dir, treeDir)
+      graft.ops.RunTree.resolve(nodes, "run_id", "parent_run_id")
+        .join(nodes, Seq("run_id"))
+        .select(col("run_id"), col("parent_run_id"),
+          col("root_id").as("root_run_id"), col("depth"), col("path"))
+        .orderBy("run_id")
+    },
+    Some(s"""WITH RECURSIVE ${duckNodes(treeDir)}
+            SELECT run_id, parent_run_id, root_run_id, depth, path
+            FROM t ORDER BY run_id"""))
+
+  /** Per-trace rollup: tree size, max depth, leaf count — the trace-level
+    * dashboard frame ("which agent trees are deepest / widest").
+    */
+  val runTreeRollup = Q(
+    "q_run_tree_rollup",
+    (s, dir) => {
+      val nodes = writtenNodes(s, dir, rollupDir)
+      graft.ops.RunTree.rollup(nodes, "run_id", "parent_run_id")
+        .select(col("root_id").as("root_run_id"), col("n_runs"),
+          col("max_depth"), col("n_leaves"))
+        .orderBy("root_run_id")
+    },
+    Some(s"""WITH RECURSIVE ${duckNodes(rollupDir)},
+            p AS (SELECT DISTINCT parent_run_id AS run_id FROM nodes
+                  WHERE parent_run_id <> '')
+            SELECT t.root_run_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   MAX(t.depth) AS max_depth,
+                   CAST(SUM(CASE WHEN p.run_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_leaves
+            FROM t LEFT JOIN p ON t.run_id = p.run_id
+            GROUP BY t.root_run_id ORDER BY root_run_id"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(runTree, runTreeRollup)
+}

@@ -70,11 +70,12 @@ object ScrubQuery {
     "q_scrub_incremental",
     (s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      // unique ledger per scale dir: concurrent sweeps stay independent
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = new java.io.File(
-        s"spark-warehouse/graft_scrub_ledger_$tag").getAbsolutePath
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      // unique ledger PER INVOCATION: a shared sf-keyed path let two
+      // overlapping runs at one scale factor (a restricted Verify re-run
+      // during a sweep) delete/append each other's ledger mid-query
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scrub_ledger_").resolve("ledger")
+        .toString
       // batches must be id-RANGES (not id % k interleaving): the keeper
       // rule is the global (doc_id, pos) first occurrence, and the ledger
       // gives unconditional priority to earlier batches — range batches

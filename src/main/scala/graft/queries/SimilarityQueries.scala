@@ -444,18 +444,20 @@ object SimilarityQueries {
     knnIvf.oracle)
 
   /** ANN quality evaluation AS a query: per-(index, query) recall@k and
-    * reciprocal rank of EVERY approximate index — IVF (flat), PQ, and the
-    * composed IVF-PQ — against the brute-force ground truth. The eval
-    * harness every ANN deployment runs offline is here a first-class,
-    * oracle-checked operator: all four legs are the production queries
-    * themselves (reused verbatim, including their trainings), the metric
-    * join is over k-row frames, and the arithmetic is exact integer
-    * ratios. Recall denominators use the ground truth's own row count
-    * (ground truth is top-10; the PQ legs serve top-5, so their ceiling
-    * is 0.5 by construction — that asymmetry is the honest serving
-    * number: "of the true 10, how many does a 5-deep probe return").
-    * The 100 TB decision this feeds: whether the 128×-smaller PQ
-    * resident index is accurate enough to replace IVF-Flat.
+    * reciprocal rank of EVERY approximate index — IVF (flat), int8, PQ,
+    * and the composed IVF-PQ — against the brute-force ground truth. The
+    * eval harness every ANN deployment runs offline is here a
+    * first-class, oracle-checked operator: all four legs are the
+    * production queries themselves (reused verbatim, including their
+    * trainings), the metric join is over k-row frames, and the arithmetic
+    * is exact integer ratios. Recall denominators use the ground truth's
+    * own row count. The IVF and int8 legs serve the same k as the truth
+    * (top-10), so those rows are directly comparable recall@10; the PQ
+    * legs deliberately serve top-5 against top-10 truth (ceiling 0.5 by
+    * construction — the honest serving number: "of the true 10, how many
+    * does a 5-deep probe return"). The 100 TB decision this feeds:
+    * whether a smaller resident index (int8 4–8×, PQ 128×) is accurate
+    * enough to replace IVF-Flat.
     */
   val annRecall = Q(
     "q_ann_recall",

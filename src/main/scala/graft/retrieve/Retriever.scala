@@ -148,10 +148,8 @@ object Retriever {
 final class CheckpointStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  private val dir = new java.io.File(path)
-
   def load(): DataFrame =
-    if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty) {
+    if (graft.core.Fs.nonEmptyDir(spark, path)) {
       spark.read.parquet(path)
     } else {
       Seq.empty[(String, Boolean, String, Long)]
@@ -180,7 +178,7 @@ final class CheckpointStore(spark: SparkSession, path: String) {
     val tmp = path + ".compact"
     deduped.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    graft.core.Fs.delete(spark, tmp)
   }
 
   /** A9: summary counts by status. */

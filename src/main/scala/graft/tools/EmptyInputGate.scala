@@ -31,11 +31,11 @@ object EmptyInputGate {
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    new java.io.File(template).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
+    graft.core.Fs.list(spark, template)
+      .filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
-        spark.read.parquet(f.getAbsolutePath).limit(0)
-          .coalesce(1).write.parquet(s"$dir/${f.getName}")
+        spark.read.parquet(f.getPath.toString).limit(0)
+          .coalesce(1).write.parquet(s"$dir/${f.getPath.getName}")
       }
 
     val failures = Registry.all.flatMap { q =>

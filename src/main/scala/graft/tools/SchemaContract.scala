@@ -66,7 +66,7 @@ object SchemaContract {
   def check(spark: SparkSession, dir: String): Seq[String] =
     contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val path = s"$dir/$table.parquet"
-      if (!new java.io.File(path).exists())
+      if (!graft.core.Fs.exists(spark, path))
         Seq(s"$dir: table $table MISSING")
       else {
         // same read config as graft.queries.tbl — the gate must see the

@@ -61,7 +61,7 @@ class LogCompactorSpec extends SparkSpec {
     }
     // stray non-date dir must be ignored, not deleted
     new java.io.File(s"$dir/date=not-a-date").mkdirs()
-    val deleted = LogCompactor.expire(dir, cutoff = "2023-11-15")
+    val deleted = LogCompactor.expire(spark, dir, cutoff = "2023-11-15")
     assert(deleted === Seq("date=2023-11-14"))
     val left = spark.read.parquet(dir).select("run_id")
       .collect().map(_.getString(0)).sorted

@@ -39,8 +39,22 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    # Merge the failure manifest: a query that threw inside Verify must
+    # appear as an explicit FAIL row here even though its output dir now
+    # holds only the one-row _graft_error marker (or nothing at all).
+    try:
+        with open(f"{out_dir}/_failures.json") as f:
+            failures = json.load(f)
+    except FileNotFoundError:
+        failures = {}
+
     n_pass = n_fail = 0
+    for name, err in sorted(failures.items()):
+        print(f"FAIL {name}: verify-side error: {err}")
+        n_fail += 1
     for name, sql in sorted(oracles.items()):
+        if name in failures:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
