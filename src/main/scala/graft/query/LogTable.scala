@@ -65,6 +65,17 @@ final class LogTable private (val df: DataFrame) {
   def childrenOf(runId: String): DataFrame =
     df.filter(col("parent_run_id") === runId)
 
+  /** Q5 whole-table form: every run resolved to its root, depth, and full
+    * root→run path ([[graft.ops.RunTree.resolve]] pointer jumping over the
+    * distinct (run_id, parent_run_id) pairs — ⌈log₂ depth⌉ shuffle rounds
+    * for ALL traces at once, where per-trace [[subtree]] BFS pays depth
+    * rounds per trace). The frame trace-level analytics joins against.
+    */
+  def runTrees: DataFrame =
+    graft.ops.RunTree.resolve(
+      df.select("run_id", "parent_run_id").distinct(),
+      "run_id", "parent_run_id")
+
   /** Q5: full subtree via iterative BFS self-join (levels of the run-id
     * hierarchy). Each level is one broadcast-able semi-join of the log
     * against the previous frontier; `maxDepth` bounds the iteration.

@@ -108,5 +108,10 @@ class RunTreeSpec extends SparkSpec {
       .select("run_id").as[String].collect().toSet
     assert(viaResolve === Set("a", "b", "c", "d"))
     assert(viaBfs === viaResolve)
+    // LogTable.runTrees surfaces the same resolution over the log frame
+    val viaLogTable = graft.query.LogTable(log).runTrees
+      .filter(col("root_id") === "a")
+      .select("run_id").as[String].collect().toSet
+    assert(viaLogTable === viaResolve)
   }
 }
