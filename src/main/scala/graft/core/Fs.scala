@@ -50,6 +50,32 @@ object Fs {
     ()
   }
 
+  /** Concurrency-safe append of `df` into `destDir`: stage-write to a
+    * unique sibling directory, then move the data files into `destDir`
+    * (preserving `c=v` partition subdirs when `partCol` is set) with
+    * per-file renames. Two concurrent `df.write.mode("append")` calls on
+    * one directory share `destDir/_temporary` and can delete each
+    * other's in-flight task output; unique staging dirs remove the
+    * shared mutable path entirely, and Spark's UUID part-file names
+    * guarantee no rename collision — so interleaved appenders commute
+    * and none is lost. First write creates the destination. Extracted
+    * from the BM25 index append path so every append-mode store (tile
+    * ledgers, posting deltas) shares the one proven idiom.
+    */
+  def stagedAppend(
+      df: org.apache.spark.sql.DataFrame,
+      partCol: Option[String],
+      destDir: String): Unit = {
+    val spark = df.sparkSession
+    val parent = new Path(destDir).getParent
+    val staging =
+      new Path(parent, s".staging-${java.util.UUID.randomUUID}").toString
+    val w = df.write.mode("overwrite")
+    partCol.fold(w)(w.partitionBy(_)).parquet(staging)
+    moveDataFiles(spark, staging, destDir)
+    delete(spark, staging)
+  }
+
   /** Move every DATA file under `srcDir` into `destDir`, preserving
     * relative subpaths (hive `c=v` partition dirs); `_SUCCESS`,
     * `_temporary` and dot-files are skipped. Each file lands via one

@@ -150,31 +150,16 @@ object Bm25 {
       .withColumn("avgdl",
         col("sdl").cast("double") / col("n").cast("double"))
 
-  /** Stage-write `df` to a unique sibling directory, then move the data
-    * files into `destDir` (preserving `c=v` partition subdirs) with
-    * per-file renames through the Hadoop FileSystem API
-    * ([[graft.core.Fs.moveDataFiles]]) — so the append path works on
-    * `hdfs://`/`s3a://` index stores, not just local disk. Two concurrent
-    * `df.write.mode("append")` calls on one directory share
-    * `destDir/_temporary` and can delete each other's in-flight task
-    * output; unique staging dirs remove the shared mutable path entirely,
-    * and Spark's UUID part-file names guarantee no rename collision.
-    * Readers list the destination, so each file becomes visible whole
-    * (per-file rename is atomic on HDFS/local; on S3-family stores it is
-    * a copy, but the file only lists at the destination once complete —
-    * the same visibility contract either way).
+  /** Concurrency-safe append into `destDir` — shared staged-write idiom,
+    * see [[graft.core.Fs.stagedAppend]]. Readers list the destination, so
+    * each file becomes visible whole (per-file rename is atomic on
+    * HDFS/local; on S3-family stores it is a copy, but the file only
+    * lists at the destination once complete — the same visibility
+    * contract either way).
     */
   private def stageInto(
-      df: DataFrame, partCol: Option[String], destDir: String): Unit = {
-    val spark = df.sparkSession
-    val parent = new org.apache.hadoop.fs.Path(destDir).getParent
-    val staging = new org.apache.hadoop.fs.Path(
-      parent, s".staging-${java.util.UUID.randomUUID}").toString
-    val w = df.write.mode("overwrite")
-    partCol.fold(w)(w.partitionBy(_)).parquet(staging)
-    graft.core.Fs.moveDataFiles(spark, staging, destDir)
-    graft.core.Fs.delete(spark, staging)
-  }
+      df: DataFrame, partCol: Option[String], destDir: String): Unit =
+    graft.core.Fs.stagedAppend(df, partCol, destDir)
 
   /** Append a document batch to an existing index — the 100 TB shape is
     * append-only ingestion, not nightly rebuilds. New postings land in

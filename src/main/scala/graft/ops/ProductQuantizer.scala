@@ -148,6 +148,55 @@ object ProductQuantizer {
       .select(col("vec_id"), col("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append a vector batch to a materialized IVF-PQ store — the 100 TB
+    * shape is append-only ingestion, not nightly rebuilds. New rows are
+    * bucket-assigned and encoded against the FROZEN models map-side
+    * (bucket + codes depend only on the models and the row itself, so
+    * append ≡ rebuild bit-exactly — spec-proven in
+    * ProductQuantizerSpec), and land in the same `bucket=` partitions
+    * via staged unique-dir writes ([[graft.core.Fs.stagedAppend]]), so
+    * concurrent appenders cannot clobber each other's in-flight files
+    * and the path works on `hdfs://`/`s3a://`. The codebooks are NOT
+    * retrained — that is deliberate (retraining re-encodes the world);
+    * watch [[driftReport]] to know when the frozen books have drifted
+    * far enough from the arriving distribution to warrant a rebuild.
+    */
+  def appendToStore(e: DataFrame, vecCol: String, books: Seq[Codebook],
+      cents: Seq[Centroid], path: String): Unit =
+    graft.core.Fs.stagedAppend(
+      encodeDecode(e, vecCol, books)
+        .withColumn("bucket", VectorIndex.assignBucket(cents, vecCol, "nrm"))
+        .select(col("vec_id"), col("codes"), col("bucket")),
+      Some("bucket"), path)
+
+  /** Per-row quantization error of a reconstruction: `1 − cos(v, dv)` —
+    * 0 when the codebooks represent the vector exactly, approaching 1
+    * (or above, for anti-aligned reconstructions) as they stop being
+    * able to. Input must carry (`vecCol`, nrm, dv, dn) — the shape
+    * [[encodeDecode]] and [[decodeFromCodes]]-joined-with-corpus emit.
+    */
+  def qerr(vecCol: String = "v"): Column =
+    lit(1.0) - call_function("dot_product", col(vecCol), col("dv")) /
+      sqrt(col("nrm") * col("dn"))
+
+  /** Codebook-drift report: exact fixed-point mean quantization error
+    * per `legCol` group (e.g. 'train' vs 'append') — the metric that
+    * tells an append-only index when its frozen codebooks no longer fit
+    * the arriving distribution (the classic silent ANN decay: recall
+    * sags with no error anywhere). Cross-engine exact: per-row errors
+    * are floored at 1e-9 fixed point and summed as integers, so a
+    * DuckDB oracle reproduces the mean bit-for-bit.
+    */
+  def driftReport(withDv: DataFrame, legCol: String,
+      vecCol: String = "v"): DataFrame =
+    withDv
+      .withColumn("_qfp", floor(qerr(vecCol) * lit(1e9)).cast(DecimalType(38, 0)))
+      .groupBy(col(legCol).as("leg"))
+      .agg(count(lit(1)).as("n"), sum(col("_qfp")).as("_sfp"))
+      .select(col("leg"), col("n"),
+        round(col("_sfp").cast("double") / lit(1e9) /
+          col("n").cast("double"), 6).as("mean_qerr"))
+
   /** Reconstruct `dv`/`dn` from STORED codes (no original vectors): per
     * subspace, a literal code→sub-centroid map lookup — map-only, the
     * codebooks are broadcast model state.

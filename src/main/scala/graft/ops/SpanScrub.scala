@@ -120,10 +120,15 @@ object SpanScrub {
     val out = reassemble(marked, idCol).localCheckpoint()
     // novel hashes only (append AFTER the output plan is materialized by
     // the checkpoint — otherwise a lazy caller could observe a ledger
-    // that already contains its own batch)
-    t.join(seen, Seq("h"), "left_anti").select("h").distinct()
-      .write.mode(if (ledgerExists) "append" else "overwrite")
-      .parquet(ledgerPath)
+    // that already contains its own batch). Staged unique-dir append
+    // (graft.core.Fs.stagedAppend): two concurrent scrubIncremental
+    // batches sharing mode("append") on one ledger dir would share
+    // `_temporary` and could delete each other's in-flight task output —
+    // staging removes the shared mutable path, so concurrent appenders
+    // commute (ledger = set, reads are distinct) and none is lost.
+    graft.core.Fs.stagedAppend(
+      t.join(seen, Seq("h"), "left_anti").select("h").distinct(),
+      None, ledgerPath)
     t.unpersist()
     out
   }

@@ -99,9 +99,12 @@ object VectorIndex {
     */
   def appendToIvf(
       batch: DataFrame, cents: Seq[Centroid], path: String): Unit =
-    batch
-      .withColumn("bucket", assignBucket(cents))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // staged unique-dir append (Fs.stagedAppend): plain mode("append")
+    // shares `path/_temporary` between concurrent appenders, which can
+    // delete each other's in-flight task output
+    graft.core.Fs.stagedAppend(
+      batch.withColumn("bucket", assignBucket(cents)),
+      Some("bucket"), path)
 
   /** Per-bucket small-file compaction of an appended index — delegates to
     * [[LogCompactor]] over the `bucket=` partition layout. Answers are

@@ -23,18 +23,18 @@ object PqQuery {
   private val nQueries = 8
   private val topK = 5
 
-  private val duckCorpus =
+  private[queries] val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
        FROM embeddings WHERE embedding IS NOT NULL"""
 
-  private def dot(a: String, b: String) =
+  private[queries] def dot(a: String, b: String) =
     s"list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))])"
 
   /** One oracle L2 assignment round of sub-frame `sub` against codebook
     * CTE `cin`, emitting (vec_id, sv, code) as CTE `aout`.
     */
-  private def duckAssign(sub: String, cin: String, aout: String): String =
+  private[queries] def duckAssign(sub: String, cin: String, aout: String): String =
     s"""$aout AS (
          SELECT vec_id, sv, cid AS code FROM (
            SELECT t.vec_id, t.sv, c.cid,
@@ -46,7 +46,7 @@ object PqQuery {
   /** Oracle recompute from assignment CTE `ain`: exact fixed-point
     * per-dimension means, new codebook as CTE `cout`.
     */
-  private def duckRecompute(ain: String, cout: String): String =
+  private[queries] def duckRecompute(ain: String, cout: String): String =
     s"""${cout}_u AS (
          SELECT code, unnest(sv) AS val,
                 unnest(generate_series(1, len(sv))) AS pos

@@ -11,7 +11,7 @@ object Registry {
       PqQuery.all ++ IvfPqQuery.all ++ SearchQueries.all ++
       TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
       NormalizeQuery.all ++ FilterGateQuery.all ++ QuantizeQuery.all ++
-      WinsorizeQuery.all ++ RunTreeQuery.all ++
+      WinsorizeQuery.all ++ RunTreeQuery.all ++ PqDriftQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 

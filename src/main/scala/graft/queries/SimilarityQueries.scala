@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   val nQueries = 8
-  private val topK = 10
-  private val nCentroids = 32
-  private val nProbe = 4
+  private[queries] val topK = 10
+  private[queries] val nCentroids = 32
+  private[queries] val nProbe = 4
 
   /** corpus with double vector + precomputed squared norm; dot products
     * via the native codegen'd dot_product expression (bit-identical

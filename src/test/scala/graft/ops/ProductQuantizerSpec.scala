@@ -107,6 +107,65 @@ class ProductQuantizerSpec extends SparkSpec {
       "PQ store scan has no dynamic partition pruning")
   }
 
+  test("append-to-store ≡ rebuild bit-exactly; drift report covers both legs") {
+    import graft.queries.tbl
+    val e = tbl(spark, sf(), "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("dot_product(v, v)"))
+    val half = e.agg(max("vec_id")).head().getLong(0) / 2
+    val tr = e.filter(col("vec_id") <= half)
+    val ap = e.filter(col("vec_id") > half)
+    // models FROZEN on the first half — the append-only deployment shape
+    val cents = KMeans.lloyd(tr, 8, 2)
+    val books = ProductQuantizer.train(tr, "v", 64, 4, 8, 2)
+    val appended = java.nio.file.Files
+      .createTempDirectory("pq_app").toString + "/store"
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("pq_reb").toString + "/store"
+    ProductQuantizer.buildStore(tr, "v", books, cents, appended)
+    ProductQuantizer.appendToStore(ap, "v", books, cents, appended)
+    ProductQuantizer.buildStore(e, "v", books, cents, rebuilt)
+
+    // bucket + codes depend only on the frozen models and the row, so the
+    // appended store holds exactly the rebuilt store's rows
+    val key = (p: String) => spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+        r.getAs[Int]("bucket"))).sortBy(_._1).toSeq
+    assert(key(appended) === key(rebuilt))
+    assert(key(appended).nonEmpty)
+
+    // and the served answers are identical too
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probeKey = (p: String) => ProductQuantizer.probeStore(
+        spark, p, queries, books, cents, nProbe = 2, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(probeKey(appended) === probeKey(rebuilt))
+
+    // drift report: one row per leg, counts partition the corpus, errors
+    // are finite and non-negative (cos ≤ 1 up to rounding)
+    val decoded = ProductQuantizer
+      .decodeFromCodes(spark.read.parquet(appended), books)
+      .select("vec_id", "dv", "dn")
+    val drift = ProductQuantizer.driftReport(
+      decoded.join(e, "vec_id")
+        .withColumn("leg",
+          when(col("vec_id") <= half, "train").otherwise("append")),
+      "leg").orderBy("leg").collect()
+    assert(drift.map(_.getString(0)).toSeq === Seq("append", "train"))
+    assert(drift.map(_.getAs[Long]("n")).sum === e.count())
+    drift.foreach { r =>
+      val q = r.getAs[Double]("mean_qerr")
+      assert(!q.isNaN && q > -1e-6 && q < 2.0, s"mean_qerr out of range: $q")
+    }
+  }
+
   test("null vectors are excluded; empty input trains nothing") {
     val e = frame(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
       .union(frame(Seq(9L -> Seq(0.0)))

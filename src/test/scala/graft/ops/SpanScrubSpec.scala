@@ -64,6 +64,45 @@ class SpanScrubSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === ledger.count())
   }
 
+  test("two concurrent incremental batches lose no ledger append") {
+    // the old write.mode("append") path shared `ledger/_temporary`
+    // between concurrent appenders — one could delete the other's
+    // in-flight task output. The staged unique-dir append
+    // (Fs.stagedAppend) removes the shared path; this test runs two
+    // batches GENUINELY concurrently (same pattern as Bm25Spec) and
+    // proves no append is lost: a replay of both batches afterwards
+    // must find every one of its tiles already in the ledger.
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("scrub_ledger_conc").toString + "/ledger"
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    SpanScrub.scrubIncremental(b0, "doc_id", "text", 12, path)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(b1, b2).map(b => Future {
+      SpanScrub.scrubIncremental(b, "doc_id", "text", 12, path)
+    })), 5.minutes)
+
+    // every corpus tile hash is in the ledger — a lost append would
+    // leave b1's or b2's novel hashes missing and the replay would
+    // keep (re-emit) those tiles instead of scrubbing them
+    val replay = SpanScrub
+      .scrubIncremental(b1.unionByName(b2), "doc_id", "text", 12, path)
+    assert(replay.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(col("scrubbed_text"))))
+      .head().getLong(0) === 0L)
+    // no staging residue left beside the ledger, and the ledger is
+    // non-trivially populated
+    val parent = new java.io.File(path).getParentFile
+    assert(!parent.listFiles().exists(_.getName.startsWith(".staging-")))
+    assert(spark.read.parquet(path).count() > 0)
+  }
+
   test("result is partition-count invariant and window-free") {
     val docs = graft.queries.tbl(spark, sf(), "documents")
       .select("doc_id", "text")
