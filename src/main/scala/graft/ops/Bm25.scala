@@ -208,6 +208,18 @@ object Bm25 {
     LogCompactor.compact(spark, s"$path/postings", targetFileBytes,
       partitionPrefix = "tb=")
 
+  /** Fold the stats delta ledger's accumulated small files (one per
+    * append) via [[LogCompactor.compactFlat]]. Rows are preserved
+    * EXACTLY — the ledger's delta rows are summed by [[readStats]], so
+    * even coincidentally identical deltas must survive compaction.
+    */
+  def compactStats(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[LogCompactor.CompactionReport] =
+    LogCompactor.compactFlat(spark, s"$path/stats", targetFileBytes)
+
   /** Probe the materialized index. The bucket ids for the query terms are
     * computed up front (a |query|-sized local job — model state, not
     * data) and pushed as literal partition filters, so the postings scan

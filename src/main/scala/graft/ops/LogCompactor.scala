@@ -73,6 +73,44 @@ object LogCompactor {
     }
   }
 
+  /** Compact a FLAT (unpartitioned) parquet directory — the shape of the
+    * staged-append delta ledgers (span-scrub tile hashes, BM25 corpus
+    * stats), which grow one small file set per append
+    * ([[graft.core.Fs.stagedAppend]]). Same rewrite recipe as
+    * [[compact]] applied to the directory itself; rows are preserved
+    * exactly (duplicate rows included — the BM25 stats ledger SUMS its
+    * delta rows, so a compactor must never dedupe; set-semantic stores
+    * dedupe in their own wrapper, [[SpanScrub.compactLedger]]). Not
+    * concurrency-safe against in-flight appenders — run it from the
+    * same maintenance window as partition compaction. `None` when the
+    * directory is missing or empty.
+    */
+  def compactFlat(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[CompactionReport] = {
+    val files = Fs.list(spark, dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) None else {
+      val bytes = files.map(_.getLen).sum
+      val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val report = CompactionReport(
+        new org.apache.hadoop.fs.Path(dir).getName,
+        files.length, target, bytes)
+      if (files.length > target) {
+        val tmp = dir + ".compact"
+        spark.read.parquet(dir).coalesce(target)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy").parquet(tmp)
+        spark.read.parquet(tmp).coalesce(target)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy").parquet(dir)
+        Fs.delete(spark, tmp)
+      }
+      Some(report)
+    }
+  }
+
   /** Retention: delete `date=` partitions strictly older than `cutoff`
     * (an ISO `yyyy-MM-dd` date). Lexicographic comparison IS date order
     * for this format, so no parsing — and a malformed directory name is

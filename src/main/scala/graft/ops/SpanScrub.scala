@@ -133,6 +133,38 @@ object SpanScrub {
     out
   }
 
+  /** Ledger maintenance: fold the staged-append small files AND the
+    * duplicate hashes a crash-replayed append leaves behind into a
+    * compact distinct rewrite. The ledger is semantically a SET (reads
+    * are `distinct()`), so deduping at compaction time changes no
+    * answer — it only shrinks the membership join's build side. Like
+    * [[LogCompactor.compactFlat]], not concurrency-safe against
+    * in-flight appenders: run from the maintenance window between
+    * batches. No-op (`None`) when the ledger does not exist yet.
+    */
+  def compactLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[LogCompactor.CompactionReport] = {
+    if (!graft.core.Fs.nonEmptyDir(spark, ledgerPath)) None else {
+      val files = graft.core.Fs.list(spark, ledgerPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val target =
+        math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val tmp = ledgerPath + ".compact"
+      spark.read.parquet(ledgerPath).distinct().coalesce(target)
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).coalesce(target)
+        .write.mode("overwrite").parquet(ledgerPath)
+      graft.core.Fs.delete(spark, tmp)
+      Some(LogCompactor.CompactionReport(
+        new org.apache.hadoop.fs.Path(ledgerPath).getName,
+        files.length, target, bytes))
+    }
+  }
+
   /** Streaming scrub: fold a document STREAM through the persistent tile
     * ledger, one [[scrubIncremental]] per micro-batch, appending scrubbed
     * documents to `outPath`. Cross-batch dedup comes from the ledger, so

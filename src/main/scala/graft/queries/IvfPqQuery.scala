@@ -31,7 +31,7 @@ import PqQuery.duckSubspace
 object IvfPqQuery {
 
   private val nQueries = 8
-  private val nProbe = 2
+  private[queries] val nProbe = 2
   private val topK = 5
 
   val knnIvfPq = Q(

@@ -12,6 +12,7 @@ object Registry {
       TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
       NormalizeQuery.all ++ FilterGateQuery.all ++ QuantizeQuery.all ++
       WinsorizeQuery.all ++ RunTreeQuery.all ++ PqDriftQuery.all ++
+      AnnCostQuery.all ++ DedupCostQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 

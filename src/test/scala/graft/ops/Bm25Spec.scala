@@ -63,6 +63,15 @@ class Bm25Spec extends SparkSpec {
     val after = Bm25.probeIndex(spark, inc, "doc_id", terms)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(after.toSeq === want.toSeq)
+
+    // stats-ledger compaction folds the per-append delta files while
+    // preserving every delta row — totals identical after
+    val statsBefore = Bm25.readStats(spark, inc).collect().head
+    val sr = Bm25.compactStats(spark, inc, targetFileBytes = 1L << 30).get
+    assert(sr.filesBefore >= sr.filesAfter)
+    val statsAfter = Bm25.readStats(spark, inc).collect().head
+    assert(statsAfter.getAs[Long]("n") === statsBefore.getAs[Long]("n"))
+    assert(statsAfter.getAs[Long]("sdl") === statsBefore.getAs[Long]("sdl"))
   }
 
   test("two concurrent appends lose no delta (commutative stats ledger)") {

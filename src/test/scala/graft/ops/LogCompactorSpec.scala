@@ -32,6 +32,30 @@ class LogCompactorSpec extends SparkSpec {
     assert(post.toSeq === pre.toSeq) // byte-for-byte same rows
   }
 
+  test("compactFlat folds an unpartitioned ledger, rows preserved EXACTLY") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactflat").toString + "/ledger"
+    // several staged appends → several small file sets; include a
+    // DUPLICATE row — a delta ledger sums rows, so compaction must keep it
+    (1 to 4).foreach { b =>
+      graft.core.Fs.stagedAppend(
+        Seq((b.toLong, 10L), (b.toLong, 10L)).toDF("k", "n"), None, dir)
+    }
+    val pre = spark.read.parquet(dir).orderBy("k", "n").collect()
+    assert(pre.length === 8)
+
+    val report = LogCompactor.compactFlat(spark, dir, 1L << 30).get
+    assert(report.filesBefore > 1 && report.filesAfter === 1)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+    val post = spark.read.parquet(dir).orderBy("k", "n").collect()
+    assert(post.toSeq === pre.toSeq) // duplicates intact — no silent dedupe
+
+    // missing dir → None
+    assert(LogCompactor.compactFlat(spark, dir + "_nope", 1L << 30).isEmpty)
+  }
+
   test("clusterBy sorts rows within the compacted partition, data intact") {
     val dir = Files.createTempDirectory("compact_c").toString
     val sink = new ParquetDirSink(spark, dir)

@@ -103,6 +103,37 @@ class SpanScrubSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() > 0)
   }
 
+  test("ledger compaction folds files + replay duplicates, answers unchanged") {
+    val docs = graft.queries.tbl(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("scrub_ledger_cmp").toString + "/ledger"
+    val b1 = docs.filter(col("doc_id") < 150)
+    val b2 = docs.filter(col("doc_id") >= 150)
+    SpanScrub.scrubIncremental(b1, "doc_id", "text", 12, path)
+    SpanScrub.scrubIncremental(b2, "doc_id", "text", 12, path)
+    // simulate a crash-replayed append: duplicate hashes in the ledger
+    val dup = spark.read.parquet(path).limit(5)
+    graft.core.Fs.stagedAppend(dup, None, path)
+    val before = spark.read.parquet(path)
+    val distinctBefore = before.distinct().count()
+    assert(before.count() > distinctBefore) // dups really present
+
+    val report = SpanScrub.compactLedger(spark, path).get
+    assert(report.filesBefore > report.filesAfter)
+    val after = spark.read.parquet(path)
+    // set semantics preserved exactly; physical dups gone
+    assert(after.count() === distinctBefore)
+    assert(after.count() === after.distinct().count())
+    // a replay of the whole corpus still scrubs to nothing new
+    val replay = SpanScrub.scrubIncremental(docs, "doc_id", "text", 12, path)
+    assert(replay.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(col("scrubbed_text"))))
+      .head().getLong(0) === 0L)
+    // missing ledger → None, not a crash
+    assert(SpanScrub.compactLedger(spark, path + "_nope").isEmpty)
+  }
+
   test("result is partition-count invariant and window-free") {
     val docs = graft.queries.tbl(spark, sf(), "documents")
       .select("doc_id", "text")
