@@ -149,7 +149,10 @@ object QuantizeQuery {
               FROM scored)
             SELECT query_id, rnk, neighbor_id, approx_cos
             FROM ranked WHERE rnk <= $topK
-            ORDER BY query_id, rnk"""))
+            ORDER BY query_id, rnk"""),
+    // benched since r7 so the ANN decision table (q_ann_cost + COVERAGE)
+    // carries a measured latency for every index leg, not four of five
+    bench = true)
 
   val all: Seq[Q] = Seq(quantizeInt8, knnInt8)
 }
