@@ -8,6 +8,8 @@ import graft.ops.SignatureStore
 /** Training-data curation pipeline over the `documents` corpus — the
   * shape a 100 TB pre-training data job takes, end to end:
   *
+  *   0. cross-run suppression (Bloom sketch ledger of prior runs'
+  *      fingerprints — map-side probe, exact verify)
   *   1. quality gate (codegen'd text heuristics, scan-level filter)
   *   2. exact dedup (hash groupBy — shuffle carries hashes, not text)
   *      + exact long-span self-dedup (keep-first over 6-word spans)
@@ -16,6 +18,8 @@ import graft.ops.SignatureStore
   *      classifier gate, LM perplexity gate, DSIR importance selection
   *   4. deterministic stratified downsampling of the dominant language
   *   5. token accounting for the surviving corpus
+  *   7b. shipped layout: z-ordered files + min/max stats ledger so every
+  *      downstream reader data-skips
   *
   * Run: sbt "runMain graft.examples.TrainingDataPipeline [sfDir]"
   */
@@ -31,8 +35,26 @@ object TrainingDataPipeline {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"corpus: ${docs.count()} docs")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus: ${raw.count()} docs")
+
+    // 0. cross-run suppression: drop every document whose content
+    //    fingerprint is already in the PREVIOUS training runs'
+    //    suppression ledger (stand-in: every 9th doc's fingerprint,
+    //    appended as one "run shard"). The Bloom probe passes misses
+    //    map-side; only hits pay the exact verify join — at 100 TB the
+    //    ledger sketch broadcasts where the exact key set cannot.
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("suppress_ledger_example").toString + "/sketches"
+    val prevRun = raw.filter(col("doc_id") % 9 === 0)
+      .select(expr("md5num(text)").as("fp"))
+    graft.ops.BloomSuppress.appendShard(
+      prevRun, "fp", ledgerDir, "run_0", capacityKeys = 100000L)
+    val docs = graft.ops.BloomSuppress.antiJoinSketch(
+        raw.withColumn("fp", expr("md5num(text)")), prevRun, "fp",
+        graft.ops.BloomSuppress.ledgerSketch(spark, ledgerDir))
+      .drop("fp")
+    println(s"after cross-run suppression: ${docs.count()}")
 
     // 1. quality gate: length + stopword-density heuristics, one scan
     val quality = docs
@@ -188,6 +210,22 @@ object TrainingDataPipeline {
     stats.foreach(s => println(
       f"shard=${s.shard} docs=${s.nDocs} tokens=${s.weight} " +
         f"balance=${s.balanceRatio}%.4f"))
+
+    // 7b. shipped layout: the final corpus z-ordered on its two hot
+    //     filter keys, with a file-stats ledger built in the same job —
+    //     every downstream reader (and the next run's snapshot diff)
+    //     skips to its slice from the ledger instead of opening footers
+    val layoutDir = java.nio.file.Files
+      .createTempDirectory("corpus_layout_example").toString
+    val shipped = capped.withColumn("n_chars", col("n_chars").cast("long"))
+    graft.ops.ZOrder.write(shipped, Seq("doc_id", "n_chars"), 8,
+      s"$layoutDir/corpus")
+    graft.ops.StatsLedger.build(spark, s"$layoutDir/corpus",
+      s"$layoutDir/ledger", Seq("doc_id", "n_chars"))
+    val slice = graft.ops.StatsLedger.readPruned(spark,
+      s"$layoutDir/corpus", s"$layoutDir/ledger",
+      Seq(graft.ops.StatsLedger.Box.between("n_chars", 0L, 200L)))
+    println(s"short-doc slice via ledger-pruned read: ${slice.count()} docs")
 
     // 8. serving-side index over the corpus embeddings: trained coarse
     //    quantizer (k-means) + trained PQ codebooks → a materialized

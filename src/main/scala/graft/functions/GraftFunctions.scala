@@ -85,6 +85,20 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("gram_agg",
         exprs => GramAgg(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue), "scala_udf")
+      // Engine-owned Bloom sketch: persistable stable format + union
+      // aggregate, for suppression ledgers that accrue across runs
+      // (Spark's internal one below is transient and conf-capped)
+      def litL(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.eval().asInstanceOf[Number].longValue
+      reg.createOrReplaceTempFunction("bloom_agg",
+        exprs => BloomAgg(exprs.head, litL(exprs(1)).toInt,
+          litL(exprs(2)).toInt), "scala_udf")
+      reg.createOrReplaceTempFunction("bloom_merge_agg",
+        exprs => BloomMergeAgg(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("bloom_contains",
+        exprs => BloomContains(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("z_value",
+        exprs => ZValue(exprs.head), "scala_udf")
       // Spark's Bloom machinery is internal (used by automatic runtime
       // filters); exposing it lets queries apply the semi-join-reduction
       // pattern explicitly at any scale

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Fs
+
+/** File-level data skipping: a per-file min/max/count ledger plus a
+  * pruned read path — the Delta/Iceberg "data skipping" pattern for
+  * plain parquet directories.
+  *
+  * Parquet's own row-group stats (proven exploited in
+  * LayoutSkippingSpec) still require OPENING every file footer: at 100 TB
+  * / 128 MB files that is ~800k footer reads per query — on an object
+  * store, ~800k GETs before the first data byte. This ledger lifts the
+  * same min/max stats into ONE tiny table built with one distributed
+  * scan (`groupBy(input_file_name())`), so planning a box predicate
+  * costs one ledger read and the data scan starts with the ~matching
+  * file list.
+  *
+  * Exactness contract: pruning keeps every file whose [min,max] MAY
+  * intersect the predicate and the predicate is RE-APPLIED on the
+  * pruned read, so the answer equals the full scan's no matter how
+  * coarse the stats — `q_stats_prune`/`q_zorder_prune` pin that
+  * cross-engine against full-scan DuckDB oracles.
+  *
+  * Scale shape: the ledger has one row per data file (~800k rows at
+  * 100 TB — kilobyte-scale per query to read, and itself a parquet
+  * table if it ever needs partitioning). The pruned file LIST is
+  * driver-resident, bounded by surviving-file count — the same bound
+  * the driver already carries as the scan's split list. Stats build is
+  * map-side combined (one (file → min/max) row per task), and a new
+  * ingest batch appends its own ledger rows via [[Fs.stagedAppend]]
+  * without touching old ones.
+  */
+object StatsLedger {
+
+  /** Inclusive range predicate on one column; None = unbounded side. */
+  final case class Box(col: String, lo: Option[Any], hi: Option[Any])
+
+  object Box {
+    def between(col: String, lo: Any, hi: Any): Box =
+      Box(col, Some(lo), Some(hi))
+  }
+
+  private def statCols(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+
+  /** One distributed scan → (file, min_c, max_c ..., n_rows) per file. */
+  def stats(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(statCols(cols).head, statCols(cols).tail: _*)
+
+  /** Build and (over)write the ledger for a directory. */
+  def build(
+      spark: SparkSession, dataDir: String, ledgerDir: String,
+      cols: Seq[String]): Unit =
+    stats(spark, dataDir, cols).coalesce(1)
+      .write.mode("overwrite").parquet(ledgerDir)
+
+  /** Ledger rows for ONE new batch of files, appended concurrent-safe —
+    * the incremental path: stats accrue per ingest, never rebuilt.
+    */
+  def appendBatch(
+      spark: SparkSession, batchDir: String, ledgerDir: String,
+      cols: Seq[String]): Unit =
+    Fs.stagedAppend(stats(spark, batchDir, cols).coalesce(1), None, ledgerDir)
+
+  /** Ledger-side survival condition: file may contain a matching row. */
+  private def mayMatch(b: Box): Column = {
+    val loOk = b.lo.map(v => col(s"max_${b.col}") >= lit(v)).getOrElse(lit(true))
+    val hiOk = b.hi.map(v => col(s"min_${b.col}") <= lit(v)).getOrElse(lit(true))
+    // all-null files carry null min/max: cannot match a bounded box
+    loOk && hiOk
+  }
+
+  /** Files surviving a conjunction of boxes (driver-resident list,
+    * bounded by surviving-file count).
+    */
+  def pruneFiles(
+      spark: SparkSession, ledgerDir: String, boxes: Seq[Box]): Seq[String] = {
+    val cond = boxes.map(mayMatch).reduceOption(_ && _).getOrElse(lit(true))
+    spark.read.parquet(ledgerDir).filter(cond)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Exact box-predicate read: ledger-pruned file list, predicate
+    * re-applied. Equals `spark.read.parquet(dataDir).filter(boxes)`.
+    */
+  def readPruned(
+      spark: SparkSession, dataDir: String, ledgerDir: String,
+      boxes: Seq[Box]): DataFrame = {
+    val exact = boxes.map { b =>
+      val lo = b.lo.map(v => col(b.col) >= lit(v)).getOrElse(lit(true))
+      val hi = b.hi.map(v => col(b.col) <= lit(v)).getOrElse(lit(true))
+      lo && hi
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val files = pruneFiles(spark, ledgerDir, boxes)
+    if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+    else spark.read.parquet(files: _*).filter(exact)
+  }
+}
+
+/** Multi-dimensional clustering via [[graft.functions.ZValue Morton
+  * codes]]: lay a table out so that file-level min/max ranges are narrow
+  * on SEVERAL columns at once, then let [[StatsLedger]] box predicates
+  * skip files on any of them.
+  *
+  * Rank scaling is linear between the column's global min/max (one
+  * tiny agg), giving uniform-ish keys (TPC-H-style surrogate keys,
+  * hashes, timestamps) tight cells. Heavily skewed columns would want
+  * quantile ranks instead; that trades a sampled sort per column and is
+  * deliberately not done here — the layout only affects PRUNING quality,
+  * never answers.
+  */
+object ZOrder {
+
+  /** `v` linearly scaled to [0, 65535] between (lo, hi); nulls → 0 so
+    * rows stay in the layout (null sorts with the low corner).
+    */
+  private def rank16(c: Column, lo: Column, hi: Column): Column = {
+    val span = (hi - lo).cast("double")
+    val scaled = ((c.cast("double") - lo.cast("double")) / span * 65535.0)
+    val clamped = least(greatest(round(scaled).cast("int"), lit(0)), lit(65535))
+    coalesce(when(span > 0, clamped).otherwise(lit(0)), lit(0))
+  }
+
+  /** Write `df` z-ordered by `cols` (2–4 numeric columns) into `nFiles`
+    * range-partitioned, internally sorted files at `dir`.
+    */
+  def write(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "z-order wants 2-4 columns")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // global min/max per column: one row, crossJoined (broadcast) onto df
+    val bounds = df.agg(
+      cols.flatMap(c =>
+        Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))).head,
+      cols.flatMap(c =>
+        Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))).tail: _*)
+    val ranks = array(cols.map(c =>
+      rank16(col(c), col(s"_lo_$c"), col(s"_hi_$c"))): _*)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", call_function("z_value", ranks))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+}

@@ -12,7 +12,8 @@ object Registry {
       TokenizeQuery.all ++ CdcQuery.all ++ ScrubQuery.all ++
       NormalizeQuery.all ++ FilterGateQuery.all ++ QuantizeQuery.all ++
       WinsorizeQuery.all ++ RunTreeQuery.all ++ PqDriftQuery.all ++
-      AnnCostQuery.all ++ DedupCostQuery.all ++
+      AnnCostQuery.all ++ DedupCostQuery.all ++ BloomSuppressQuery.all ++
+      SkippingQueries.all ++ JsonlQuery.all ++ SnapshotDiffQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 

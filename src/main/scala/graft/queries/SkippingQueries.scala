@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StatsLedger
+import graft.ops.StatsLedger.Box
+import graft.ops.ZOrder
+
+/** Oracle checks for [[graft.ops.StatsLedger]] / [[graft.ops.ZOrder]] —
+  * file-level data skipping. The layout and the ledger only change WHICH
+  * FILES are opened, never the answer (predicates are re-applied on the
+  * pruned read), so the DuckDB oracle is the plain full-scan filter over
+  * the original table. The pruning EFFECTIVENESS (files skipped) is
+  * asserted in StatsLedgerSpec, where the file counts are observable.
+  */
+object SkippingQueries {
+
+  /** Range-laid-out events + one-column ledger prune: write events
+    * range-partitioned by user_id (the hot filter key), build the
+    * ledger with one scan, answer a band predicate through the pruned
+    * read. Mirrors the steady state where an ingest pipeline lays out
+    * by the dominant access key and every reader skips to its band.
+    */
+  val statsPrune = Q(
+    "q_stats_prune",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_statsprune").toString
+      val data = s"$base/events"
+      val ledger = s"$base/ledger"
+      val ev = tbl(s, dir, "events")
+      ev.repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(data)
+      StatsLedger.build(s, data, ledger, Seq("user_id"))
+      // band scales with the key domain (user_id cardinality grows with
+      // sf): [60%, 80%] of max — exact integer arithmetic both engines
+      val mrow = ev.agg(max(col("user_id"))).head()
+      val maxU = if (mrow.isNullAt(0)) 0L else mrow.getLong(0) // empty input
+      StatsLedger.readPruned(s, data, ledger,
+          Seq(Box.between("user_id", maxU * 3 / 5, maxU * 4 / 5)))
+        .groupBy(col("event_type"))
+        .agg(cnt("n_events"), sum(col("user_id")).as("uid_sum"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(user_id) AS BIGINT) AS uid_sum
+            FROM events
+            WHERE user_id BETWEEN (SELECT MAX(user_id) * 3 // 5 FROM events)
+                              AND (SELECT MAX(user_id) * 4 // 5 FROM events)
+            GROUP BY event_type ORDER BY event_type NULLS FIRST"""),
+    bench = true)
+
+  /** Z-order + two-column box: lineitem clustered on (l_partkey,
+    * l_suppkey) Morton codes, ledger on both columns, a 2-D box
+    * predicate answered through the pruned read — the multi-dimensional
+    * clustering that single-key range layout cannot give (proven
+    * side-by-side in StatsLedgerSpec).
+    */
+  val zorderPrune = Q(
+    "q_zorder_prune",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      val data = s"$base/lineitem"
+      val ledger = s"$base/ledger"
+      val li = tbl(s, dir, "lineitem")
+      ZOrder.write(li, Seq("l_partkey", "l_suppkey"), 24, data)
+      StatsLedger.build(s, data, ledger, Seq("l_partkey", "l_suppkey"))
+      // 2-D box scaled to the key domains: partkey [10%,30%], suppkey
+      // [20%,40%] of their maxima
+      val m = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("s")).head()
+      val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
+      val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
+      StatsLedger.readPruned(s, data, ledger,
+          Seq(Box.between("l_partkey", maxP / 10, maxP * 3 / 10),
+            Box.between("l_suppkey", maxS / 5, maxS * 2 / 5)))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sumRound(decPrice(col("l_extendedprice"))).as("price_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   ${sqlSumRound(sqlPrice("l_extendedprice"))} AS price_sum
+            FROM lineitem
+            WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) // 10 FROM lineitem)
+                                AND (SELECT MAX(l_partkey) * 3 // 10 FROM lineitem)
+              AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 5 FROM lineitem)
+                                AND (SELECT MAX(l_suppkey) * 2 // 5 FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(statsPrune, zorderPrune)
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.StatsLedger.Box
+
+/** Data-skipping contract: the ledger-pruned read answers exactly like
+  * the full scan; pruning actually skips files on a range layout; z-order
+  * layout prunes on BOTH box dimensions where single-key range layout
+  * prunes on one; incremental ledger appends cover new batches without
+  * rebuilding.
+  */
+class StatsLedgerSpec extends SparkSpec {
+  import graft.queries.tbl
+
+  private lazy val base = {
+    val dir = java.nio.file.Files.createTempDirectory("statsledger").toString
+    val ev = tbl(spark, sf(), "events")
+      .select("event_id", "user_id", "value", "event_type")
+    ev.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$dir/range")
+    StatsLedger.build(spark, s"$dir/range", s"$dir/range_ledger",
+      Seq("user_id"))
+    dir
+  }
+
+  // sf0.001 user_id spans 0–14; a ~3-value band is "narrow" there
+  test("pruned read equals the full-scan filter") {
+    val boxes = Seq(Box.between("user_id", 4L, 6L))
+    val pruned = StatsLedger
+      .readPruned(spark, s"$base/range", s"$base/range_ledger", boxes)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(s"$base/range")
+      .filter(col("user_id").between(4L, 6L))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(full.nonEmpty, "fixture band empty — weak test")
+  }
+
+  test("a narrow band survives in few files; a miss band in none") {
+    val all = StatsLedger.pruneFiles(spark, s"$base/range_ledger", Nil)
+    val band = StatsLedger.pruneFiles(spark, s"$base/range_ledger",
+      Seq(Box.between("user_id", 4L, 6L)))
+    assert(all.size >= 6, s"expected ~8 files, got ${all.size}")
+    assert(band.size < all.size / 2,
+      s"range layout should confine the band: ${band.size}/${all.size}")
+    val miss = StatsLedger.pruneFiles(spark, s"$base/range_ledger",
+      Seq(Box.between("user_id", 10_000_000L, 20_000_000L)))
+    assert(miss.isEmpty)
+    // empty selection still answers, with the data schema
+    val none = StatsLedger.readPruned(spark, s"$base/range",
+      s"$base/range_ledger",
+      Seq(Box.between("user_id", 10_000_000L, 20_000_000L)))
+    assert(none.count() === 0)
+    assert(none.columns.contains("event_type"))
+  }
+
+  test("z-order prunes on both dimensions; single-key layout only on its " +
+    "key") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = tbl(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 16
+    ZOrder.write(li, Seq("l_partkey", "l_suppkey"), nFiles, s"$dir/z")
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    for (layout <- Seq("z", "linear"))
+      StatsLedger.build(spark, s"$dir/$layout", s"$dir/${layout}_ledger",
+        Seq("l_partkey", "l_suppkey"))
+
+    // correctness first: both layouts answer the box identically
+    val boxes = Seq(Box.between("l_partkey", 20L, 80L),
+      Box.between("l_suppkey", 2L, 5L))
+    def answer(layout: String) = StatsLedger
+      .readPruned(spark, s"$dir/$layout", s"$dir/${layout}_ledger", boxes)
+      .agg(count(lit(1)), sum("l_quantity")).collect().head
+    assert(answer("z") === answer("linear"))
+
+    def survivors(layout: String, bs: Seq[Box]) =
+      StatsLedger.pruneFiles(spark, s"$dir/${layout}_ledger", bs).size
+    val zTotal = survivors("z", Nil)
+    val linTotal = survivors("linear", Nil)
+    // secondary-dimension-only predicate: linear layout cannot prune at
+    // all (every file spans all suppkeys); z layout must
+    val sk = Seq(Box.between("l_suppkey", 2L, 5L))
+    val zSk = survivors("z", sk)
+    val linSk = survivors("linear", sk)
+    info(s"suppkey-only box: z keeps $zSk/$zTotal, linear $linSk/$linTotal")
+    assert(linSk === linTotal, "linear layout unexpectedly pruned on suppkey")
+    assert(zSk < zTotal, "z-order layout failed to prune on the second dim")
+    // 2-D box: z layout strictly better than its own total too
+    assert(survivors("z", boxes) < zTotal)
+  }
+
+  test("appendBatch extends the ledger to new files without a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger_inc").toString
+    val ev = tbl(spark, sf(), "events")
+      .select("event_id", "user_id", "event_type")
+    ev.filter(col("event_id") % 2 === 0).repartitionByRange(4, col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch0")
+    StatsLedger.build(spark, s"$dir/batch0", s"$dir/ledger", Seq("user_id"))
+    // second ingest lands beside the first; only ITS stats are computed
+    ev.filter(col("event_id") % 2 === 1).repartitionByRange(4, col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch1")
+    StatsLedger.appendBatch(spark, s"$dir/batch1", s"$dir/ledger",
+      Seq("user_id"))
+    val files = StatsLedger.pruneFiles(spark, s"$dir/ledger", Nil)
+    assert(files.exists(_.contains("batch0")) &&
+      files.exists(_.contains("batch1")))
+    // a pruned read over the union answers like the original table
+    val got = files.map(f => spark.read.parquet(f))
+      .reduce(_ unionByName _)
+      .filter(col("user_id").between(40L, 90L)).count()
+    val want = ev.filter(col("user_id").between(40L, 90L)).count()
+    assert(got === want)
+  }
+}

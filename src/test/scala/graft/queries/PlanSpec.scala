@@ -90,4 +90,58 @@ class PlanSpec extends SparkSpec {
       "bloom filter is not adjacent to the scan:\n" +
         between.mkString("\n"))
   }
+
+  test("bloom suppression: the pass-through branch (bloom misses) reaches " +
+    "the union with zero exchanges and zero joins — only hits pay a join") {
+    import org.apache.spark.sql.functions._
+    val docs = tbl(spark, sf(), "documents")
+      .withColumn("fp", expr("md5num(text)"))
+    val trained = docs.filter(col("doc_id") % 3 === 0).select(col("fp"))
+    // AQE wraps the union in query stages, hiding it from collect();
+    // the branch shapes under test are identical either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val union =
+      try {
+        val df = graft.ops.BloomSuppress.antiJoin(docs, trained, "fp")
+        df.collect()
+        df.queryExecution.executedPlan.collectFirst {
+          case u: org.apache.spark.sql.execution.UnionExec => u
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(union.nonEmpty, "no union in plan")
+    val branches = union.get.children.map(_.toString)
+    // exactly one branch must be exchange- and join-free: scan → probe
+    // filter → project, nothing else (NOT bloom_contains on the miss side)
+    val passThrough = branches.filter(b =>
+      !b.contains("Exchange") && !b.contains("Join"))
+    assert(passThrough.size == 1,
+      s"expected exactly one shuffle-free pass-through branch, got " +
+        s"${passThrough.size}:\n" + branches.mkString("\n---\n"))
+    assert(passThrough.head.contains("NOT bloom_contains"))
+  }
+
+  test("stats-ledger pruned read scans only the surviving file list") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("planprune").toString
+    val ev = tbl(spark, sf(), "events").select("event_id", "user_id")
+    ev.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$base/d")
+    graft.ops.StatsLedger.build(spark, s"$base/d", s"$base/l", Seq("user_id"))
+    val boxes = Seq(graft.ops.StatsLedger.Box.between("user_id", 4L, 6L))
+    val survivors =
+      graft.ops.StatsLedger.pruneFiles(spark, s"$base/l", boxes)
+    val df = graft.ops.StatsLedger.readPruned(spark, s"$base/d", s"$base/l",
+      boxes)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scannedFiles = scans.flatMap(_.relation.location.inputFiles).toSet
+    assert(scannedFiles.size == survivors.size,
+      s"scan reads ${scannedFiles.size} files, ledger kept " +
+        s"${survivors.size}")
+    val total = spark.read.parquet(s"$base/d").inputFiles.length
+    assert(scannedFiles.size < total, "pruned read scanned every file")
+  }
 }
