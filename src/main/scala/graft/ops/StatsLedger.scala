@@ -142,11 +142,54 @@ object ZOrder {
         Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))).tail: _*)
     val ranks = array(cols.map(c =>
       rank16(col(c), col(s"_lo_$c"), col(s"_hi_$c"))): _*)
-    df.crossJoin(broadcast(bounds))
-      .withColumn("_z", call_function("z_value", ranks))
+    layout(df.crossJoin(broadcast(bounds)), df.columns, ranks, nFiles, dir)
+  }
+
+  /** Skew-robust variant: per-dimension ranks are QUANTILE buckets
+    * (approxQuantile cutpoints — a bounded driver-side model of ≤
+    * `cells` doubles per column, one stat pass), so a power-law column
+    * spreads across the full rank range instead of collapsing into one
+    * Morton cell the way linear min/max scaling makes it. Per-row cost
+    * is a codegen'd higher-order scan of the cutpoint array (≤ `cells`
+    * compares). Layout-only, like [[write]]: answers never change,
+    * pruning quality does (ZOrderSkewSpec measures the gap).
+    */
+  def writeQuantile(
+      df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
+      cells: Int = 256): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "z-order wants 2-4 columns")
+    require(cells >= 2 && cells <= 65536, "cells in [2, 65536]")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val probes = (1 until cells).map(_.toDouble / cells).toArray
+    val ranks = array(cols.map { c =>
+      val cuts = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+      if (cuts.isEmpty) lit(0) // empty/all-null input: degenerate layout
+      else {
+        val cutsArr = array(cuts.map(lit): _*)
+        // rank = #cutpoints strictly below the value; nulls → 0 (low
+        // corner: filter's null predicate drops every element). The rank
+        // is then scaled into the common 16-bit space: a low-cardinality
+        // column yields fewer distinct cuts than `cells`, and without
+        // rescaling its high bits would be constant zero — the interleave
+        // would weight it below its peers and per-file windows on it
+        // would balloon
+        val raw = coalesce(
+          size(filter(cutsArr,
+            x => col(c).cast("double") > x)).cast("int"),
+          lit(0))
+        least(round(raw * lit(65535.0 / cuts.length)).cast("int"),
+          lit(65535))
+      }
+    }: _*)
+    layout(df, df.columns, ranks, nFiles, dir)
+  }
+
+  private def layout(
+      src: DataFrame, outCols: Array[String], ranks: Column, nFiles: Int,
+      dir: String): Unit =
+    src.withColumn("_z", call_function("z_value", ranks))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
-      .select(df.columns.map(col): _*)
+      .select(outCols.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dir)
-  }
 }
