@@ -45,7 +45,8 @@ object StatsLedger {
 
   private def statCols(cols: Seq[String]): Seq[Column] =
     cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"cnt_$c"))) :+
       count(lit(1)).as("n_rows")
 
   /** One distributed scan → (file, min_c, max_c ..., n_rows) per file. */
@@ -85,6 +86,49 @@ object StatsLedger {
     val cond = boxes.map(mayMatch).reduceOption(_ && _).getOrElse(lit(true))
     spark.read.parquet(ledgerDir).filter(cond)
       .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Metadata-only aggregation: exact (count, min, max) of `box.col`
+    * over rows satisfying the box, answered FROM THE LEDGER for every
+    * file fully inside the box and by scanning ONLY the boundary files —
+    * the `SELECT COUNT(*) WHERE k BETWEEN …` that table formats answer
+    * from statistics. On a range- or z-laid-out table the boundary is
+    * O(files^(1-1/d)) of the data; the interior — the bulk — costs one
+    * ledger read.
+    *
+    * Exactness: interior files contribute their ledger `cnt` (non-null
+    * count of the column — `n_rows` would wrongly include nulls, which
+    * never satisfy a bounded box) and their true `min`/`max` (which lie
+    * inside the box by containment); boundary files are re-scanned with
+    * the exact predicate. Returns one row (n_rows, min_v, max_v) with
+    * nulls when nothing matches.
+    */
+  def aggFast(
+      spark: SparkSession, dataDir: String, ledgerDir: String,
+      box: Box): DataFrame = {
+    val c = box.col
+    val led = spark.read.parquet(ledgerDir)
+    val inside =
+      box.lo.map(v => col(s"min_$c") >= lit(v)).getOrElse(lit(true)) &&
+        box.hi.map(v => col(s"max_$c") <= lit(v)).getOrElse(lit(true))
+    val interior = led.filter(mayMatch(box) && inside)
+      .agg(coalesce(sum(col(s"cnt_$c")), lit(0L)).as("n_rows"),
+        min(col(s"min_$c")).as("min_v"), max(col(s"max_$c")).as("max_v"))
+    val boundaryFiles = led.filter(mayMatch(box) && !inside)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val exact =
+      box.lo.map(v => col(c) >= lit(v)).getOrElse(lit(true)) &&
+        box.hi.map(v => col(c) <= lit(v)).getOrElse(lit(true))
+    val boundary =
+      (if (boundaryFiles.isEmpty)
+        spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(boundaryFiles: _*))
+        .filter(exact)
+        .agg(count(col(c)).as("n_rows"), min(col(c)).as("min_v"),
+          max(col(c)).as("max_v"))
+    interior.unionByName(boundary)
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
   }
 
   /** Exact box-predicate read: ledger-pruned file list, predicate

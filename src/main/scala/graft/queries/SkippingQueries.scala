@@ -91,5 +91,36 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_suppkey) * 2 // 5 FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(statsPrune, zorderPrune)
+  /** Metadata-only aggregate: exact count/min/max of the band answered
+    * from ledger stats for interior files plus a scan of boundary files
+    * only — the `SELECT COUNT(*) WHERE k BETWEEN …` a table format
+    * serves from statistics, proven exact against the full-scan oracle.
+    */
+  val aggPushdown = Q(
+    "q_agg_pushdown",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_aggfast").toString
+      val data = s"$base/events"
+      val ledger = s"$base/ledger"
+      val ev = tbl(s, dir, "events")
+      ev.repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(data)
+      StatsLedger.build(s, data, ledger, Seq("user_id"))
+      val mrow = ev.agg(max(col("user_id"))).head()
+      val maxU = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
+      StatsLedger.aggFast(s, data, ledger,
+          Box.between("user_id", maxU * 3 / 5, maxU * 4 / 5))
+        .select(col("n_rows"), col("min_v").cast("long").as("min_v"),
+          col("max_v").cast("long").as("max_v"))
+    },
+    Some("""SELECT CAST(COUNT(user_id) AS BIGINT) AS n_rows,
+                   CAST(MIN(user_id) AS BIGINT) AS min_v,
+                   CAST(MAX(user_id) AS BIGINT) AS max_v
+            FROM events
+            WHERE user_id BETWEEN (SELECT MAX(user_id) * 3 // 5 FROM events)
+                              AND (SELECT MAX(user_id) * 4 // 5 FROM events)"""))
+
+  val all: Seq[Q] = Seq(statsPrune, zorderPrune, aggPushdown)
 }

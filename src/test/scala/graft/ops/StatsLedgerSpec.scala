@@ -94,6 +94,34 @@ class StatsLedgerSpec extends SparkSpec {
     assert(survivors("z", boxes) < zTotal)
   }
 
+  test("aggFast answers count/min/max exactly, serving interior files " +
+    "from ledger stats alone") {
+    val box = Box.between("user_id", 3L, 9L)
+    val got = StatsLedger
+      .aggFast(spark, s"$base/range", s"$base/range_ledger", box)
+      .collect().head
+    val want = spark.read.parquet(s"$base/range")
+      .filter(col("user_id").between(3L, 9L))
+      .agg(count(col("user_id")), min("user_id"), max("user_id"))
+      .collect().head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(2) === want.getLong(2))
+    assert(got.getLong(0) > 0, "band empty — weak test")
+    // the band must contain at least one INTERIOR file (metadata-served):
+    // files fully inside [3, 9] on an 8-file range layout of 0..14
+    val interior = spark.read.parquet(s"$base/range_ledger")
+      .filter(col("min_user_id") >= 3L && col("max_user_id") <= 9L)
+      .count()
+    assert(interior > 0,
+      "no interior file — the metadata path was never exercised")
+    // a box past the domain answers (0, null, null)
+    val none = StatsLedger.aggFast(spark, s"$base/range",
+      s"$base/range_ledger", Box.between("user_id", 1000000L, 2000000L))
+      .collect().head
+    assert(none.getLong(0) === 0L && none.isNullAt(1) && none.isNullAt(2))
+  }
+
   test("appendBatch extends the ledger to new files without a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("ledger_inc").toString
     val ev = tbl(spark, sf(), "events")
