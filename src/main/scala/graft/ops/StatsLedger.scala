@@ -81,10 +81,20 @@ object StatsLedger {
   /** Files surviving a conjunction of boxes (driver-resident list,
     * bounded by surviving-file count).
     */
+  /** The ledger deduplicated by file: a crash-replayed [[appendBatch]]
+    * legitimately appends the same file's stats row twice (staged
+    * appends are at-least-once); duplicate rows are identical, so any
+    * one per file is the truth. Without this, [[readPruned]] would scan
+    * a replayed file twice and [[aggFast]] would double-count its
+    * interior rows.
+    */
+  private def ledger(spark: SparkSession, ledgerDir: String): DataFrame =
+    spark.read.parquet(ledgerDir).dropDuplicates("file")
+
   def pruneFiles(
       spark: SparkSession, ledgerDir: String, boxes: Seq[Box]): Seq[String] = {
     val cond = boxes.map(mayMatch).reduceOption(_ && _).getOrElse(lit(true))
-    spark.read.parquet(ledgerDir).filter(cond)
+    ledger(spark, ledgerDir).filter(cond)
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
@@ -107,7 +117,7 @@ object StatsLedger {
       spark: SparkSession, dataDir: String, ledgerDir: String,
       box: Box): DataFrame = {
     val c = box.col
-    val led = spark.read.parquet(ledgerDir)
+    val led = ledger(spark, ledgerDir)
     val inside =
       box.lo.map(v => col(s"min_$c") >= lit(v)).getOrElse(lit(true)) &&
         box.hi.map(v => col(s"max_$c") <= lit(v)).getOrElse(lit(true))

@@ -143,5 +143,19 @@ class StatsLedgerSpec extends SparkSpec {
       .filter(col("user_id").between(40L, 90L)).count()
     val want = ev.filter(col("user_id").between(40L, 90L)).count()
     assert(got === want)
+
+    // crash replay: the same batch appended AGAIN (staged appends are
+    // at-least-once) must not double-read or double-count — the ledger
+    // dedupes by file
+    StatsLedger.appendBatch(spark, s"$dir/batch1", s"$dir/ledger",
+      Seq("user_id"))
+    val filesReplayed = StatsLedger.pruneFiles(spark, s"$dir/ledger", Nil)
+    assert(filesReplayed.size === filesReplayed.distinct.size)
+    assert(filesReplayed.sorted === files.sorted)
+    val box = Box.between("user_id", 4L, 9L)
+    val fast = StatsLedger.aggFast(spark, s"$dir/batch0", s"$dir/ledger",
+      box).collect().head
+    assert(fast.getLong(0) ===
+      ev.filter(col("user_id").between(4L, 9L)).count())
   }
 }
