@@ -64,6 +64,11 @@ object StatsLedger {
 
   /** Ledger rows for ONE new batch of files, appended concurrent-safe —
     * the incremental path: stats accrue per ingest, never rebuilt.
+    * Small-file accumulation (one parquet file per append) is bounded by
+    * the flat-ledger maintenance job: `LogCompactor.compactFlat(spark,
+    * ledgerDir, …)` folds the files with rows preserved exactly (replay
+    * duplicates persist through compaction; every read dedupes by file,
+    * so answers are unaffected either way).
     */
   def appendBatch(
       spark: SparkSession, batchDir: String, ledgerDir: String,
