@@ -122,5 +122,43 @@ object SkippingQueries {
             WHERE user_id BETWEEN (SELECT MAX(user_id) * 3 // 5 FROM events)
                               AND (SELECT MAX(user_id) * 4 // 5 FROM events)"""))
 
-  val all: Seq[Q] = Seq(statsPrune, zorderPrune, aggPushdown)
+  /** Point-lookup skipping on a HASH-distributed layout — the case range
+    * stats cannot help (every file spans the whole key domain): a
+    * per-file Bloom column in the ledger keeps only may-contain files,
+    * and the exact `IN` re-filter makes the answer the full scan's.
+    * Keys are scale-derived fractions of the id domain so the lookup is
+    * non-trivial at every sf.
+    */
+  val bloomIndex = Q(
+    "q_bloom_index",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bloomidx").toString
+      val data = s"$base/docs"
+      val ledger = s"$base/ledger"
+      val docs = tbl(s, dir, "documents")
+      docs.repartition(16, col("doc_id")) // hash layout: ranges useless
+        .write.mode("overwrite").parquet(data)
+      StatsLedger.buildWithBloom(s, data, ledger,
+        cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      val mrow = docs.agg(max(col("doc_id"))).head()
+      val mx = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
+      val keys = Seq(mx / 7, mx / 3, mx / 2, mx * 2 / 3, mx - 1)
+        .distinct.filter(_ >= 0)
+      StatsLedger.readPoint(s, data, ledger, "doc_id", keys)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+                 keys AS (SELECT mx // 7 AS k FROM m
+                          UNION SELECT mx // 3 FROM m
+                          UNION SELECT mx // 2 FROM m
+                          UNION SELECT mx * 2 // 3 FROM m
+                          UNION SELECT mx - 1 FROM m)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN keys ON d.doc_id = keys.k
+            WHERE keys.k >= 0
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex)
 }

@@ -122,6 +122,45 @@ class StatsLedgerSpec extends SparkSpec {
     assert(none.getLong(0) === 0L && none.isNullAt(1) && none.isNullAt(2))
   }
 
+  test("per-file bloom column prunes point lookups on a hash layout " +
+    "where range stats keep everything") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    val docs = tbl(spark, sf(), "documents")
+      .select("doc_id", "lang", "n_chars")
+    docs.repartition(16, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/d")
+    StatsLedger.buildWithBloom(spark, s"$dir/d", s"$dir/l",
+      cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val keys = Seq(3L, 250L, 499L)
+
+    val total = StatsLedger.pruneFiles(spark, s"$dir/l", Nil).size
+    // hash layout: every file spans ~the whole id range, so the RANGE
+    // box over the keys' span keeps everything...
+    val ranged = StatsLedger.pruneFiles(spark, s"$dir/l",
+      Seq(Box.between("doc_id", keys.min, keys.max))).size
+    assert(ranged === total, "range stats unexpectedly pruned a hash layout")
+    // ...while the bloom probe keeps only may-contain files
+    val pointed = StatsLedger.pruneFilesPoint(spark, s"$dir/l",
+      "doc_id", keys)
+    info(s"bloom point-prune keeps ${pointed.size}/$total files")
+    assert(pointed.size * 2 < total,
+      s"bloom index failed to prune: ${pointed.size}/$total")
+
+    // exactness: no false negatives (bloom) + no false positives (IN)
+    val got = StatsLedger.readPoint(spark, s"$dir/d", s"$dir/l",
+      "doc_id", keys).select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(s"$dir/d")
+      .filter(col("doc_id").isin(keys: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "lookup keys missing from fixture — weak test")
+
+    // a key outside the domain probes to zero files on this small index
+    val miss = StatsLedger.pruneFilesPoint(spark, s"$dir/l",
+      "doc_id", Seq(987654321L))
+    assert(miss.size <= 1, s"fpp too high for 3 keys/16 files: $miss")
+  }
+
   test("appendBatch extends the ledger to new files without a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("ledger_inc").toString
     val ev = tbl(spark, sf(), "events")
