@@ -50,10 +50,13 @@ object TrainingDataPipeline {
       .select(expr("md5num(text)").as("fp"))
     graft.ops.BloomSuppress.appendShard(
       prevRun, "fp", ledgerDir, "run_0", capacityKeys = 100000L)
+    // localCheckpoint: truncate the plan here (DedupClusters idiom) — the
+    // pipeline chains a dozen stages on one lineage and the suppression
+    // union would otherwise ride inside every downstream plan string
     val docs = graft.ops.BloomSuppress.antiJoinSketch(
         raw.withColumn("fp", expr("md5num(text)")), prevRun, "fp",
         graft.ops.BloomSuppress.ledgerSketch(spark, ledgerDir))
-      .drop("fp")
+      .drop("fp").localCheckpoint()
     println(s"after cross-run suppression: ${docs.count()}")
 
     // 1. quality gate: length + stopword-density heuristics, one scan
