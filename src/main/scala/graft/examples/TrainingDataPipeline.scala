@@ -46,15 +46,18 @@ object TrainingDataPipeline {
     //    ledger sketch broadcasts where the exact key set cannot.
     val ledgerDir = java.nio.file.Files
       .createTempDirectory("suppress_ledger_example").toString + "/sketches"
+    // null-safe fingerprint (BloomSuppress scaladoc): a bare md5num(text)
+    // would drop null-text docs from BOTH probe branches, silently
+    // misattributing their removal to suppression in the printed counts
     val prevRun = raw.filter(col("doc_id") % 9 === 0)
-      .select(expr("md5num(text)").as("fp"))
+      .select(expr("md5num(coalesce(text, ''))").as("fp"))
     graft.ops.BloomSuppress.appendShard(
       prevRun, "fp", ledgerDir, "run_0", capacityKeys = 100000L)
     // localCheckpoint: truncate the plan here (DedupClusters idiom) — the
     // pipeline chains a dozen stages on one lineage and the suppression
     // union would otherwise ride inside every downstream plan string
     val docs = graft.ops.BloomSuppress.antiJoinSketch(
-        raw.withColumn("fp", expr("md5num(text)")), prevRun, "fp",
+        raw.withColumn("fp", expr("md5num(coalesce(text, ''))")), prevRun, "fp",
         graft.ops.BloomSuppress.ledgerSketch(spark, ledgerDir))
       .drop("fp").localCheckpoint()
     println(s"after cross-run suppression: ${docs.count()}")

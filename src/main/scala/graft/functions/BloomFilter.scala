@@ -51,6 +51,10 @@ object BloomBits {
     * bounded); k clamped to [1, 8].
     */
   def size(expectedKeys: Long, fpp: Double): (Int, Int) = {
+    // fail loudly: fpp >= 1 would silently clamp to a useless 64-bit
+    // sketch (pruning keeps everything), fpp <= 0 yields NaN/oversized m
+    require(fpp > 0.0 && fpp < 1.0,
+      s"bloom size: fpp must be in (0, 1), got $fpp")
     val n = math.max(1L, expectedKeys).toDouble
     val ln2 = math.log(2.0)
     val mRaw = math.ceil(-n * math.log(fpp) / (ln2 * ln2))

@@ -92,6 +92,12 @@ object BloomSuppress {
       suppress: DataFrame,
       keyCol: String,
       sketchBytes: Array[Byte]): DataFrame = {
+    // a headerless sketch (e.g. from a zero-row ledger) would throw an
+    // opaque ArrayIndexOutOfBounds deep inside codegen on first probe
+    require(sketchBytes.length >= graft.functions.BloomBits.headerBytes,
+      s"antiJoinSketch: sketch has ${sketchBytes.length} bytes, below the " +
+        s"${graft.functions.BloomBits.headerBytes}-byte header — was it " +
+        "built from an empty ledger? (use ledgerSketch on a non-empty dir)")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val maybe = call_function("bloom_contains",
       typedLit(sketchBytes), col(keyCol))
@@ -128,10 +134,35 @@ object BloomSuppress {
       dir: String,
       shard: String,
       capacityKeys: Long,
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01,
+      enforceCapacity: Boolean = true): Unit = {
     val s = keys.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(s)
     val (mBits, k) = graft.functions.BloomBits.size(capacityKeys, fpp)
+    if (Fs.nonEmptyDir(s, dir)) {
+      // Geometry drift (a later caller passing a different capacity)
+      // would otherwise only surface rounds later, inside
+      // bloom_merge_agg's union require — fail at the append instead.
+      val r = fillReport(s, dir)
+      require(r.mBits == mBits && r.k == k,
+        s"appendShard($dir): ledger geometry is (mBits=${r.mBits}, " +
+          s"k=${r.k}) but capacityKeys=$capacityKeys/fpp=$fpp derive " +
+          s"(mBits=$mBits, k=$k) — pass the ledger's original capacity")
+      // Refuse silent decay: past capacity the effective fpp climbs and
+      // every extra false positive is a needlessly shuffled corpus row.
+      // The trigger is measured fpp degradation (>2× declared — reached
+      // ~1.3× past capacity), not a raw key-count compare: bit-fill-based
+      // estimates ignore replayed/cross-shard duplicate keys and carry a
+      // few % noise right at capacity, so legitimate at-capacity ledgers
+      // and idempotent re-appends never trip.
+      if (enforceCapacity)
+        require(r.estimatedFpp <= 2.0 * r.declaredFpp,
+          f"appendShard($dir): ledger is saturated — estimated fpp " +
+            f"${r.estimatedFpp}%.4f vs declared ${r.declaredFpp}%.4f " +
+            f"(~${r.estimatedDistinctKeys} distinct keys vs capacity " +
+            s"${r.capacityKeys}) — rebuild with a larger capacityKeys, " +
+            "or pass enforceCapacity=false")
+    }
     val row = keys
       .agg(expr(s"bloom_agg($keyCol, $mBits, $k)").as("sketch"),
         count(col(keyCol)).as("n_keys"))
@@ -140,11 +171,71 @@ object BloomSuppress {
     Fs.stagedAppend(row.coalesce(1), None, dir)
   }
 
-  /** Union of every shard sketch in the ledger — one binary. */
+  /** Saturation observability for a sketch ledger — the [[graft.ops
+    * .ProductQuantizer ProductQuantizer.driftReport]] pattern applied to
+    * the other persistent sketch: without it, a ledger quietly drifting
+    * past its pinned capacity degrades into near-100% false positives
+    * (every corpus row shuffles into the verify join) with no signal.
+    *
+    * `bitFillFraction` is the ground truth (actual set bits in the merged
+    * sketch), robust to replayed shards and cross-shard duplicate keys
+    * that inflate `totalKeysIngested`. From it:
+    * estimated distinct keys n̂ = −(m/k)·ln(1−fill) (standard Bloom
+    * occupancy inversion) and estimated fpp = fill^k.
+    */
+  final case class FillReport(
+      nShards: Long,
+      totalKeysIngested: Long,
+      mBits: Int,
+      k: Int,
+      declaredFpp: Double,
+      capacityKeys: Long,
+      bitFillFraction: Double,
+      estimatedDistinctKeys: Long,
+      estimatedFpp: Double) {
+    def saturated: Boolean = estimatedDistinctKeys >= capacityKeys
+  }
+
+  /** Compute the [[FillReport]] for the ledger at `dir`. One metadata-
+    * scale ledger read; the popcount runs on the driver over the merged
+    * sketch — bounded model state (mBits/8 bytes), same as every probe.
+    */
+  def fillReport(spark: SparkSession, dir: String): FillReport = {
+    val meta = spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n_shards"),
+        coalesce(sum(col("n_keys")), lit(0L)).as("total_keys"),
+        first(col("fpp"), ignoreNulls = true).as("fpp"))
+      .head()
+    val bf = ledgerSketch(spark, dir)
+    val bb = java.nio.ByteBuffer.wrap(bf)
+    val mBits = bb.getInt()
+    val k = bb.getInt()
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var set = 0L
+    while (bb.remaining() >= 8) set += java.lang.Long.bitCount(bb.getLong())
+    val declaredFpp = meta.getDouble(2)
+    val fill = set.toDouble / mBits
+    // invert BloomBits.size: the capacity the geometry was derived from
+    val ln2 = math.log(2.0)
+    val capacity = math.round(-mBits * ln2 * ln2 / math.log(declaredFpp))
+    val estDistinct =
+      if (fill >= 1.0) Long.MaxValue
+      else math.round(-(mBits.toDouble / k) * math.log1p(-fill))
+    FillReport(meta.getLong(0), meta.getLong(1), mBits, k, declaredFpp,
+      capacity, fill, estDistinct, math.pow(fill, k.toDouble))
+  }
+
+  /** Union of every shard sketch in the ledger — one binary. Fails
+    * loudly on an empty/all-null ledger (the merged sketch would have no
+    * header and every later probe would throw inside codegen).
+    */
   def ledgerSketch(spark: SparkSession, dir: String): Array[Byte] = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    spark.read.parquet(dir)
+    val bf = spark.read.parquet(dir)
       .agg(expr("bloom_merge_agg(sketch)").as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    require(bf.length >= graft.functions.BloomBits.headerBytes,
+      s"ledgerSketch($dir): ledger holds no sketches — nothing to probe")
+    bf
   }
 }

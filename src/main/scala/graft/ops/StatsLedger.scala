@@ -55,11 +55,16 @@ object StatsLedger {
       .groupBy(input_file_name().as("file"))
       .agg(statCols(cols).head, statCols(cols).tail: _*)
 
-  /** Build and (over)write the ledger for a directory. */
+  /** Build and (over)write the ledger for a directory. The write stays
+    * PARALLEL (no coalesce): at the ~800k-file scale this operator
+    * targets, a coalesce(1) would funnel the final aggregation of every
+    * per-file stats row through one task — a needless serial point for a
+    * table whose reads dedupe by file and never care about file count.
+    */
   def build(
       spark: SparkSession, dataDir: String, ledgerDir: String,
       cols: Seq[String]): Unit =
-    stats(spark, dataDir, cols).coalesce(1)
+    stats(spark, dataDir, cols)
       .write.mode("overwrite").parquet(ledgerDir)
 
   /** Ledger rows for ONE new batch of files, appended concurrent-safe —
@@ -72,8 +77,54 @@ object StatsLedger {
     */
   def appendBatch(
       spark: SparkSession, batchDir: String, ledgerDir: String,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
+    // A stats-only append into a Bloom ledger would surface null
+    // bloom_* columns for the new files on later reads, and
+    // pruneFilesPoint would silently exclude them — a false NEGATIVE,
+    // breaking readPoint's exactness contract. Fail loudly instead.
+    requireNoBloomMismatch(spark, ledgerDir, bloomCols = Nil)
+    // per-batch coalesce(1) is deliberate: one INGEST batch is bounded
+    // (unlike a whole-table build), and one ledger file per append bounds
+    // small-file growth between compactions
     Fs.stagedAppend(stats(spark, batchDir, cols).coalesce(1), None, ledgerDir)
+  }
+
+  /** [[appendBatch]] for a [[buildWithBloom]] ledger: the new batch's
+    * rows carry the same per-file Bloom columns with the same (mBits, k)
+    * geometry, so point-lookup pruning stays exact across appends.
+    */
+  def appendBatchWithBloom(
+      spark: SparkSession, batchDir: String, ledgerDir: String,
+      cols: Seq[String], bloomCols: Seq[String],
+      mBits: Int = 1 << 16, k: Int = 5): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    requireNoBloomMismatch(spark, ledgerDir, bloomCols)
+    val aggs = statCols(cols) ++ bloomCols.map(c =>
+      expr(s"bloom_agg($c, $mBits, $k)").as(s"bloom_$c"))
+    val batch = spark.read.parquet(batchDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    Fs.stagedAppend(batch.coalesce(1), None, ledgerDir)
+  }
+
+  /** Schema guard shared by the append paths: the existing ledger's
+    * bloom_* column set must equal the appended batch's (order-free) —
+    * mixed schemas would read back as nulls and turn Bloom pruning into
+    * silent false negatives.
+    */
+  private def requireNoBloomMismatch(
+      spark: SparkSession, ledgerDir: String, bloomCols: Seq[String]): Unit = {
+    if (!Fs.nonEmptyDir(spark, ledgerDir)) return
+    val existing = spark.read.parquet(ledgerDir).columns
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
+    val appending = bloomCols.toSet
+    require(existing == appending,
+      s"StatsLedger append into $ledgerDir: ledger has Bloom columns for " +
+        s"${existing.toSeq.sorted.mkString("[", ",", "]")} but the batch " +
+        s"brings ${appending.toSeq.sorted.mkString("[", ",", "]")} — use " +
+        "appendBatchWithBloom with the ledger's bloomCols (mixed schemas " +
+        "read back as null sketches and silently break point pruning)")
+  }
 
   // ---------------------------------------------------------------------
   // Point-lookup skipping: min/max ranges only prune when the layout
@@ -97,10 +148,11 @@ object StatsLedger {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val aggs = statCols(cols) ++ bloomCols.map(c =>
       expr(s"bloom_agg($c, $mBits, $k)").as(s"bloom_$c"))
+    // parallel write, same rationale as [[build]]
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1).write.mode("overwrite").parquet(ledgerDir)
+      .write.mode("overwrite").parquet(ledgerDir)
   }
 
   /** Files whose Bloom sketch may contain ANY of `keys` — the probe runs

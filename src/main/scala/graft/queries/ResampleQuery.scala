@@ -41,9 +41,15 @@ object ResampleQuery {
             .orderBy(col("event_id").desc)))
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("tus"), col("value"))
+      // FLOOR division, not `div` (truncate-toward-zero): the DuckDB
+      // oracle's `//` floors, and the two diverge on negative (pre-1970)
+      // microsecond timestamps. `tus - pmod(tus, d)` is an exact multiple
+      // of d, so the trailing `div` is exact for every long.
       val days = ev.agg(
-          expr("min(tus) div 86400000000").as("lo"),
-          expr("max(tus) div 86400000000").as("hi"))
+          expr("(min(tus) - pmod(min(tus), 86400000000)) div 86400000000")
+            .as("lo"),
+          expr("(max(tus) - pmod(max(tus), 86400000000)) div 86400000000")
+            .as("hi"))
         .select(explode(expr("sequence(lo, hi)")).as("day"))
       val spine = ev.select(col("user_id")).distinct()
         .crossJoin(days)

@@ -87,4 +87,80 @@ class BloomSuppressSpec extends SparkSpec {
     val b = BloomBits.serialize(new Array[Long](4), 256, 3)
     intercept[IllegalArgumentException](BloomBits.union(a, b))
   }
+
+  test("size() refuses out-of-range fpp instead of degrading silently") {
+    // fpp >= 1 used to clamp to a useless 64-bit sketch; fpp <= 0 to NaN
+    for (bad <- Seq(0.0, -0.5, 1.0, 1.5))
+      intercept[IllegalArgumentException](BloomBits.size(1000L, bad))
+    // legal values still size
+    assert(BloomBits.size(1000L, 0.01)._1 > 0)
+  }
+
+  test("fillReport measures ledger saturation; appendShard refuses a " +
+    "saturated or geometry-drifted ledger") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bloom_fill_spec").toString + "/sketches"
+    val cap = 500L
+    // half full: report should be healthy
+    BloomSuppress.appendShard(
+      (1L to 250L).toDF("fp"), "fp", dir, "s0", cap)
+    val half = BloomSuppress.fillReport(spark, dir)
+    assert(half.nShards === 1 && half.totalKeysIngested === 250L)
+    val (mBits, k) = BloomBits.size(cap, 0.01)
+    assert(half.mBits === mBits && half.k === k)
+    assert(half.bitFillFraction > 0.0 && half.bitFillFraction < 0.5)
+    // occupancy inversion should land near the true distinct count
+    assert(math.abs(half.estimatedDistinctKeys - 250L) <= 40L,
+      s"distinct estimate off: ${half.estimatedDistinctKeys}")
+    assert(half.capacityKeys >= (cap * 0.8).toLong &&
+      half.capacityKeys <= (cap * 1.2).toLong,
+      s"capacity inversion off: ${half.capacityKeys}")
+    assert(!half.saturated && half.estimatedFpp < half.declaredFpp)
+
+    // stuff it to ~4x capacity (enforcement off), then: report flags
+    // saturation, and the NEXT append refuses with a clear message
+    BloomSuppress.appendShard((251L to 2000L).toDF("fp"), "fp", dir, "s1",
+      cap, enforceCapacity = false)
+    val over = BloomSuppress.fillReport(spark, dir)
+    assert(over.saturated, s"4x-capacity ledger not flagged: $over")
+    assert(over.estimatedFpp > 2.0 * over.declaredFpp)
+    val e = intercept[IllegalArgumentException] {
+      BloomSuppress.appendShard(
+        (2001L to 2002L).toDF("fp"), "fp", dir, "s2", cap)
+    }
+    assert(e.getMessage.contains("saturated"))
+    // enforcement off still appends (operator's explicit escape hatch)
+    BloomSuppress.appendShard((2001L to 2002L).toDF("fp"), "fp", dir, "s2",
+      cap, enforceCapacity = false)
+
+    // geometry drift (different capacity → different mBits/k) refuses at
+    // append time, not rounds later inside bloom_merge_agg
+    val g = intercept[IllegalArgumentException] {
+      BloomSuppress.appendShard((1L to 5L).toDF("fp"), "fp", dir, "s3",
+        capacityKeys = 50L * cap)
+    }
+    assert(g.getMessage.contains("geometry"))
+  }
+
+  test("an empty ledger fails the sketch read loudly, not deep inside " +
+    "codegen on first probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bloom_empty_spec").toString + "/sketches"
+    // zero-row ledger with the right schema: bloom_merge_agg emits an
+    // empty (headerless) byte array
+    spark.emptyDataset[(String, Long, Double, Array[Byte])]
+      .toDF("shard", "n_keys", "fpp", "sketch")
+      .write.parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      BloomSuppress.ledgerSketch(spark, dir))
+    assert(e.getMessage.contains("no sketches"))
+    // and a headerless sketch handed straight to the anti-join also
+    // refuses with the actionable message
+    val e2 = intercept[IllegalArgumentException](
+      BloomSuppress.antiJoinSketch(docs, trained.select(col("fp")), "fp",
+        Array.emptyByteArray))
+    assert(e2.getMessage.contains("header"))
+  }
 }

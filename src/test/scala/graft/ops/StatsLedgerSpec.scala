@@ -197,4 +197,75 @@ class StatsLedgerSpec extends SparkSpec {
     assert(fast.getLong(0) ===
       ev.filter(col("user_id").between(4L, 9L)).count())
   }
+
+  test("appendBatchWithBloom extends a bloom ledger; plain appendBatch " +
+    "into it fails loudly instead of poisoning point pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger_bloominc")
+      .toString
+    val docs = tbl(spark, sf(), "documents").select("doc_id", "n_chars")
+    docs.filter(col("doc_id") % 2 === 0).repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch0")
+    docs.filter(col("doc_id") % 2 === 1).repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/batch1")
+    StatsLedger.buildWithBloom(spark, s"$dir/batch0", s"$dir/ledger",
+      cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+
+    // a stats-only append would read back null sketches for the new
+    // files — pruneFilesPoint would silently skip them (false NEGATIVE)
+    val e = intercept[IllegalArgumentException] {
+      StatsLedger.appendBatch(spark, s"$dir/batch1", s"$dir/ledger",
+        Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("appendBatchWithBloom"))
+
+    StatsLedger.appendBatchWithBloom(spark, s"$dir/batch1", s"$dir/ledger",
+      cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    // keys living ONLY in the appended batch must still be found — the
+    // no-false-negative contract across the append
+    val oddKeys = Seq(3L, 251L, 499L)
+    val files = StatsLedger.pruneFilesPoint(spark, s"$dir/ledger",
+      "doc_id", oddKeys)
+    assert(files.exists(_.contains("batch1")))
+    val got = files.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .filter(col("doc_id").isin(oddKeys: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("doc_id").isin(oddKeys: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "lookup keys missing from fixture — weak test")
+
+    // and the mirror-image mismatch also refuses: bloom append into a
+    // ledger built without sketches
+    val plainDir = s"$dir/plain_ledger"
+    StatsLedger.build(spark, s"$dir/batch0", plainDir, Seq("doc_id"))
+    intercept[IllegalArgumentException] {
+      StatsLedger.appendBatchWithBloom(spark, s"$dir/batch1", plainDir,
+        cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    }
+  }
+
+  test("ledger build writes in parallel (no single-task funnel) and " +
+    "reads are unchanged") {
+    // the r7 build coalesced the whole per-file stats agg through ONE
+    // task — at the ~800k-file scale the operator documents, a serial
+    // point. The build now writes with the agg's own parallelism: no
+    // Coalesce funnel in the plan (AQE may still coalesce tiny test-scale
+    // shuffles — that's adaptive, not structural).
+    val statsDf = StatsLedger.stats(spark, s"$base/range", Seq("user_id"))
+    assert(!statsDf.queryExecution.executedPlan.toString.contains("Coalesce"),
+      "stats plan re-grew a coalesce funnel")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val parts = StatsLedger.stats(spark, s"$base/range", Seq("user_id"))
+        .rdd.getNumPartitions
+      assert(parts > 1, "stats agg should keep shuffle parallelism")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+    // read path unaffected: every data file has exactly one ledger row
+    val rows = spark.read.parquet(s"$base/range_ledger")
+    assert(rows.select("file").distinct().count() === rows.count())
+    assert(rows.count() ===
+      graft.core.Fs.list(spark, s"$base/range")
+        .count(_.getPath.getName.endsWith(".parquet")))
+  }
 }
