@@ -47,7 +47,8 @@ object BatchProcess {
       storage: StorageConfig = StorageConfig(),
       columns: ColumnConfig = ColumnConfig(),
       clock: Clock = SystemClock,
-      env: Map[String, String] = sys.env): BatchOutput = {
+      env: Map[String, String] = sys.env,
+      knownSize: Option[Long] = None): BatchOutput = {
     import spark.implicits._
 
     // B5: validation
@@ -60,8 +61,11 @@ object BatchProcess {
     val logDir = s"${storage.logDir.stripSuffix("/")}/$resolved"
     val s3 = storage.s3.orElse(BatchRunner.s3FromEnv(env))
 
-    // B7: metadata enrichment
-    val batchSize = df.count()
+    // B7: metadata enrichment. The batch size rides into every logged
+    // event's metadata, so it must be known BEFORE the run; callers that
+    // already know their corpus size (an upstream count, a manifest row
+    // count) pass it through and save a full extra scan of the input.
+    val batchSize = knownSize.getOrElse(df.count())
     val metadata = BatchRunner.loggerMetadata(job, processing, storage,
       Instant.ofEpochSecond(clock.nowMicros / 1000000).toString, batchSize) ++
       s3.map(c => "s3_bucket" -> c.bucket).toMap

@@ -34,21 +34,43 @@ object RunTreeQuery {
     * dir must be fixed at oracle-dump time; `graft.Verify` sets the
     * system property to an sfDir-tagged path before this object
     * initializes so concurrent sweeps at different SFs stay independent.
-    * The two queries write SEPARATE dirs — they run concurrently in the
-    * Verify pool and must not rebuild one directory under each other.
+    * Both queries SHARE one memoized dir: the 200k-row sink write is paid
+    * once per (process, sf) instead of once per query run, so the bench
+    * line measures the traversal instead of harness I/O (r7 verdict: the
+    * most expensive bench entry was ~90% repeated log writing).
     */
   private val baseDir: String =
     sys.props.getOrElse("graft.runtree.dir", "/tmp/graft_runtree_log")
   val treeDir: String = baseDir + "_tree"
-  val rollupDir: String = baseDir + "_rollup"
 
-  /** Build + write the synthetic-trace log, then return the distinct
-    * (run_id, parent_run_id) node set read back through LogTable.
+  /** sfDir whose log currently occupies each logDir. `compute` runs its
+    * remapping atomically per key, so when the two queries race in the
+    * Verify pool exactly one writes and the other blocks until the files
+    * are on disk; bench repetitions after the first just read.
+    */
+  private val writtenFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build + write the synthetic-trace log (memoized per (logDir, sf)),
+    * then return the distinct (run_id, parent_run_id) node set read back
+    * through LogTable.
     */
   private def writtenNodes(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       logDir: String): org.apache.spark.sql.DataFrame = {
+    writtenFor.compute(logDir, (_, prev) => {
+      if (prev != dir) writeLog(s, dir, logDir)
+      dir
+    })
+    graft.query.LogTable.read(s, logDir).df
+      .select("run_id", "parent_run_id").distinct()
+  }
+
+  private def writeLog(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      logDir: String): Unit = {
     graft.core.Fs.delete(s, logDir)
     val runs = tbl(s, dir, "events")
       .withColumn("eid", col("event_id").cast("long"))
@@ -74,8 +96,6 @@ object RunTreeQuery {
           "event_type", "logger_metadata", "payload"))
       .reduce(_.unionByName(_))
     new graft.sink.ParquetDirSink(s, logDir).writeDataset(entries)
-    graft.query.LogTable.read(s, logDir).df
-      .select("run_id", "parent_run_id").distinct()
   }
 
   private def duckNodes(logDir: String): String =
@@ -113,13 +133,13 @@ object RunTreeQuery {
   val runTreeRollup = Q(
     "q_run_tree_rollup",
     (s, dir) => {
-      val nodes = writtenNodes(s, dir, rollupDir)
+      val nodes = writtenNodes(s, dir, treeDir)
       graft.ops.RunTree.rollup(nodes, "run_id", "parent_run_id")
         .select(col("root_id").as("root_run_id"), col("n_runs"),
           col("max_depth"), col("n_leaves"))
         .orderBy("root_run_id")
     },
-    Some(s"""WITH RECURSIVE ${duckNodes(rollupDir)},
+    Some(s"""WITH RECURSIVE ${duckNodes(treeDir)},
             p AS (SELECT DISTINCT parent_run_id AS run_id FROM nodes
                   WHERE parent_run_id <> '')
             SELECT t.root_run_id, CAST(COUNT(*) AS BIGINT) AS n_runs,

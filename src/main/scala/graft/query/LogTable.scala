@@ -116,5 +116,13 @@ object LogTable {
       LogSchema.schema.add("date", org.apache.spark.sql.types.DateType))
       .parquet(dir))
 
+  /** Typed view of an incrementally maintained [[ShreddedLog]] store:
+    * payload fields as real columns, no JSON parsing in any downstream
+    * plan. Maintain with `ShreddedLog.appendNew(spark, logDir, shredDir)`
+    * per ingest batch.
+    */
+  def shredded(spark: SparkSession, shredDir: String): DataFrame =
+    ShreddedLog.read(spark, shredDir)
+
   def apply(df: DataFrame): LogTable = new LogTable(df)
 }

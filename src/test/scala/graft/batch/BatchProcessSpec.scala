@@ -85,6 +85,23 @@ class BatchProcessSpec extends SparkSpec {
     assert(log.filter(col("event_type") === "llm_error").count() === 1L)
   }
 
+  test("knownSize skips the extra input scan and rides into metadata") {
+    import spark.implicits._
+    val logRoot = Files.createTempDirectory("bp3").toString
+    val out = BatchProcess.run(spark, (1 to 3).map(i => s"p$i").toDF("prompt"),
+      LlmConfig("m"), echo,
+      processing = ProcessingConfig(maxConcurrency = 2),
+      storage = StorageConfig(logDir = logRoot),
+      clock = FixedClock(1700000000000000L), env = Map.empty,
+      // a deliberately wrong size proves the passed value is used verbatim
+      // (no df.count() ran to overwrite it)
+      knownSize = Some(42L))
+    val md = spark.read.parquet(out.logDir)
+      .select("logger_metadata").head().getString(0)
+    assert(md.contains(""""batch_size":42"""))
+    assert(out.processed === 3L)
+  }
+
   test("missing prompt column fails fast (test_batch_process.py:299-317)") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
