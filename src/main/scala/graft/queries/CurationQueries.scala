@@ -14,8 +14,8 @@ import TextQueries.duckMd5num
 object CurationQueries {
 
   private val nGram = 5
-  private val nClusters = 16
-  private val cosThreshold = 0.4
+  private[queries] val nClusters = 16
+  private[queries] val cosThreshold = 0.4
   private val nShards = 8
 
   private[queries] val duckCorpus =

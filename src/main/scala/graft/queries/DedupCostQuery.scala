@@ -18,10 +18,20 @@ import TextQueries.duckMd5num
   *     band-collision pairs (`q_dedup_minhash`'s bucket expansion),
   *     verified by exact Jaccard ≥ 0.5;
   *   - `simhash60`: 6×10-bit bands over 60-bit SimHash, candidates =
-  *     distinct same-(band, lang) pairs, verified by Hamming ≤ 5.
+  *     distinct same-(band, lang) pairs, verified by Hamming ≤ 5;
+  *   - `embedding_lsh`: 8 tables × 4 sign-hyperplane bits over the
+  *     embedding column, candidates = distinct same-(table, sig, label)
+  *     bucket pairs, verified by exact cosine ≥ 0.4;
+  *   - `semdedup`: k-means-style cluster assignment (16 centroids),
+  *     candidates = the per-cluster quadratic Σ C(n,2) the method pays,
+  *     verified by exact cosine ≥ 0.4 within the cluster.
   *
-  * Ground truth = `q_dedup_ngram_jaccard` (blocked exact Jaccard ≥ 0.5
-  * pairs). `recall` = truth pairs the method's VERIFIED output contains;
+  * Ground truth is PER LEG FAMILY, carried in each row's `truth_pairs`:
+  * the text legs are judged against `q_dedup_ngram_jaccard` (blocked
+  * exact Jaccard ≥ 0.5), the two semantic legs against
+  * `q_dedup_embedding` (blocked exact cosine ≥ 0.4) — each family's own
+  * exact verifier. `recall` = truth pairs the method's VERIFIED output
+  * contains;
   * `verify_rate` = verified / candidates — the yield per verification
   * dollar (a low rate means the blocking scheme drags false candidates
   * to the expensive exact check). A method can also find verified pairs
@@ -115,6 +125,90 @@ object DedupCostQuery {
       def one(df: org.apache.spark.sql.DataFrame, as: String) =
         df.agg(count(lit(1)).cast("long").as(as))
       val tc = one(truth, "t")
+
+      // =================================================================
+      // Semantic legs: embedding-LSH and SemDeDup — the two methods a
+      // 100 TB curation run chooses between for SEMANTIC duplicates.
+      // Their ground truth is the blocked-exact-COSINE verifier
+      // (`q_dedup_embedding`, per-label exact cos ≥ 0.4), the embedding
+      // analog of the text legs' blocked-exact-Jaccard truth — truth is
+      // therefore PER LEG FAMILY, reported in each row's truth_pairs.
+      // =================================================================
+      val emb = tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("dot_product(v, v)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthCos = DedupQueries.embeddingCosine.spark(s, dir)
+        .select(col("ai"), col("bi"))
+      val tcCos = one(truthCos, "t")
+
+      // ---- embedding-LSH: candidate stage of q_dedup_embedding_lsh
+      // (8 tables × 4 sign bits, same-(table, sig, label) buckets),
+      // WITHOUT the in-bucket cosine verify
+      val byId = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def planes(t: Int) = (0 until 4).flatMap { i =>
+        for (a <- byId.get(8L * t + i); b <- byId.get(8L * t + 4 + i))
+          yield (i, a.zip(b).map { case (x, y) => x - y })
+      }
+      val lshTables = (0 until 8).filter(t => planes(t).nonEmpty)
+      val lshCand =
+        if (lshTables.isEmpty)
+          emb.limit(0).select(col("vec_id").as("ai"), col("vec_id").as("bi"))
+        else {
+          def sigCol(t: Int) = planes(t).map { case (i, p) =>
+            when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
+              lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          val sigs = emb.select(col("vec_id"), col("label"),
+            explode(array(lshTables.map(t =>
+              struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*)).as("ts"))
+            .select(col("vec_id"), col("label"),
+              col("ts.t").as("t"), col("ts.sig").as("sig"))
+          graft.ops.SkewGuard.saltOversized(
+              sigs, Seq("t", "sig", "label"), "vec_id",
+              metricName = "skew_guard_dedup_cost_elsh")
+            .groupBy("t", "sig", "label", "salt")
+            .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+            .filter(size(col("ids")) > 1)
+            .select(explode(expr(
+              """flatten(transform(ids, (a, i) ->
+                   transform(slice(ids, i + 2, size(ids)),
+                             b -> struct(a AS ai, b AS bi))))""")).as("p"))
+            .select(col("p.ai").as("ai"), col("p.bi").as("bi"))
+            .distinct()
+        }
+      val lshFound = DedupQueries.embeddingLsh.spark(s, dir)
+        .select(col("ai"), col("bi"))
+      val lshHits = one(lshFound.join(truthCos, Seq("ai", "bi")), "h")
+
+      // ---- SemDeDup: candidates = the per-cluster quadratic the method
+      // pays (Σ C(n,2) over k-means-style cluster sizes); verified =
+      // within-cluster pairs at exact cos ≥ threshold (the pairs whose
+      // earlier member suppresses the later in q_semantic_dedup)
+      val cents = graft.ops.VectorIndex
+        .centroidsFrom(emb, CurationQueries.nClusters)
+      val assigned = emb
+        .withColumn("bucket", graft.ops.VectorIndex.assignBucket(cents))
+        .filter(col("bucket").isNotNull)
+      graft.ops.SkewGuard.requirePairBound(assigned, Seq("bucket"))
+      val semCand = assigned.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .cast("long").as("c"))
+      val sa = assigned.select(col("vec_id").as("ai"), col("bucket").as("ka"),
+        col("v").as("av"), col("nrm").as("an"))
+      val sb = assigned.select(col("vec_id").as("bi"), col("bucket").as("kb"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val semPairs = sa
+        .join(sb, col("ka") === col("kb") && col("ai") < col("bi"))
+        .withColumn("cos",
+          expr("dot_product(av, bv)") / sqrt(col("an") * col("bn")))
+        .filter(col("cos") >= CurationQueries.cosThreshold)
+        .select(col("ai"), col("bi"))
+      val semHits = one(semPairs.join(truthCos, Seq("ai", "bi")), "h")
       // exact hits: a truth pair is exact iff the two texts hash equal —
       // joined on the bounded verified-truth frame, never pair-exploded
       val da = docs.select(col("doc_id").as("ai"), md5(col("text")).as("ha"))
@@ -126,9 +220,10 @@ object DedupCostQuery {
 
       def row(method: String, cand: org.apache.spark.sql.DataFrame,
           found: org.apache.spark.sql.DataFrame,
-          hits: org.apache.spark.sql.DataFrame) =
+          hits: org.apache.spark.sql.DataFrame,
+          truthCnt: org.apache.spark.sql.DataFrame) =
         cand.toDF("c").crossJoin(found.toDF("f")).crossJoin(hits)
-          .crossJoin(tc)
+          .crossJoin(truthCnt)
           .select(lit(method).as("method"), col("c").as("cand_pairs"),
             col("f").as("found_pairs"), col("t").as("truth_pairs"),
             col("h").as("hit_pairs"),
@@ -139,10 +234,15 @@ object DedupCostQuery {
               .otherwise(round(col("f").cast("double")
                 / col("c").cast("double"), 6)).as("verify_rate"))
 
-      row("exact", exactPairs, exactPairs, eHits)
-        .unionByName(row("minhash", one(mhCand, "c"), one(mh, "f"), mhHits))
+      row("exact", exactPairs, exactPairs, eHits, tc)
+        .unionByName(row("minhash", one(mhCand, "c"), one(mh, "f"), mhHits,
+          tc))
         .unionByName(row("simhash60", one(shCand, "c"), one(s60, "f"),
-          shHits))
+          shHits, tc))
+        .unionByName(row("embedding_lsh", one(lshCand, "c"),
+          one(lshFound, "f"), lshHits, tcCos))
+        .unionByName(row("semdedup", semCand, one(semPairs, "f"), semHits,
+          tcCos))
         .orderBy("method")
     },
     Some(s"""WITH truth0 AS (${DedupQueries.ngramJaccard.oracle.get}),
@@ -220,19 +320,84 @@ object DedupCostQuery {
                     FROM s60 JOIN truth USING (ai, bi)),
             mf AS (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM mh),
             sf AS (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM s60),
+            ee AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                     list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
+              FROM embeddings WHERE embedding IS NOT NULL),
+            ct0 AS (${DedupQueries.embeddingCosine.oracle.get}),
+            ct AS (SELECT ai, bi FROM ct0),
+            ctc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ct),
+            lf0 AS (${DedupQueries.embeddingLsh.oracle.get}),
+            lf AS (SELECT ai, bi FROM lf0),
+            el_planes AS (
+              SELECT a.vec_id // 8 AS t, a.vec_id % 8 AS i,
+                     [a.v[k] - b.v[k]
+                      FOR k IN generate_series(1, len(a.v))] AS pv
+              FROM ee a JOIN ee b ON b.vec_id = a.vec_id + 4
+              WHERE a.vec_id < 64 AND a.vec_id % 8 < 4),
+            el_sigs AS (
+              SELECT ee.vec_id, ee.label, p.t,
+                     CAST(SUM(CASE WHEN list_sum([ee.v[k] * p.pv[k]
+                            FOR k IN generate_series(1, len(ee.v))]) >= 0
+                          THEN (2 ** p.i)::BIGINT ELSE 0 END) AS BIGINT)
+                       AS sig
+              FROM ee CROSS JOIN el_planes p
+              GROUP BY ee.vec_id, ee.label, p.t),
+            el_cand AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT DISTINCT x.vec_id, y.vec_id
+                FROM el_sigs x JOIN el_sigs y
+                  ON x.t = y.t AND x.sig = y.sig AND x.label = y.label
+                 AND x.vec_id < y.vec_id)),
+            el_f AS (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM lf),
+            el_h AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+                     FROM lf JOIN ct USING (ai, bi)),
+            sd_cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ee
+                        WHERE vec_id < 16),
+            sd_assigned AS (
+              SELECT vec_id, v, nrm, cid AS bucket FROM (
+                SELECT ee.vec_id, ee.v, ee.nrm, sd_cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY ee.vec_id
+                         ORDER BY list_sum([ee.v[i] * sd_cent.cv[i]
+                             for i in generate_series(1, len(ee.v))])
+                                    / sqrt(ee.nrm * sd_cent.cn) DESC,
+                                  sd_cent.cid) AS arn
+                FROM ee CROSS JOIN sd_cent)
+              WHERE arn = 1),
+            sd_cand AS (
+              SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS c
+              FROM (SELECT COUNT(*) AS n FROM sd_assigned GROUP BY bucket)),
+            sd_pairs AS (
+              SELECT a.vec_id AS ai, b.vec_id AS bi
+              FROM sd_assigned a JOIN sd_assigned b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE list_sum([a.v[i] * b.v[i]
+                      for i in generate_series(1, len(a.v))])
+                      / sqrt(a.nrm * b.nrm) >= 0.4),
+            sd_f AS (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM sd_pairs),
+            sd_h AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+                     FROM sd_pairs JOIN ct USING (ai, bi)),
             legs AS (
               SELECT 'exact' AS method, (SELECT c FROM ec) AS cand_pairs,
                      (SELECT c FROM ec) AS found_pairs,
+                     (SELECT t FROM tc) AS truth_pairs,
                      (SELECT h FROM eh) AS hit_pairs
               UNION ALL SELECT 'minhash', (SELECT c FROM mcand),
-                     (SELECT f FROM mf), (SELECT h FROM mhh)
+                     (SELECT f FROM mf), (SELECT t FROM tc),
+                     (SELECT h FROM mhh)
               UNION ALL SELECT 'simhash60', (SELECT c FROM scand),
-                     (SELECT f FROM sf), (SELECT h FROM shh))
-            SELECT method, cand_pairs, found_pairs,
-                   (SELECT t FROM tc) AS truth_pairs, hit_pairs,
-                   CASE WHEN (SELECT t FROM tc) = 0 THEN NULL
+                     (SELECT f FROM sf), (SELECT t FROM tc),
+                     (SELECT h FROM shh)
+              UNION ALL SELECT 'embedding_lsh', (SELECT c FROM el_cand),
+                     (SELECT f FROM el_f), (SELECT t FROM ctc),
+                     (SELECT h FROM el_h)
+              UNION ALL SELECT 'semdedup', (SELECT c FROM sd_cand),
+                     (SELECT f FROM sd_f), (SELECT t FROM ctc),
+                     (SELECT h FROM sd_h))
+            SELECT method, cand_pairs, found_pairs, truth_pairs, hit_pairs,
+                   CASE WHEN truth_pairs = 0 THEN NULL
                         ELSE ROUND(CAST(hit_pairs AS DOUBLE)
-                          / CAST((SELECT t FROM tc) AS DOUBLE), 6) END
+                          / CAST(truth_pairs AS DOUBLE), 6) END
                      AS recall,
                    CASE WHEN cand_pairs = 0 THEN NULL
                         ELSE ROUND(CAST(found_pairs AS DOUBLE)
