@@ -15,11 +15,18 @@ import graft.streaming.IdempotentSink
   * so there is no state store to size and a replayed micro-batch cannot
   * double-write (commit markers).
   *
-  * Run: sbt "runMain graft.examples.StreamingCurationPipeline [sfDir]"
+  * Run: sbt "runMain graft.examples.StreamingCurationPipeline [sfDir] [workRoot]"
+  *
+  * `workRoot` hosts the incoming files, the exactly-once output store
+  * AND the streaming checkpoint, and may be any Hadoop FileSystem URI —
+  * ExamplePipelinesFsSpec drives it over graftfs: with outputs equal to
+  * the local-FS run.
   */
 object StreamingCurationPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val workRoot = args.drop(1).headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("stream_curation").toString)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -27,11 +34,18 @@ object StreamingCurationPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, workRoot)
+    spark.stop()
+  }
+
+  /** Pipeline body; returns (curated count, arrived count) and asserts
+    * stream ≡ batch, so a harness can compare runs across filesystems.
+    */
+  def run(spark: SparkSession, sfDir: String,
+      work: String): (Long, Long) = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
 
-    val work = java.nio.file.Files
-      .createTempDirectory("stream_curation").toString
     val inDir = s"$work/incoming"
     val outDir = s"$work/curated"
 
@@ -84,8 +98,9 @@ object StreamingCurationPipeline {
     q.stop()
 
     val curated = IdempotentSink.readCommitted(spark, outDir, Some(schema))
-    println(s"curated corpus: ${curated.count()} docs " +
-      s"(of ${docs.count()} arrived)")
+    val nCurated = curated.count()
+    val nArrived = docs.count()
+    println(s"curated corpus: $nCurated docs (of $nArrived arrived)")
     curated.groupBy("lang").count().orderBy("lang").show()
 
     // cross-check against the batch pipeline semantics
@@ -106,6 +121,6 @@ object StreamingCurationPipeline {
     require(streamIds == batchIds,
       "streaming curation must match the batch pipeline")
 
-    spark.stop()
+    (nCurated, nArrived)
   }
 }

@@ -21,11 +21,19 @@ import graft.ops.SignatureStore
   *   7b. shipped layout: z-ordered files + min/max stats ledger so every
   *      downstream reader data-skips
   *
-  * Run: sbt "runMain graft.examples.TrainingDataPipeline [sfDir]"
+  * Run: sbt "runMain graft.examples.TrainingDataPipeline [sfDir] [storeRoot]"
+  *
+  * `storeRoot` hosts every persistent artifact the pipeline creates
+  * (suppression ledger, signature store, shard export, shipped layout,
+  * PQ index) and may be ANY Hadoop FileSystem URI — the graftfs: run in
+  * ExamplePipelinesFsSpec proves the whole pipeline is object-store
+  * clean, with outputs equal to the local-FS run.
   */
 object TrainingDataPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val storeRoot = args.drop(1).headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("training_pipeline").toString)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -33,10 +41,22 @@ object TrainingDataPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, storeRoot)
+    spark.stop()
+  }
+
+  /** The pipeline body; returns the per-stage survivor counts (the
+    * numbers the printed log shows) so a harness can compare runs across
+    * filesystems.
+    */
+  def run(spark: SparkSession, sfDir: String,
+      storeRoot: String): Seq[(String, Long)] = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def rec(name: String, v: Long): Long = { counts += name -> v; v }
 
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"corpus: ${raw.count()} docs")
+    println(s"corpus: ${rec("corpus", raw.count())} docs")
 
     // 0. cross-run suppression: drop every document whose content
     //    fingerprint is already in the PREVIOUS training runs'
@@ -44,8 +64,7 @@ object TrainingDataPipeline {
     //    appended as one "run shard"). The Bloom probe passes misses
     //    map-side; only hits pay the exact verify join — at 100 TB the
     //    ledger sketch broadcasts where the exact key set cannot.
-    val ledgerDir = java.nio.file.Files
-      .createTempDirectory("suppress_ledger_example").toString + "/sketches"
+    val ledgerDir = s"$storeRoot/suppress_ledger/sketches"
     // null-safe fingerprint (BloomSuppress scaladoc): a bare md5num(text)
     // would drop null-text docs from BOTH probe branches, silently
     // misattributing their removal to suppression in the printed counts
@@ -60,13 +79,13 @@ object TrainingDataPipeline {
         raw.withColumn("fp", expr("md5num(coalesce(text, ''))")), prevRun, "fp",
         graft.ops.BloomSuppress.ledgerSketch(spark, ledgerDir))
       .drop("fp").localCheckpoint()
-    println(s"after cross-run suppression: ${docs.count()}")
+    println(s"after cross-run suppression: ${rec("suppressed", docs.count())}")
 
     // 1. quality gate: length + stopword-density heuristics, one scan
     val quality = docs
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_tokens") >= 5)
-    println(s"after quality gate: ${quality.count()}")
+    println(s"after quality gate: ${rec("quality", quality.count())}")
 
     // 2. exact dedup: keep the lowest doc_id per content hash
     val exactKept = quality
@@ -74,7 +93,7 @@ object TrainingDataPipeline {
       .withColumn("keep", col("doc_id") === min("doc_id")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("keep")).drop("h", "keep")
-    println(s"after exact dedup: ${exactKept.count()}")
+    println(s"after exact dedup: ${rec("exact", exactKept.count())}")
 
     // 2b. exact long-span self-dedup: drop docs repeating a 6-word span
     //     already seen in an earlier doc (verbatim reuse that
@@ -83,19 +102,18 @@ object TrainingDataPipeline {
       .markSpans(exactKept, "doc_id", "text", n = 6)
       .filter(col("kept")).select("doc_id")
     val spanDeduped = exactKept.join(spanKept, Seq("doc_id"), "left_semi")
-    println(s"after span self-dedup: ${spanDeduped.count()}")
+    println(s"after span self-dedup: ${rec("span", spanDeduped.count())}")
 
     // 3. near-dup dedup: build the signature store once, drop the higher
     //    doc_id of every pair with jaccard >= 0.5
-    val storeDir =
-      java.nio.file.Files.createTempDirectory("sigstore_example").toString
+    val storeDir = s"$storeRoot/sigstore"
     SignatureStore.build(spanDeduped.select("doc_id", "text"), storeDir)
     val store = SignatureStore.load(spark, storeDir)
     val nearDupLosers = SignatureStore
       .incrementalNearDups(store.limit(0), spanDeduped.select("doc_id", "text"))
       .select(col("bi").as("doc_id")).distinct()
     val deduped = spanDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    println(s"after near-dup dedup: ${deduped.count()}")
+    println(s"after near-dup dedup: ${rec("neardup", deduped.count())}")
 
     // 3b. eval decontamination: scrub near-matches to the held-out eval
     //     slice (stand-in: every 7th doc) — eval side broadcast, corpus
@@ -103,7 +121,8 @@ object TrainingDataPipeline {
     val evalSet = docs.filter(col("doc_id") % 7 === 0)
     val decontaminated = graft.ops.Decontaminate.clean(
       deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text")
-    println(s"after decontamination: ${decontaminated.count()}")
+    println(s"after decontamination: " +
+      s"${rec("decontaminated", decontaminated.count())}")
 
     // 3c. exact-snippet decontamination: the n-gram collision rule
     //     catches verbatim eval quotes that document-level Jaccard
@@ -112,7 +131,8 @@ object TrainingDataPipeline {
       decontaminated, evalSet, "doc_id", "text", n = 5)
     val exactClean = decontaminated.join(
       broadcast(gramHits.select("doc_id")), Seq("doc_id"), "left_anti")
-    println(s"after exact-gram decontamination: ${exactClean.count()}")
+    println(s"after exact-gram decontamination: " +
+      s"${rec("exact_gram", exactClean.count())}")
 
     // 3d. semantic dedup on the embedding view of the corpus (SemDeDup):
     //     coarse clusters from frozen centroids, drop near-identical
@@ -126,7 +146,8 @@ object TrainingDataPipeline {
       emb.withColumn("bucket", graft.ops.VectorIndex.assignBucket(cents)),
       "vec_id", threshold = 0.4)
     println(s"semantic dedup over embeddings: " +
-      s"${semMarked.filter(col("kept")).count()} kept of ${semMarked.count()}")
+      s"${rec("sem_kept", semMarked.filter(col("kept")).count())} kept of " +
+      s"${rec("sem_total", semMarked.count())}")
 
     // 3e. model-based quality gate: hashed-bigram linear classifier
     //     (deterministic stand-in weights; swap for trained ones) —
@@ -142,7 +163,7 @@ object TrainingDataPipeline {
              (acc, f) -> acc + ((f * 2654435761L) % 2001 - 1000) / 1000.0)""")
         / size(col("fs")))
       .filter(col("logit") > 0).drop("w", "fs", "logit")
-    println(s"after classifier gate: ${scored.count()}")
+    println(s"after classifier gate: ${rec("classifier", scored.count())}")
 
     // 3f. LM-based selection: quantized bigram perplexity gate (CCNet
     //     shape) and DSIR importance weighting against the eval-shaped
@@ -152,11 +173,12 @@ object TrainingDataPipeline {
       graft.ops.NgramLm.score(scored, "doc_id", "text", lm)
         .filter(col("bits_per_token") <= 5.5).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    println(s"after LM perplexity gate: ${lmGated.count()}")
+    println(s"after LM perplexity gate: ${rec("lm_gated", lmGated.count())}")
     val dsirTop = graft.ops.NgramLm
       .importanceWeights(lmGated, evalSet, "doc_id", "text")
       .orderBy(col("w").desc, col("doc_id")).limit(50).select("doc_id")
-    println(s"DSIR top-50 by importance weight: ${dsirTop.count()}")
+    println(s"DSIR top-50 by importance weight: " +
+      s"${rec("dsir_top", dsirTop.count())}")
 
     // 4. stratified downsample: keep 20% of dominant 'en', 60% of tail —
     //    hash-gated, reproducible on any cluster
@@ -174,7 +196,7 @@ object TrainingDataPipeline {
     val capped = sampled
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 40)
       .drop("rn")
-    println(s"after per-lang cap: ${capped.count()}")
+    println(s"after per-lang cap: ${rec("capped", capped.count())}")
 
     // 6. token accounting for what survived, with data-quality counters
     //    riding the SAME action (observe() — no extra scan)
@@ -209,8 +231,7 @@ object TrainingDataPipeline {
       .groupBy("phase").agg(count(lit(1)).as("docs"),
         sum("tokens").as("tokens"))
       .orderBy("phase").show()
-    val shardDir = java.nio.file.Files
-      .createTempDirectory("shard_export_example").toString + "/shards"
+    val shardDir = s"$storeRoot/shards"
     val stats = graft.ops.ShardExporter.export(
       toks, "tokens", Seq(col("doc_id")), 4, shardDir)
     stats.foreach(s => println(
@@ -221,8 +242,7 @@ object TrainingDataPipeline {
     //     filter keys, with a file-stats ledger built in the same job —
     //     every downstream reader (and the next run's snapshot diff)
     //     skips to its slice from the ledger instead of opening footers
-    val layoutDir = java.nio.file.Files
-      .createTempDirectory("corpus_layout_example").toString
+    val layoutDir = s"$storeRoot/layout"
     val shipped = capped.withColumn("n_chars", col("n_chars").cast("long"))
     graft.ops.ZOrder.write(shipped, Seq("doc_id", "n_chars"), 8,
       s"$layoutDir/corpus")
@@ -231,7 +251,8 @@ object TrainingDataPipeline {
     val slice = graft.ops.StatsLedger.readPruned(spark,
       s"$layoutDir/corpus", s"$layoutDir/ledger",
       Seq(graft.ops.StatsLedger.Box.between("n_chars", 0L, 200L)))
-    println(s"short-doc slice via ledger-pruned read: ${slice.count()} docs")
+    println(s"short-doc slice via ledger-pruned read: " +
+      s"${rec("ledger_slice", slice.count())} docs")
 
     // 8. serving-side index over the corpus embeddings: trained coarse
     //    quantizer (k-means) + trained PQ codebooks → a materialized
@@ -246,16 +267,17 @@ object TrainingDataPipeline {
       .withColumn("nrm", expr("dot_product(v, v)"))
     val cents2 = graft.ops.KMeans.lloyd(evec, 8, 2)
     val books = graft.ops.ProductQuantizer.train(evec, "v", 64, 4, 8, 2)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("pq_index_example").toString + "/index"
+    val idxDir = s"$storeRoot/pq_index"
     graft.ops.ProductQuantizer.buildStore(evec, "v", books, cents2, idxDir)
     val q8 = evec.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    graft.ops.ProductQuantizer.probeStore(
+    val probed = graft.ops.ProductQuantizer.probeStore(
       spark, idxDir, q8, books, cents2, nProbe = 2, topK = 3)
-      .orderBy("query_id", "rnk").show()
+      .orderBy("query_id", "rnk")
+    probed.show()
+    rec("probe_rows", probed.count())
 
-    spark.stop()
+    counts.toSeq
   }
 }
