@@ -99,6 +99,8 @@ object GraftFunctions {
         exprs => BloomContains(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("z_value",
         exprs => ZValue(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("hilbert_value",
+        exprs => HilbertValue(exprs.head), "scala_udf")
       // Spark's Bloom machinery is internal (used by automatic runtime
       // filters); exposing it lets queries apply the semi-join-reduction
       // pattern explicitly at any scale

@@ -86,6 +86,10 @@ object ZValue {
       }
       bit -= 1
     }
-    out
+    // 4 dims fill all 64 bits: flip the sign bit so SIGNED long order
+    // equals curve order (without this, cells with dim-0 rank >= 32768
+    // sorted FIRST — a harmless but locality-breaking seam at the axis
+    // midpoint: answers were never affected, file bounding boxes were)
+    if (d == 4) out ^ java.lang.Long.MIN_VALUE else out
   }
 }

@@ -297,8 +297,14 @@ object ZOrder {
 
   /** Write `df` z-ordered by `cols` (2–4 numeric columns) into `nFiles`
     * range-partitioned, internally sorted files at `dir`.
+    *
+    * `curve` picks the space-filling curve: `"morton"` (bit interleave,
+    * [[graft.functions.ZValue]]) or `"hilbert"` (continuous curve,
+    * [[graft.functions.HilbertValue]] — tighter per-file boxes at the
+    * same write cost; HilbertCurveSpec measures the gap).
     */
-  def write(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String): Unit = {
+  def write(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
+      curve: String = "morton"): Unit = {
     require(cols.size >= 2 && cols.size <= 4, "z-order wants 2-4 columns")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // global min/max per column: one row, crossJoined (broadcast) onto df
@@ -309,7 +315,8 @@ object ZOrder {
         Seq(min(col(c)).as(s"_lo_$c"), max(col(c)).as(s"_hi_$c"))).tail: _*)
     val ranks = array(cols.map(c =>
       rank16(col(c), col(s"_lo_$c"), col(s"_hi_$c"))): _*)
-    layout(df.crossJoin(broadcast(bounds)), df.columns, ranks, nFiles, dir)
+    layout(df.crossJoin(broadcast(bounds)), df.columns, ranks, nFiles, dir,
+      curve)
   }
 
   /** Skew-robust variant: per-dimension ranks are QUANTILE buckets
@@ -323,7 +330,7 @@ object ZOrder {
     */
   def writeQuantile(
       df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
-      cells: Int = 256): Unit = {
+      cells: Int = 256, curve: String = "morton"): Unit = {
     require(cols.size >= 2 && cols.size <= 4, "z-order wants 2-4 columns")
     require(cells >= 2 && cells <= 65536, "cells in [2, 65536]")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
@@ -348,15 +355,22 @@ object ZOrder {
           lit(65535))
       }
     }: _*)
-    layout(df, df.columns, ranks, nFiles, dir)
+    layout(df, df.columns, ranks, nFiles, dir, curve)
   }
 
   private def layout(
       src: DataFrame, outCols: Array[String], ranks: Column, nFiles: Int,
-      dir: String): Unit =
-    src.withColumn("_z", call_function("z_value", ranks))
+      dir: String, curve: String = "morton"): Unit = {
+    val fn = curve match {
+      case "morton" => "z_value"
+      case "hilbert" => "hilbert_value"
+      case other => throw new IllegalArgumentException(
+        s"curve must be morton|hilbert, got $other")
+    }
+    src.withColumn("_z", call_function(fn, ranks))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .select(outCols.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dir)
+  }
 }

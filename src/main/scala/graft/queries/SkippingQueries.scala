@@ -160,5 +160,49 @@ object SkippingQueries {
             WHERE keys.k >= 0
             ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex)
+  /** Hilbert-curve twin of [[zorderPrune]]: same 2-D clustering + box
+    * contract on a CONTINUOUS space-filling curve (unit-step locality —
+    * no Morton diagonal jumps), so equal-count file cuts carry tighter
+    * per-column windows and the ledger skips more files for the same
+    * box (measured side-by-side in HilbertCurveSpec). The oracle is the
+    * same plain full-scan filter — the curve changes which files open,
+    * never the answer. Box placed across the dim-0 midpoint, the seam
+    * where Morton's (pre-fix) sign-flipped 4-dim order and its largest
+    * 2-dim jump both live.
+    */
+  val hilbertPrune = Q(
+    "q_hilbert_prune",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_hilbert").toString
+      val data = s"$base/lineitem"
+      val ledger = s"$base/ledger"
+      val li = tbl(s, dir, "lineitem")
+      ZOrder.write(li, Seq("l_partkey", "l_suppkey"), 24, data,
+        curve = "hilbert")
+      StatsLedger.build(s, data, ledger, Seq("l_partkey", "l_suppkey"))
+      val m = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("s")).head()
+      val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
+      val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
+      StatsLedger.readPruned(s, data, ledger,
+          Seq(Box.between("l_partkey", maxP * 2 / 5, maxP * 3 / 5),
+            Box.between("l_suppkey", maxS / 2, maxS * 7 / 10)))
+        .groupBy(col("l_linestatus"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sumRound(decPrice(col("l_extendedprice"))).as("price_sum"))
+        .orderBy("l_linestatus")
+    },
+    Some(s"""SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   ${sqlSumRound(sqlPrice("l_extendedprice"))} AS price_sum
+            FROM lineitem
+            WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) * 2 // 5 FROM lineitem)
+                                AND (SELECT MAX(l_partkey) * 3 // 5 FROM lineitem)
+              AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 2 FROM lineitem)
+                                AND (SELECT MAX(l_suppkey) * 7 // 10 FROM lineitem)
+            GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""))
+
+  val all: Seq[Q] =
+    Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune)
 }
