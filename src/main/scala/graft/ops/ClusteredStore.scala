@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Fs
+
+/** Incrementally-maintained clustered table: a z/Hilbert-ordered layout
+  * ([[ZOrder]]) that absorbs APPENDS by rewriting only the files whose
+  * curve ranges the new rows land in — the `OPTIMIZE ZORDER`-after-
+  * ingest maintenance loop of Delta/Iceberg, as one operator.
+  *
+  * Why not re-run [[ZOrder.write]] per batch: at 100 TB a full
+  * re-cluster is a full-table shuffle + rewrite — hours of cluster time
+  * to absorb a 0.1% ingest. The steady-state move is bounded-scope
+  * compaction: locate the files the new keys interleave into (one
+  * broadcast interval probe against the file-level curve ranges), merge-
+  * rewrite THOSE with the batch, and leave everything else byte-
+  * identical on disk.
+  *
+  * The curve key is a pure function of the clustering columns under a
+  * rank model FROZEN at [[init]] (per-column lo/hi, persisted beside the
+  * data). Appends reuse the frozen model — exactly like
+  * [[ProductQuantizer]]'s frozen codebooks — so file curve ranges stay
+  * comparable forever; rows outside the frozen bounds clamp to the edge
+  * cells (tracked per append as `clamped`, this operator's
+  * `driftReport`: a climbing clamp rate says re-cluster with fresh
+  * bounds, it never says wrong answers).
+  *
+  * Commit protocol: the LEDGER IS THE MANIFEST. Readers ([[read]] /
+  * [[readPruned]]) open exactly the files the ledger lists, so staged
+  * new data files are invisible until the rebuilt ledger replaces the
+  * old one (per-file rename; same all-or-nothing-per-file contract as
+  * [[graft.core.Fs]] documents for object stores), and replaced data
+  * files are deleted only after the new ledger is live. A crash between
+  * those steps strands unreferenced files (garbage, never duplicates) —
+  * honest cost: a janitor diff of dir listing vs ledger reclaims them.
+  *
+  * Exactness: answers never depend on the layout — [[readPruned]]
+  * re-applies the predicate after pruning, and `q_cluster_append` pins
+  * (init + two appends + box read) against a full-scan DuckDB oracle.
+  *
+  * Single maintainer, like Delta `OPTIMIZE`: two concurrent [[append]]s
+  * could rewrite the same region and lose one update — sequencing
+  * appends is the caller's job (a streaming sink's per-batch hook, a
+  * scheduled compactor). Concurrent READERS are always safe.
+  */
+object ClusteredStore {
+
+  final case class AppendStats(
+      rewritten: Int, created: Int, untouched: Int, clamped: Long)
+
+  private def dataDir(dir: String) = s"$dir/data"
+  private def ledgerDir(dir: String) = s"$dir/ledger"
+  private def modelDir(dir: String) = s"$dir/model"
+
+  /** Frozen curve key for `cols` under the (lo, hi) model: ranks scale
+    * linearly and CLAMP at the edges, so post-init rows outside the
+    * frozen bounds still land in the outermost cells.
+    */
+  private def curveKey(
+      cols: Seq[String], curve: String, lo: Map[String, Double],
+      hi: Map[String, Double]): Column = {
+    val ranks = array(cols.map { c =>
+      val span = hi(c) - lo(c)
+      val scaled =
+        if (span > 0) round((col(c).cast("double") - lit(lo(c))) / lit(span)
+          * 65535.0).cast("int")
+        else lit(0)
+      coalesce(least(greatest(scaled, lit(0)), lit(65535)), lit(0))
+    }: _*)
+    val fn = curve match {
+      case "morton" => "z_value"
+      case "hilbert" => "hilbert_value"
+      case other => throw new IllegalArgumentException(
+        s"curve must be morton|hilbert, got $other")
+    }
+    call_function(fn, ranks)
+  }
+
+  private def loadModel(spark: SparkSession, dir: String)
+      : (Seq[String], String, Map[String, Double], Map[String, Double]) = {
+    val m = spark.read.parquet(modelDir(dir)).collect()
+    val curve = m.head.getAs[String]("curve")
+    val cols = m.map(_.getAs[String]("col")).toSeq.sorted
+    val lo = m.map(r => r.getAs[String]("col") -> r.getAs[Double]("lo")).toMap
+    val hi = m.map(r => r.getAs[String]("col") -> r.getAs[Double]("hi")).toMap
+    // restore clustering order (model rows carry the position)
+    val ordered = m.sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("col"))
+    (ordered.toSeq, curve, lo, hi)
+  }
+
+  private def ledgerRows(
+      df: DataFrame, cols: Seq[String], key: Column): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) ++
+      Seq(count(lit(1)).as("n_rows"), min(col("_z")).as("z_lo"),
+        max(col("_z")).as("z_hi"))
+    df.withColumn("_z", key)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Create the store: freeze the rank model on `df`'s bounds, write the
+    * clustered files, and publish the ledger manifest.
+    */
+  def init(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
+      curve: String = "hilbert"): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "clustering wants 2-4 columns")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val b = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))).tail: _*).head()
+    val lo = cols.map(c =>
+      c -> (if (b.isNullAt(b.fieldIndex(s"lo_$c"))) 0.0
+      else b.getDouble(b.fieldIndex(s"lo_$c")))).toMap
+    val hi = cols.map(c =>
+      c -> (if (b.isNullAt(b.fieldIndex(s"hi_$c"))) 0.0
+      else b.getDouble(b.fieldIndex(s"hi_$c")))).toMap
+    import spark.implicits._
+    cols.zipWithIndex
+      .map { case (c, i) => (c, i, curve, lo(c), hi(c)) }
+      .toDF("col", "pos", "curve", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir(dir))
+
+    val key = curveKey(cols, curve, lo, hi)
+    df.withColumn("_z", key)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(df.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(dataDir(dir))
+    ledgerRows(spark.read.parquet(dataDir(dir)), cols, key)
+      .write.mode("overwrite").parquet(ledgerDir(dir))
+  }
+
+  /** Absorb `incoming`: rewrite only the files whose curve ranges the
+    * new keys land in; rows falling in range GAPS (or past either end)
+    * become fresh files without touching anything. Returns what moved.
+    */
+  def append(spark: SparkSession, dir: String, incoming: DataFrame,
+      targetRowsPerFile: Long = 0L): AppendStats = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (cols, curve, lo, hi) = loadModel(spark, dir)
+    val key = curveKey(cols, curve, lo, hi)
+    val led = spark.read.parquet(ledgerDir(dir))
+      .select("file", "z_lo", "z_hi", "n_rows").collect()
+    val inc = incoming.withColumn("_z", key).localCheckpoint()
+
+    // drift: rows whose raw values clamped to an edge cell
+    val outside = cols.map { c =>
+      col(c).cast("double") < lit(lo(c)) || col(c).cast("double") > lit(hi(c))
+    }.reduce(_ || _)
+    val clamped = inc.filter(outside).count()
+
+    // file-interval probe: ledger is file-count-sized → broadcast range
+    // join against the incoming keys; one distinct file list out
+    import spark.implicits._
+    val intervals = led.map(r =>
+      (r.getAs[String]("file"), r.getAs[Long]("z_lo"), r.getAs[Long]("z_hi")))
+      .toSeq.toDF("file", "z_lo", "z_hi")
+    val touchedFiles = inc
+      .join(broadcast(intervals),
+        inc("_z") >= intervals("z_lo") && inc("_z") <= intervals("z_hi"),
+        "inner")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+
+    val target =
+      if (targetRowsPerFile > 0) targetRowsPerFile
+      else math.max(1L, led.map(_.getAs[Long]("n_rows")).sum /
+        math.max(1, led.length))
+    val baseRows =
+      if (touchedFiles.isEmpty) inc.limit(0).select(incoming.columns.map(col): _*)
+      else spark.read.parquet(touchedFiles.toSeq: _*)
+        .select(incoming.columns.map(col).toSeq: _*)
+    val merged = baseRows
+      .unionByName(inc.select(incoming.columns.map(col).toSeq: _*))
+    val nMerged = merged.count()
+    val nNew = math.max(1L, (nMerged + target - 1) / target).toInt
+
+    // stage the rewritten region into the live data dir: new part-file
+    // names are unique, and ledger readers cannot see them yet
+    val staged = merged.withColumn("_z", key)
+      .repartitionByRange(nNew, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(incoming.columns.map(col).toSeq: _*)
+    Fs.stagedAppend(staged, None, dataDir(dir))
+
+    // rebuild the manifest: untouched rows as-is + fresh rows for every
+    // file not yet in the ledger (= the files just staged)
+    val known = led.map(_.getAs[String]("file")).toSet
+    val allFiles = Fs.list(spark, dataDir(dir))
+      .map(_.getPath.toString).filter(f =>
+        !f.contains("_SUCCESS") && !f.contains("_temporary"))
+    val newFiles = allFiles.filterNot(f => known.exists(k => samePath(k, f)))
+    val untouchedLedger = spark.read.parquet(ledgerDir(dir))
+      .filter(!col("file").isin(touchedFiles.toSeq: _*))
+    val newLedger =
+      if (newFiles.isEmpty) untouchedLedger
+      else untouchedLedger.unionByName(
+        ledgerRows(spark.read.parquet(newFiles: _*), cols, key))
+    val tmpLedger = s"$dir/.ledger-${java.util.UUID.randomUUID}"
+    newLedger.coalesce(1).write.mode("overwrite").parquet(tmpLedger)
+    Fs.delete(spark, ledgerDir(dir))
+    Fs.moveDataFiles(spark, tmpLedger, ledgerDir(dir))
+    Fs.delete(spark, tmpLedger)
+    // now safe: nothing references the replaced files
+    touchedFiles.foreach(f => Fs.delete(spark, f))
+
+    AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
+      untouched = led.length - touchedFiles.size, clamped = clamped)
+  }
+
+  /** Hadoop path equality across `file:/` vs `file:///` spellings. */
+  private def samePath(a: String, b: String): Boolean =
+    new org.apache.hadoop.fs.Path(a).toUri.getPath ==
+      new org.apache.hadoop.fs.Path(b).toUri.getPath
+
+  /** Every live row — exactly the files the manifest lists. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.parquet(ledgerDir(dir))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(dataDir(dir)).where(lit(false))
+    else spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** Ledger-pruned box read; predicate re-applied → full-scan answers. */
+  def readPruned(spark: SparkSession, dir: String,
+      boxes: Seq[StatsLedger.Box]): DataFrame = {
+    val exact = boxes.map { b =>
+      val loP = b.lo.map(v => col(b.col) >= lit(v)).getOrElse(lit(true))
+      val hiP = b.hi.map(v => col(b.col) <= lit(v)).getOrElse(lit(true))
+      loP && hiP
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val files = StatsLedger.pruneFiles(spark, ledgerDir(dir), boxes)
+    if (files.isEmpty) read(spark, dir).where(lit(false))
+    else spark.read.parquet(files: _*).filter(exact)
+  }
+}

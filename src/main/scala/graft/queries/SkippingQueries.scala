@@ -203,6 +203,49 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_suppkey) * 7 // 10 FROM lineitem)
             GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""))
 
+  /** Incremental clustered maintenance ([[graft.ops.ClusteredStore]]):
+    * init the store from 80% of lineitem, absorb the remaining fifth in
+    * two appends (each rewriting only its touched curve region), then
+    * answer a 2-D box through the manifest-pruned read. The oracle is
+    * the full-scan filter over ALL of lineitem — exactness across init
+    * + append + prune in one check; rewrite-scope and byte-identity of
+    * untouched files are asserted in ClusteredStoreSpec where file
+    * listings are observable.
+    */
+  val clusterAppend = Q(
+    "q_cluster_append",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_clstore").toString
+      val li = tbl(s, dir, "lineitem")
+      graft.ops.ClusteredStore.init(
+        li.filter(col("l_orderkey") % 5 =!= 4),
+        Seq("l_partkey", "l_suppkey"), 24, base)
+      graft.ops.ClusteredStore.append(s, base,
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 0))
+      graft.ops.ClusteredStore.append(s, base,
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 1))
+      val m = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("s")).head()
+      val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
+      val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
+      graft.ops.ClusteredStore.readPruned(s, base,
+          Seq(Box.between("l_partkey", maxP / 4, maxP / 2),
+            Box.between("l_suppkey", maxS / 4, maxS / 2)))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty
+            FROM lineitem
+            WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) // 4 FROM lineitem)
+                                AND (SELECT MAX(l_partkey) // 2 FROM lineitem)
+              AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 4 FROM lineitem)
+                                AND (SELECT MAX(l_suppkey) // 2 FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
-    Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune)
+    Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
+      clusterAppend)
 }
