@@ -13,13 +13,21 @@ import graft.queries.Registry
   * plan).
   *
   * Reported per query: min-of-reps seconds at each SF, the exponent from
-  * the largest decade (sf0.01 → sf0.1, where real work dominates fixed
-  * job overhead), and a flag when it exceeds the 1.2 gate. Queries faster
-  * than `floorSec` at the top SF are marked overhead-dominated — their
-  * exponent is scheduling noise, not data scaling.
+  * the largest decade (where real work dominates fixed job overhead), an
+  * OLS `fit` of log(time) on log(SF) over every above-floor point (the
+  * multi-decade trend — meaningful with the synthesized sf1 leg giving
+  * four points over three decades), and a flag when the 1.2 gate trips.
+  * The SUPERLINEAR flag requires BOTH estimates over 1.2 when the fit is
+  * available: the last-decade ratio alone is one noisy division, and a
+  * single slow rep at the top SF should not fail the run when the full
+  * curve is linear. Queries faster than `floorSec` at the top SF are
+  * marked overhead-dominated — their exponent is scheduling noise, not
+  * data scaling.
   *
   * Usage: runMain graft.tools.ScaleCurve [sfDir...]  (defaults to
-  * /root/testdata/sf0.001 sf0.01 sf0.1)
+  * /root/testdata/sf0.001 sf0.01 sf0.1; pass
+  * /root/repo/testdata_synth/sf1 as a fourth leg after running
+  * graft.tools.Synth)
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
@@ -80,28 +88,51 @@ object ScaleCurve {
     val (loDir, hiDir) = (sfDirs(sfDirs.length - 2), sfDirs.last)
     val decade = math.log(sfOf(hiDir) / sfOf(loDir))
 
+    // OLS slope of log(time) on log(SF) over EVERY point whose time
+    // clears the overhead floor: the multi-decade growth trend, robust
+    // to single-point noise in a way the last-decade ratio is not. With
+    // 4 scale points this is a real regression; fewer than 2 clear
+    // points → NaN (reported as the last-decade exponent alone).
+    def olsExponent(pts: Seq[(Double, Double)]): Double = {
+      if (pts.length < 2) Double.NaN
+      else {
+        val xs = pts.map(p => math.log(p._1))
+        val ys = pts.map(p => math.log(p._2))
+        val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+        val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+        val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+        sxy / sxx
+      }
+    }
+
     val rows = headline.map { q =>
       val tHi = times((q.name, hiDir))
       val tLo = times((q.name, loDir))
       val exp = math.log(tHi / tLo) / decade
+      val fitPts = sfDirs
+        .map(d => (sfOf(d), times((q.name, d))))
+        .filter { case (_, t) => !t.isNaN && t >= floorSec }
+      val fit = olsExponent(fitPts)
       val overhead = tHi < floorSec
       val flag =
         if (overhead) "overhead"
-        else if (exp > 1.2) "SUPERLINEAR"
+        else if (exp > 1.2 && (fit.isNaN || fit > 1.2)) "SUPERLINEAR"
         else "ok"
-      (q.name, sfDirs.map(d => times((q.name, d))), exp, flag)
+      (q.name, sfDirs.map(d => times((q.name, d))), exp, fit, flag)
     }
-    val qjson = rows.map { case (n, ts, e, f) =>
+    val qjson = rows.map { case (n, ts, e, fit, f) =>
       "\"" + n + "\":{" +
         sfDirs.zip(ts).map { case (d, t) =>
           "\"" + d.split('/').last + f"""\":$t%.3f"""
         }.mkString(",") +
-        f""","exponent":$e%.2f,"flag":"$f"}"""
+        f""","exponent":$e%.2f,""" +
+        (if (fit.isNaN) "" else f""""fit":$fit%.2f,""") +
+        f""""flag":"$f"}"""
     }.mkString("{", ",", "}")
-    val worst = rows.filterNot(_._4 == "overhead").map(_._3).max
+    val worst = rows.filterNot(_._5 == "overhead").map(_._3).max
     println(f"""{"metric":"scale_exponent_worst","value":$worst%.2f,"unit":"exponent","queries":$qjson}""")
 
-    val superlinear = rows.filter(_._4 == "SUPERLINEAR")
+    val superlinear = rows.filter(_._5 == "SUPERLINEAR")
     if (superlinear.nonEmpty)
       System.err.println("SUPERLINEAR queries: " +
         superlinear.map(_._1).mkString(", "))

@@ -11,6 +11,7 @@ result order and as a sorted multiset).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -33,8 +34,13 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        # driver legs ship one file per table; engine-synthesized legs
+        # (tools/Synth) write Spark-style directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
