@@ -91,7 +91,8 @@ object ClusteredStore {
   }
 
   private def ledgerRows(
-      df: DataFrame, cols: Seq[String], key: Column): DataFrame = {
+      df: DataFrame, cols: Seq[String], key: Column,
+      batchId: Long): DataFrame = {
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c"))) ++
       Seq(count(lit(1)).as("n_rows"), min(col("_z")).as("z_lo"),
@@ -99,6 +100,7 @@ object ClusteredStore {
     df.withColumn("_z", key)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("batch_id", lit(batchId))
   }
 
   /** Create the store: freeze the rank model on `df`'s bounds, write the
@@ -132,7 +134,7 @@ object ClusteredStore {
       .sortWithinPartitions("_z")
       .select(df.columns.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dataDir(dir))
-    ledgerRows(spark.read.parquet(dataDir(dir)), cols, key)
+    ledgerRows(spark.read.parquet(dataDir(dir)), cols, key, batchId = -1L)
       .write.mode("overwrite").parquet(ledgerDir(dir))
   }
 
@@ -141,7 +143,7 @@ object ClusteredStore {
     * become fresh files without touching anything. Returns what moved.
     */
   def append(spark: SparkSession, dir: String, incoming: DataFrame,
-      targetRowsPerFile: Long = 0L): AppendStats = {
+      targetRowsPerFile: Long = 0L, batchId: Long = -1L): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (cols, curve, lo, hi) = loadModel(spark, dir)
     val key = curveKey(cols, curve, lo, hi)
@@ -200,7 +202,7 @@ object ClusteredStore {
     val newLedger =
       if (newFiles.isEmpty) untouchedLedger
       else untouchedLedger.unionByName(
-        ledgerRows(spark.read.parquet(newFiles: _*), cols, key))
+        ledgerRows(spark.read.parquet(newFiles: _*), cols, key, batchId))
     val tmpLedger = s"$dir/.ledger-${java.util.UUID.randomUUID}"
     newLedger.coalesce(1).write.mode("overwrite").parquet(tmpLedger)
     Fs.delete(spark, ledgerDir(dir))
@@ -211,6 +213,28 @@ object ClusteredStore {
 
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
       untouched = led.length - touchedFiles.size, clamped = clamped)
+  }
+
+  /** [[append]] as an exactly-once `foreachBatch` hook: the batch id is
+    * stamped on the ledger rows the append creates, and since the ledger
+    * swap IS the append's commit point, "this batch's id already appears
+    * in the ledger" is a transactional replay probe — no separate marker
+    * whose write could race the commit. Structured Streaming re-delivers
+    * only the LAST uncommitted batch after a crash, and a just-appended
+    * batch's rows are still in the ledger at that moment (later batches
+    * haven't run, so nothing rewrote its files), so the probe is exact
+    * where replays can actually happen. Single maintainer per store, as
+    * [[append]] documents — one stream, or a coordinated compactor.
+    */
+  def appendStream(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): AppendStats = {
+    require(batchId >= 0, "streaming batch ids are non-negative")
+    val replayed = spark.read.parquet(ledgerDir(dir))
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (replayed) {
+      val n = spark.read.parquet(ledgerDir(dir)).count().toInt
+      AppendStats(rewritten = 0, created = 0, untouched = n, clamped = 0L)
+    } else append(spark, dir, batch, batchId = batchId)
   }
 
   /** Hadoop path equality across `file:/` vs `file:///` spellings. */

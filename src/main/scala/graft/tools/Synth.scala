@@ -28,11 +28,18 @@ import org.apache.spark.sql.functions._
   *     make every doc a 10-way exact dup and collapse the dedup queries'
   *     selectivity. Replica k>0 instead ROTATES the word sequence by 7k
   *     (deterministic, content-derived): token counts, char counts and
-  *     unigram histograms are exactly preserved, while shingle sets (and
-  *     so MinHash/SimHash/fingerprint keys) change — base-replica dup
-  *     pairs stay dups, cross-replica pairs don't, keeping the dup RATE
-  *     at the base's per-decade value. (Docs whose word count divides 7k
-  *     rotate to identity and stay exact dups — a handful, and realistic.)
+  *     unigram histograms are exactly preserved, while SHINGLE-based
+  *     keys (MinHash, n-gram fingerprints, exact-text hashes) change —
+  *     base-replica dup pairs stay dups, cross-replica pairs don't,
+  *     keeping the shingle-family dup RATE at the base's per-decade
+  *     value. BAG-invariant fingerprints (simhash over unigrams) see
+  *     every replica group as a 10-clone cluster by construction — a
+  *     deliberate high-duplicate-density stress leg for that family
+  *     (measured in SCALE.md r8: the hamming-0 pair floor grows ~2·10⁵×
+  *     at sf1 while q_dedup_simhash60's runtime grows 15.7×, and
+  *     SkewGuard's bucket cap stays untouched). Docs whose word count
+  *     divides 7k rotate to identity and stay exact dups — a handful,
+  *     and realistic.
   *   - `embeddings.embedding` vectors are unit-norm; replica k rotates
   *     the 64 coordinates by k positions — norms and coordinate
   *     distributions are exactly preserved, cosine structure is not
