@@ -27,14 +27,21 @@ import graft.core.Fs
   * `driftReport`: a climbing clamp rate says re-cluster with fresh
   * bounds, it never says wrong answers).
   *
-  * Commit protocol: the LEDGER IS THE MANIFEST. Readers ([[read]] /
-  * [[readPruned]]) open exactly the files the ledger lists, so staged
-  * new data files are invisible until the rebuilt ledger replaces the
-  * old one (per-file rename; same all-or-nothing-per-file contract as
-  * [[graft.core.Fs]] documents for object stores), and replaced data
-  * files are deleted only after the new ledger is live. A crash between
-  * those steps strands unreferenced files (garbage, never duplicates) —
-  * honest cost: a janitor diff of dir listing vs ledger reclaims them.
+  * Commit protocol: the LEDGER IS THE MANIFEST, and manifests are
+  * VERSIONED, never mutated — `ledger/v=N/`, one immutable snapshot per
+  * commit, committed iff its `_SUCCESS` marker exists (Spark's own
+  * job-commit marker). Readers ([[read]] / [[readPruned]]) resolve the
+  * highest committed version and open exactly the files it lists, so
+  * staged data files are invisible until their manifest lands, a crash
+  * mid-manifest-write leaves an uncommitted (markerless) version that
+  * replay simply overwrites, and there is NO window where the table has
+  * no manifest (the failure mode a delete-then-rename swap carries).
+  * Replaced data files are retained, which makes every historical
+  * version readable ([[read]]`(asOf = Some(n))` — snapshot reads /
+  * time travel) until [[vacuum]] drops versions past a retention count
+  * and deletes the data files only they reference. This is the
+  * delta-log idea reduced to its load-bearing core: immutable manifest
+  * versions + marker-gated visibility + retention-bounded vacuum.
   *
   * Exactness: answers never depend on the layout — [[readPruned]]
   * re-applies the predicate after pruning, and `q_cluster_append` pins
@@ -48,11 +55,33 @@ import graft.core.Fs
 object ClusteredStore {
 
   final case class AppendStats(
-      rewritten: Int, created: Int, untouched: Int, clamped: Long)
+      rewritten: Int, created: Int, untouched: Int, clamped: Long,
+      version: Int = 1)
 
   private def dataDir(dir: String) = s"$dir/data"
   private def ledgerDir(dir: String) = s"$dir/ledger"
+  private def versionDir(dir: String, v: Int) = s"$dir/ledger/v=$v"
   private def modelDir(dir: String) = s"$dir/model"
+
+  /** Highest COMMITTED manifest version (has Spark's `_SUCCESS` marker);
+    * None before init. Uncommitted (crashed) version dirs are ignored —
+    * and overwritten by the retrying writer.
+    */
+  def currentVersion(spark: SparkSession, dir: String): Option[Int] =
+    Fs.list(spark, ledgerDir(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v="))
+      .filter(p => Fs.exists(spark, s"$p/_SUCCESS"))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .sorted.lastOption
+
+  /** The manifest snapshot at `asOf` (default: current). */
+  def manifest(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    spark.read.parquet(versionDir(dir, v))
+  }
 
   /** Frozen curve key for `cols` under the (lo, hi) model: ranks scale
     * linearly and CLAMP at the edges, so post-init rows outside the
@@ -135,7 +164,7 @@ object ClusteredStore {
       .select(df.columns.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dataDir(dir))
     ledgerRows(spark.read.parquet(dataDir(dir)), cols, key, batchId = -1L)
-      .write.mode("overwrite").parquet(ledgerDir(dir))
+      .write.mode("overwrite").parquet(versionDir(dir, 1))
   }
 
   /** Absorb `incoming`: rewrite only the files whose curve ranges the
@@ -147,7 +176,9 @@ object ClusteredStore {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (cols, curve, lo, hi) = loadModel(spark, dir)
     val key = curveKey(cols, curve, lo, hi)
-    val led = spark.read.parquet(ledgerDir(dir))
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"append before init under $dir"))
+    val led = manifest(spark, dir, Some(v))
       .select("file", "z_lo", "z_hi", "n_rows").collect()
     val inc = incoming.withColumn("_z", key).localCheckpoint()
 
@@ -190,29 +221,55 @@ object ClusteredStore {
       .select(incoming.columns.map(col).toSeq: _*)
     Fs.stagedAppend(staged, None, dataDir(dir))
 
-    // rebuild the manifest: untouched rows as-is + fresh rows for every
-    // file not yet in the ledger (= the files just staged)
-    val known = led.map(_.getAs[String]("file")).toSet
+    // next manifest version: untouched rows as-is + fresh rows for every
+    // data file no PRIOR manifest references (= the files just staged;
+    // replaced files stay on disk, still referenced by older versions).
+    // mode=overwrite clobbers a markerless dir a crashed attempt left.
+    val referenced = (1 to v).flatMap { old =>
+      if (Fs.exists(spark, s"${versionDir(dir, old)}/_SUCCESS"))
+        spark.read.parquet(versionDir(dir, old))
+          .select("file").collect().map(_.getString(0))
+      else Seq.empty
+    }.toSet
     val allFiles = Fs.list(spark, dataDir(dir))
       .map(_.getPath.toString).filter(f =>
         !f.contains("_SUCCESS") && !f.contains("_temporary"))
-    val newFiles = allFiles.filterNot(f => known.exists(k => samePath(k, f)))
-    val untouchedLedger = spark.read.parquet(ledgerDir(dir))
+    val newFiles = allFiles
+      .filterNot(f => referenced.exists(k => samePath(k, f)))
+    val untouchedLedger = manifest(spark, dir, Some(v))
       .filter(!col("file").isin(touchedFiles.toSeq: _*))
     val newLedger =
       if (newFiles.isEmpty) untouchedLedger
       else untouchedLedger.unionByName(
         ledgerRows(spark.read.parquet(newFiles: _*), cols, key, batchId))
-    val tmpLedger = s"$dir/.ledger-${java.util.UUID.randomUUID}"
-    newLedger.coalesce(1).write.mode("overwrite").parquet(tmpLedger)
-    Fs.delete(spark, ledgerDir(dir))
-    Fs.moveDataFiles(spark, tmpLedger, ledgerDir(dir))
-    Fs.delete(spark, tmpLedger)
-    // now safe: nothing references the replaced files
-    touchedFiles.foreach(f => Fs.delete(spark, f))
+    newLedger.coalesce(1).write.mode("overwrite")
+      .parquet(versionDir(dir, v + 1))
 
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
-      untouched = led.length - touchedFiles.size, clamped = clamped)
+      untouched = led.length - touchedFiles.size, clamped = clamped,
+      version = v + 1)
+  }
+
+  /** Drop manifest versions past the newest `keepLast` and delete the
+    * data files ONLY dropped versions reference — bounded-retention
+    * time travel. Keeps at least the current version.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val committed = Fs.list(spark, ledgerDir(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
+      .sorted
+    val (drop, keep) = committed.splitAt(math.max(0, committed.size - keepLast))
+    if (drop.isEmpty) return 0
+    def filesOf(vs: Seq[Int]): Set[String] = vs.flatMap(n =>
+      spark.read.parquet(versionDir(dir, n))
+        .select("file").collect().map(_.getString(0))).toSet
+    val doomed = filesOf(drop) -- filesOf(keep)
+    doomed.foreach(f => Fs.delete(spark, f))
+    drop.foreach(n => Fs.delete(spark, versionDir(dir, n)))
+    doomed.size
   }
 
   /** [[append]] as an exactly-once `foreachBatch` hook: the batch id is
@@ -229,12 +286,14 @@ object ClusteredStore {
   def appendStream(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): AppendStats = {
     require(batchId >= 0, "streaming batch ids are non-negative")
-    val replayed = spark.read.parquet(ledgerDir(dir))
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (replayed) {
-      val n = spark.read.parquet(ledgerDir(dir)).count().toInt
-      AppendStats(rewritten = 0, created = 0, untouched = n, clamped = 0L)
-    } else append(spark, dir, batch, batchId = batchId)
+    val cur = manifest(spark, dir)
+    val replayed =
+      cur.filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (replayed)
+      AppendStats(rewritten = 0, created = 0,
+        untouched = cur.count().toInt, clamped = 0L,
+        version = currentVersion(spark, dir).getOrElse(1))
+    else append(spark, dir, batch, batchId = batchId)
   }
 
   /** Hadoop path equality across `file:/` vs `file:///` spellings. */
@@ -242,9 +301,13 @@ object ClusteredStore {
     new org.apache.hadoop.fs.Path(a).toUri.getPath ==
       new org.apache.hadoop.fs.Path(b).toUri.getPath
 
-  /** Every live row — exactly the files the manifest lists. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.parquet(ledgerDir(dir))
+  /** Every live row of the snapshot — exactly the files its manifest
+    * lists (`asOf` = a committed version for time travel; default
+    * current).
+    */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val files = manifest(spark, dir, asOf)
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       spark.read.parquet(dataDir(dir)).where(lit(false))
@@ -253,14 +316,16 @@ object ClusteredStore {
 
   /** Ledger-pruned box read; predicate re-applied → full-scan answers. */
   def readPruned(spark: SparkSession, dir: String,
-      boxes: Seq[StatsLedger.Box]): DataFrame = {
+      boxes: Seq[StatsLedger.Box], asOf: Option[Int] = None): DataFrame = {
     val exact = boxes.map { b =>
       val loP = b.lo.map(v => col(b.col) >= lit(v)).getOrElse(lit(true))
       val hiP = b.hi.map(v => col(b.col) <= lit(v)).getOrElse(lit(true))
       loP && hiP
     }.reduceOption(_ && _).getOrElse(lit(true))
-    val files = StatsLedger.pruneFiles(spark, ledgerDir(dir), boxes)
-    if (files.isEmpty) read(spark, dir).where(lit(false))
+    val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    val files = StatsLedger.pruneFiles(spark, versionDir(dir, v), boxes)
+    if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
     else spark.read.parquet(files: _*).filter(exact)
   }
 }

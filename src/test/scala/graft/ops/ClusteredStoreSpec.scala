@@ -53,11 +53,23 @@ class ClusteredStoreSpec extends SparkSpec {
     assert(stats.untouched > 0)
     assert(stats.clamped === 0L, "delta lies inside the frozen bounds")
 
-    // untouched files: same path, same bytes (length + mtime)
+    // NOTHING is deleted by an append (older versions stay readable):
+    // every pre-append file survives byte-identical, and the CURRENT
+    // manifest references exactly the untouched ones among them
     val after = dataFiles()
-    val survivors = before.keySet.intersect(after.keySet)
-    assert(survivors.size === stats.untouched)
-    survivors.foreach { f => assert(before(f) === after(f), s"$f changed") }
+    assert(before.keySet.subsetOf(after.keySet))
+    before.keySet.foreach { f => assert(before(f) === after(f), s"$f changed") }
+    val current = ClusteredStore.manifest(spark, dir)
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    assert(before.keySet.intersect(current).size === stats.untouched)
+
+    // time travel: version 1 is still exactly the pre-append base
+    assert(ClusteredStore.currentVersion(spark, dir) === Some(2))
+    val v1 = ClusteredStore.read(spark, dir, asOf = Some(1))
+      .select("id", "a", "b", "payload")
+    assert(v1.count() === 20000L)
+    assert(v1.exceptAll(base).count() === 0L)
 
     // pruned reads stay exact after the append
     val boxes = Seq(Box.between("a", 0L, 60L), Box.between("b", 0L, 40L))
@@ -105,16 +117,28 @@ class ClusteredStoreSpec extends SparkSpec {
       total += 500
       assert(ClusteredStore.read(spark, dir).count() === total)
     }
-    val ledger = spark.read.parquet(s"$dir/ledger")
+    val ledger = ClusteredStore.manifest(spark, dir)
     assert(ledger.select("file").distinct().count() === ledger.count(),
       "manifest must list each file once")
     assert(ledger.agg(sum("n_rows")).head.getLong(0) === total)
-    // manifest ↔ disk agree exactly: no dangling entries, no strays
-    val onDisk = Fs.list(spark, s"$dir/data").map(_.getPath.getName)
+    def onDisk() = Fs.list(spark, s"$dir/data").map(_.getPath.getName)
       .filterNot(_.startsWith("_")).toSet
     val listed = ledger.select("file").collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
-    assert(listed === onDisk,
-      s"dangling=${listed.diff(onDisk)} stranded=${onDisk.diff(listed)}")
+    // retention: disk holds every version's files (a superset of the
+    // current manifest) until vacuum drops old versions — after which
+    // manifest ↔ disk agree exactly
+    assert(listed.subsetOf(onDisk()),
+      s"dangling manifest entries: ${listed.diff(onDisk())}")
+    assert(ClusteredStore.currentVersion(spark, dir) === Some(4))
+    val reclaimed = ClusteredStore.vacuum(spark, dir, keepLast = 1)
+    assert(reclaimed > 0, "three appends must leave something to reclaim")
+    assert(listed === onDisk(),
+      s"post-vacuum stranded files: ${onDisk().diff(listed)}")
+    assert(ClusteredStore.read(spark, dir).count() === total,
+      "vacuum must not touch the current snapshot")
+    // dropped versions are gone, current remains
+    assertThrows[Exception](
+      ClusteredStore.read(spark, dir, asOf = Some(1)).count())
   }
 }
