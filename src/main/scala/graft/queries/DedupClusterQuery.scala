@@ -4,22 +4,30 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.DedupClusters
 
-/** Cluster the n-gram-Jaccard near-dup pairs into connected components:
-  * each clustered doc → its keeper (min doc id in the component). The
-  * oracle computes the same fixpoint with a recursive transitive-closure
-  * CTE — an independent algorithm for the same semantics.
+/** Cluster near-dup pairs into connected components: each clustered doc
+  * → its keeper (min doc id in the component). The oracle computes the
+  * same fixpoint with a recursive transitive-closure CTE — an
+  * independent algorithm for the same semantics.
+  *
+  * Pairs come from the MinHash-LSH miner (`q_dedup_minhash`), the
+  * documented 100 TB path: the cluster chain previously replayed the
+  * exact length-blocked miner, whose candidate set is quadratic per
+  * bucket (measured ×100 per decade on the sf1 leg — 180M candidates),
+  * so every cluster build inherited a baseline that is only meant for
+  * ground-truthing. The oracle embeds the minhash pair SQL, so recall
+  * semantics stay pinned cross-engine.
   */
 object DedupClusterQuery {
 
   val clusters = Q(
     "q_dedup_clusters",
     (s, dir) => {
-      val pairs = DedupQueries.ngramJaccard.spark(s, dir)
+      val pairs = DedupQueries.minhashLsh.spark(s, dir)
         .select(col("ai"), col("bi"))
       DedupClusters.connectedComponents(pairs)
         .orderBy("doc_id")
     },
-    DedupQueries.ngramJaccard.oracle.map { pairSql =>
+    DedupQueries.minhashLsh.oracle.map { pairSql =>
       // strip the trailing ORDER BY of the pair query before embedding
       val inner = pairSql.substring(0, pairSql.lastIndexOf("ORDER BY"))
       s"""WITH RECURSIVE pair_q AS ($inner),
@@ -47,7 +55,7 @@ object DedupClusterQuery {
   val canonicalDocs = Q(
     "q_canonical_docs",
     (s, dir) => {
-      val pairs = DedupQueries.ngramJaccard.spark(s, dir)
+      val pairs = DedupQueries.minhashLsh.spark(s, dir)
         .select(col("ai"), col("bi"))
       val clusters = DedupClusters.connectedComponents(pairs)
       val quality = TextQueries.qualityScore.spark(s, dir)

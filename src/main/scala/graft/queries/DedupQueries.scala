@@ -79,6 +79,15 @@ object DedupQueries {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       val sh = shingled(s, dir)
+      // This is the EXACT length-blocked baseline: candidate pairs are
+      // quadratic per (lang, length-bucket) — measured ×100 per data
+      // decade on the synthesized sf1 leg (1.8M → 180M). Like
+      // q_dedup_embedding's per-label all-pairs, it refuses past an
+      // explicit pair bound instead of melting; the 100 TB path is
+      // q_dedup_minhash (LSH banding, one shuffle), which also feeds
+      // q_dedup_clusters / q_canonical_docs.
+      graft.ops.SkewGuard.requirePairBound(
+        sh.withColumn("bkt", expr("n_chars div 50")), Seq("lang", "bkt"))
       val a = sh.select(col("doc_id").as("ai"), col("lang").as("al"),
         col("n_chars").as("an"), col("s").as("as_"))
         .withColumn("bkt",
@@ -86,8 +95,14 @@ object DedupQueries {
       val b = sh.select(col("doc_id").as("bi"), col("lang").as("bl"),
         col("n_chars").as("bn"), col("s").as("bs"))
         .withColumn("bbkt", expr("bn div 50"))
+      // jac >= 0.5 implies min(|A|,|B|)/max(|A|,|B|) >= 0.5, so the
+      // integer size-ratio prefilter is an exact implication — it prunes
+      // pairs BEFORE the O(|A|+|B|) intersect/union, never changes the
+      // result, and the oracle carries the same clause
       a.join(b, col("al") === col("bl") && col("bkt") === col("bbkt") &&
-          col("ai") < col("bi") && abs(col("an") - col("bn")) <= 50)
+          col("ai") < col("bi") && abs(col("an") - col("bn")) <= 50 &&
+          size(col("as_")) * 2 >= size(col("bs")) &&
+          size(col("bs")) * 2 >= size(col("as_")))
         .withColumn("jac",
           size(array_intersect(col("as_"), col("bs"))).cast("double")
             / size(array_union(col("as_"), col("bs"))).cast("double"))
@@ -105,6 +120,8 @@ object DedupQueries {
              AND (a.n_chars // 50) + d = (b.n_chars // 50)
              AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 50
+             AND len(a.s) * 2 >= len(b.s)
+             AND len(b.s) * 2 >= len(a.s)
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
             ORDER BY ai, bi"""))
