@@ -157,7 +157,17 @@ object ShreddedLog {
   /** The typed view. No JSON parsing anywhere downstream: the schema is
     * declared, so a `filter`/`select` over these columns is a plain
     * columnar scan with pushdown (plan-asserted in ShreddedLogSpec).
+    *
+    * A store with no `src=` partitions (an empty or never-written log —
+    * the empty Sunday batch) reads as a ZERO-ROW frame with the same
+    * typed schema, derived by shredding an empty source: the schema is
+    * static, so absence of data must not become a schema-inference
+    * crash (EmptyInputGate pins this).
     */
   def read(spark: SparkSession, shredDir: String): DataFrame =
-    spark.read.parquet(shredDir).drop("src")
+    if (processedSrcs(spark, shredDir).isEmpty)
+      shred(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LogSchema.schema)).drop("src")
+    else spark.read.parquet(shredDir).drop("src")
 }
