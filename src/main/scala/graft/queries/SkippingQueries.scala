@@ -245,7 +245,41 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_suppkey) // 2 FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Snapshot isolation, cross-engine: after two appends, a read AS OF
+    * the initial manifest version must equal the ORIGINAL 80% slice —
+    * bit-for-bit, not approximately — because appends only ADD manifest
+    * versions and data files; nothing the old manifest references is
+    * touched until vacuum. The oracle recomputes the v1 slice directly
+    * from the source table.
+    */
+  val clusterTimeTravel = Q(
+    "q_cluster_timetravel",
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_timetravel").toString
+      val li = tbl(s, dir, "lineitem")
+      graft.ops.ClusteredStore.init(
+        li.filter(col("l_orderkey") % 5 =!= 4),
+        Seq("l_partkey", "l_suppkey"), 16, base)
+      graft.ops.ClusteredStore.append(s, base,
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 0))
+      graft.ops.ClusteredStore.append(s, base,
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 1))
+      graft.ops.ClusteredStore.read(s, base, asOf = Some(1))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"),
+          sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE l_orderkey % 5 <> 4
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
-      clusterAppend)
+      clusterAppend, clusterTimeTravel)
 }
