@@ -238,20 +238,20 @@ object TrainingDataPipeline {
       f"shard=${s.shard} docs=${s.nDocs} tokens=${s.weight} " +
         f"balance=${s.balanceRatio}%.4f"))
 
-    // 7b. shipped layout: the final corpus z-ordered on its two hot
-    //     filter keys, with a file-stats ledger built in the same job —
-    //     every downstream reader (and the next run's snapshot diff)
-    //     skips to its slice from the ledger instead of opening footers
+    // 7b. shipped layout: the final corpus as an incrementally-
+    //     maintained CLUSTERED STORE (Hilbert layout + versioned
+    //     manifest) on its two hot filter keys — downstream readers
+    //     skip to their slice from the manifest instead of opening
+    //     footers, the NEXT run's additions absorb via bounded-scope
+    //     appends instead of a full re-layout, and every shipped
+    //     version stays readable until vacuum
     val layoutDir = s"$storeRoot/layout"
     val shipped = capped.withColumn("n_chars", col("n_chars").cast("long"))
-    graft.ops.ZOrder.write(shipped, Seq("doc_id", "n_chars"), 8,
-      s"$layoutDir/corpus")
-    graft.ops.StatsLedger.build(spark, s"$layoutDir/corpus",
-      s"$layoutDir/ledger", Seq("doc_id", "n_chars"))
-    val slice = graft.ops.StatsLedger.readPruned(spark,
-      s"$layoutDir/corpus", s"$layoutDir/ledger",
+    graft.ops.ClusteredStore.init(
+      shipped, Seq("doc_id", "n_chars"), 8, layoutDir)
+    val slice = graft.ops.ClusteredStore.readPruned(spark, layoutDir,
       Seq(graft.ops.StatsLedger.Box.between("n_chars", 0L, 200L)))
-    println(s"short-doc slice via ledger-pruned read: " +
+    println(s"short-doc slice via manifest-pruned read: " +
       s"${rec("ledger_slice", slice.count())} docs")
 
     // 8. serving-side index over the corpus embeddings: trained coarse
