@@ -201,7 +201,8 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_partkey) * 3 // 5 FROM lineitem)
               AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 2 FROM lineitem)
                                 AND (SELECT MAX(l_suppkey) * 7 // 10 FROM lineitem)
-            GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""))
+            GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""),
+    bench = true)
 
   /** Incremental clustered maintenance ([[graft.ops.ClusteredStore]]):
     * init the store from 80% of lineitem, absorb the remaining fifth in
@@ -243,7 +244,8 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_partkey) // 2 FROM lineitem)
               AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 4 FROM lineitem)
                                 AND (SELECT MAX(l_suppkey) // 2 FROM lineitem)
-            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""),
+    bench = true)
 
   /** Snapshot isolation, cross-engine: after two appends, a read AS OF
     * the initial manifest version must equal the ORIGINAL 80% slice —
