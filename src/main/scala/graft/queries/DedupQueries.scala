@@ -98,8 +98,16 @@ object DedupQueries {
       // jac >= 0.5 implies min(|A|,|B|)/max(|A|,|B|) >= 0.5, so the
       // integer size-ratio prefilter is an exact implication — it prunes
       // pairs BEFORE the O(|A|+|B|) intersect/union, never changes the
-      // result, and the oracle carries the same clause
-      a.join(b, col("al") === col("bl") && col("bkt") === col("bbkt") &&
+      // result, and the oracle carries the same clause.
+      // broadcast(b): a sort-merge join here clusters on (lang, bucket)
+      // — ~75 distinct keys — so the quadratic verify work lands on a
+      // HANDFUL of tasks (observed: 2 active tasks grinding the sf1
+      // leg). The build side is the shingled corpus, which is exactly
+      // what requirePairBound already certified as ground-truth-sized,
+      // so broadcasting it is within the baseline's contract and makes
+      // parallelism input-partition-bound instead of key-bound.
+      a.join(broadcast(b),
+          col("al") === col("bl") && col("bkt") === col("bbkt") &&
           col("ai") < col("bi") && abs(col("an") - col("bn")) <= 50 &&
           size(col("as_")) * 2 >= size(col("bs")) &&
           size(col("bs")) * 2 >= size(col("as_")))
