@@ -250,6 +250,77 @@ object ClusteredStore {
       version = v + 1)
   }
 
+  /** Small-file compaction: merge every manifest file under
+    * `minRowsPerFile` (default: half the store's mean file size) into
+    * full-size, curve-sorted files, committed as a new manifest version
+    * — the maintenance pass that bounds the file-count growth streaming
+    * appends trade for. Only small files are read or rewritten; the
+    * merged output is re-sorted by curve key and range-split, so each
+    * new file is a contiguous curve run (it may SPAN untouched files'
+    * ranges across gaps — coarser boxes, same answers, exactly the
+    * append path's documented trade). Old versions still reference the
+    * replaced files, so snapshots stay readable until [[vacuum]].
+    */
+  def compact(spark: SparkSession, dir: String,
+      minRowsPerFile: Long = 0L): AppendStats = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (cols, curve, lo, hi) = loadModel(spark, dir)
+    val key = curveKey(cols, curve, lo, hi)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"compact before init under $dir"))
+    val led = manifest(spark, dir, Some(v)).select("file", "n_rows").collect()
+    val mean = math.max(1L,
+      led.map(_.getAs[Long]("n_rows")).sum / math.max(1, led.length))
+    val floor = if (minRowsPerFile > 0) minRowsPerFile else mean / 2
+    val smalls = led.filter(_.getAs[Long]("n_rows") < floor)
+      .map(_.getAs[String]("file"))
+    if (smalls.length < 2)
+      return AppendStats(0, 0, led.length, 0L, version = v)
+
+    val rows = spark.read.parquet(smalls.toSeq: _*)
+    val n = rows.count()
+    // size outputs at the HEALTHY files' mean (the overall mean is
+    // dragged down by the very files being merged), and always emit
+    // strictly fewer files than were merged — compaction that breaks
+    // even on file count is not compaction
+    val healthy = led.filter(_.getAs[Long]("n_rows") >= floor)
+      .map(_.getAs[Long]("n_rows"))
+    val target = if (healthy.nonEmpty) healthy.sum / healthy.length else mean
+    val nNew = math.min(smalls.length - 1,
+      math.max(1L, (n + target - 1) / target).toInt)
+    val dropCols = rows.columns.toSeq
+    Fs.stagedAppend(
+      rows.withColumn("_z", key)
+        .repartitionByRange(nNew, col("_z"))
+        .sortWithinPartitions("_z")
+        .select(dropCols.map(col): _*),
+      None, dataDir(dir))
+
+    val referenced = (1 to v).flatMap { old =>
+      if (Fs.exists(spark, s"${versionDir(dir, old)}/_SUCCESS"))
+        spark.read.parquet(versionDir(dir, old))
+          .select("file").collect().map(_.getString(0))
+      else Seq.empty
+    }.toSet
+    val allFiles = Fs.list(spark, dataDir(dir))
+      .map(_.getPath.toString).filter(f =>
+        !f.contains("_SUCCESS") && !f.contains("_temporary"))
+    val newFiles = allFiles
+      .filterNot(f => referenced.exists(k => samePath(k, f)))
+    val untouched = manifest(spark, dir, Some(v))
+      .filter(!col("file").isin(smalls.toSeq: _*))
+    val newLedger =
+      if (newFiles.isEmpty) untouched
+      else untouched.unionByName(
+        ledgerRows(spark.read.parquet(newFiles: _*), cols, key,
+          batchId = -1L))
+    newLedger.coalesce(1).write.mode("overwrite")
+      .parquet(versionDir(dir, v + 1))
+    AppendStats(rewritten = smalls.length, created = newFiles.size,
+      untouched = led.length - smalls.length, clamped = 0L,
+      version = v + 1)
+  }
+
   /** Drop manifest versions past the newest `keepLast` and delete the
     * data files ONLY dropped versions reference — bounded-retention
     * time travel. Keeps at least the current version.

@@ -88,5 +88,24 @@ class StreamClusteredStoreSpec extends SparkSpec {
     assert(replay.created === 0 && replay.rewritten === 0, s"$replay")
     assert(ClusteredStore.read(spark, storeDir).count() === 9200L,
       "replayed batch must not duplicate rows")
+
+    // maintenance pass: the micro-batch appends traded small files for
+    // bounded rewrites — compact folds them into full-size runs (new
+    // manifest version, content invariant), and vacuum then reclaims
+    // every file only dropped versions reference
+    val before = ClusteredStore.manifest(spark, storeDir).count()
+    // floor chosen between the append-born file sizes (~700 rows) and
+    // the init files (1000 rows): exactly the small tail compacts
+    val c = ClusteredStore.compact(spark, storeDir, minRowsPerFile = 900L)
+    info(s"compact: $c")
+    assert(c.rewritten >= 2, s"the small append-born files should compact: $c")
+    val afterN = ClusteredStore.manifest(spark, storeDir).count()
+    assert(afterN < before, s"file count must drop: $before -> $afterN")
+    val gotC = ClusteredStore.read(spark, storeDir).select("id", "a", "b")
+    assert(gotC.count() === 9200L)
+    assert(gotC.exceptAll(want).count() === 0L)
+    val reclaimed = ClusteredStore.vacuum(spark, storeDir, keepLast = 1)
+    assert(reclaimed > 0)
+    assert(ClusteredStore.read(spark, storeDir).count() === 9200L)
   }
 }
