@@ -134,8 +134,12 @@ object DedupCostQuery {
       // analog of the text legs' blocked-exact-Jaccard truth — truth is
       // therefore PER LEG FAMILY, reported in each row's truth_pairs.
       // =================================================================
+      // defined null semantic: excluded — both columns, matching the
+      // found leg (q_dedup_embedding_lsh) and the oracle's ee frame; a
+      // kept null label would bucket together under Spark's groupBy but
+      // never join in SQL (null-gate-caught divergence)
       val emb = tbl(s, dir, "embeddings")
-        .filter(col("embedding").isNotNull)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
@@ -323,7 +327,8 @@ object DedupCostQuery {
             ee AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v,
                      list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-              FROM embeddings WHERE embedding IS NOT NULL),
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
             ct0 AS (${DedupQueries.embeddingCosine.oracle.get}),
             ct AS (SELECT ai, bi FROM ct0),
             ctc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ct),

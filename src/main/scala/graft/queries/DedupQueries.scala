@@ -466,7 +466,12 @@ object DedupQueries {
     "q_dedup_embedding_lsh",
     (s, dir) => {
       val e = tbl(s, dir, "embeddings")
-        .filter(col("embedding").isNotNull) // defined null semantic: excluded
+        // defined null semantic: excluded — BOTH columns. A null label
+        // must not form its own LSH bucket: Spark's groupBy groups nulls
+        // together while the oracle's equi-join drops them, so keeping
+        // null-label rows silently diverges on null-injected corpora
+        // (the null gate caught this in the cost-table candidate leg)
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
@@ -524,7 +529,8 @@ object DedupQueries {
     Some("""WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v,
                      list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
-              FROM embeddings WHERE embedding IS NOT NULL),
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
             planes AS (
               SELECT a.vec_id // 8 AS t, a.vec_id % 8 AS i,
                      [a.v[k] - b.v[k]
