@@ -88,8 +88,14 @@ object DedupQueries {
       // q_dedup_clusters / q_canonical_docs.
       graft.ops.SkewGuard.requirePairBound(
         sh.withColumn("bkt", expr("n_chars div 50")), Seq("lang", "bkt"))
+      // spread the probe side to full parallelism BEFORE the broadcast
+      // join: its partition count otherwise inherits the source file
+      // count (the sf1 leg ships documents as 2 files → 2 tasks carried
+      // the whole quadratic verify); a broadcast join needs no key
+      // clustering, so a round-robin respread is free of semantics
       val a = sh.select(col("doc_id").as("ai"), col("lang").as("al"),
         col("n_chars").as("an"), col("s").as("as_"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("bkt",
           explode(expr("array(an div 50 - 1, an div 50, an div 50 + 1)")))
       val b = sh.select(col("doc_id").as("bi"), col("lang").as("bl"),
