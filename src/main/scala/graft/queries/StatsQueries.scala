@@ -51,13 +51,24 @@ object StatsQueries {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Exact edit distance over length-blocked same-language pairs — the
-    * character-level similarity metric complementing token-level jaccard
-    * and bit-level simhash. Integer-exact, so directly oracle-safe.
+  /** Near-dup edit distance over length-blocked same-language pairs —
+    * the character-level similarity metric complementing token-level
+    * jaccard and bit-level simhash. Integer-exact, so directly
+    * oracle-safe.
+    *
+    * Scale treatment mirrors q_dedup_ngram_jaccard's (this is the same
+    * exact-quadratic-baseline class — the sf1 sweep caught its
+    * executors pinned in full-matrix DP): (a) an explicit pair bound
+    * refusal; (b) pairs are reported only up to `maxDist` edits — the
+    * near-dup-relevant contract — which lets Spark run the BANDED
+    * O(len·maxDist) DP (`levenshtein(l, r, threshold)`) instead of the
+    * full O(len²) matrix; (c) broadcast + respread so parallelism is
+    * input-bound, not blocking-key-bound.
     */
   val editDistance = Q(
     "q_edit_distance",
     (s, dir) => {
+      val maxDist = 24
       val docs = tbl(s, dir, "documents")
         // Spark levenshtein counts CODEPOINTS, DuckDB counts BYTES — the
         // metrics coincide exactly on single-byte text, so the oracle
@@ -65,14 +76,20 @@ object StatsQueries {
         // no-op on the ascii corpus, pinned by the unicode gate)
         .filter(octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      graft.ops.SkewGuard.requirePairBound(
+        docs.withColumn("ch_bkt", expr("n_chars div 5")),
+        Seq("lang", "ch_bkt"))
       val a = docs.select(col("doc_id").as("ai"), col("lang").as("al"),
         col("n_chars").as("an"), col("text").as("at"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = docs.select(col("doc_id").as("bi"), col("lang").as("bl"),
         col("n_chars").as("bn"), col("text").as("bt"))
-      a.join(b, col("al") === col("bl") && col("ai") < col("bi") &&
+      a.join(broadcast(b), col("al") === col("bl") && col("ai") < col("bi") &&
           abs(col("an") - col("bn")) <= 5)
         .select(col("ai"), col("bi"),
-          levenshtein(col("at"), col("bt")).cast("long").as("edit_distance"))
+          levenshtein(col("at"), col("bt"), maxDist)
+            .cast("long").as("edit_distance"))
+        .filter(col("edit_distance") =!= -1L) // banded DP: -1 = beyond cap
         .orderBy("ai", "bi")
     },
     Some("""SELECT a.doc_id AS ai, b.doc_id AS bi,
@@ -83,6 +100,7 @@ object StatsQueries {
                   WHERE strlen(text) = length(text)) b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 5
+            WHERE levenshtein(a.text, b.text) <= 24
             ORDER BY ai, bi"""))
 
   /** MAD-based robust outlier detection per event type: median absolute
