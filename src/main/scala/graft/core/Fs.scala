@@ -61,31 +61,43 @@ object Fs {
     * and none is lost. First write creates the destination. Extracted
     * from the BM25 index append path so every append-mode store (tile
     * ledgers, posting deltas) shares the one proven idiom.
+    *
+    * Returns the qualified destination paths of the files THIS CALL
+    * moved — the caller's explicit commit lineage. A manifest-keeping
+    * store ([[graft.ops.ClusteredStore]]) must register exactly these
+    * paths, never "whatever is in the directory that nothing references
+    * yet": a crashed earlier attempt can leave orphan data files that an
+    * infer-by-difference commit would adopt alongside its own staged
+    * copies, silently doubling the rewritten rows.
     */
   def stagedAppend(
       df: org.apache.spark.sql.DataFrame,
       partCol: Option[String],
-      destDir: String): Unit = {
+      destDir: String): Seq[String] = {
     val spark = df.sparkSession
     val parent = new Path(destDir).getParent
     val staging =
       new Path(parent, s".staging-${java.util.UUID.randomUUID}").toString
     val w = df.write.mode("overwrite")
     partCol.fold(w)(w.partitionBy(_)).parquet(staging)
-    moveDataFiles(spark, staging, destDir)
+    val moved = moveDataFiles(spark, staging, destDir)
     delete(spark, staging)
+    moved
   }
 
   /** Move every DATA file under `srcDir` into `destDir`, preserving
     * relative subpaths (hive `c=v` partition dirs); `_SUCCESS`,
     * `_temporary` and dot-files are skipped. Each file lands via one
     * `rename`, so a reader listing `destDir` sees whole files only.
+    * Returns the qualified destination path of every moved file.
     */
-  def moveDataFiles(spark: SparkSession, srcDir: String, destDir: String): Unit = {
+  def moveDataFiles(
+      spark: SparkSession, srcDir: String, destDir: String): Seq[String] = {
     val fs = apply(spark, srcDir)
     val src = fs.makeQualified(new Path(srcDir))
     val dest = fs.makeQualified(new Path(destDir))
     val it = fs.listFiles(src, true)
+    val moved = Seq.newBuilder[String]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
@@ -96,7 +108,9 @@ object Fs {
         val target = new Path(dest, rel)
         fs.mkdirs(target.getParent)
         fs.rename(st.getPath, target)
+        moved += target.toString
       }
     }
+    moved.result()
   }
 }

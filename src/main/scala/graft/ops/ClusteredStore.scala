@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Fs
 
+/** A concurrent maintainer lost the race for the next manifest version.
+  * Nothing was committed by the loser; retry against the new current
+  * version (the claim is taken BEFORE any work, so the refusal is cheap
+  * — no staged data to clean up).
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** Incrementally-maintained clustered table: a z/Hilbert-ordered layout
   * ([[ZOrder]]) that absorbs APPENDS by rewriting only the files whose
   * curve ranges the new rows land in — the `OPTIMIZE ZORDER`-after-
@@ -19,38 +27,68 @@ import graft.core.Fs
   * identical on disk.
   *
   * The curve key is a pure function of the clustering columns under a
-  * rank model FROZEN at [[init]] (per-column lo/hi, persisted beside the
-  * data). Appends reuse the frozen model — exactly like
+  * rank model FROZEN at [[init]] (per-column lo/hi, persisted as
+  * `model/v=1`). Appends reuse the frozen model — exactly like
   * [[ProductQuantizer]]'s frozen codebooks — so file curve ranges stay
-  * comparable forever; rows outside the frozen bounds clamp to the edge
-  * cells (tracked per append as `clamped`, this operator's
-  * `driftReport`: a climbing clamp rate says re-cluster with fresh
-  * bounds, it never says wrong answers).
+  * comparable; rows outside the frozen bounds clamp to the edge cells,
+  * counted per append AND accumulated per manifest version
+  * (`clamped_total`, surfaced by [[stats]] as a clamp RATE — this
+  * store's drift report; it never means wrong answers). When the rate
+  * climbs, [[recluster]] re-freezes the bounds on the current snapshot
+  * and rewrites under a NEW model version (`model/v=N+1`) and a new
+  * manifest version — old snapshots stay time-travelable because their
+  * files are retained and reads never consult the model.
   *
   * Commit protocol: the LEDGER IS THE MANIFEST, and manifests are
   * VERSIONED, never mutated — `ledger/v=N/`, one immutable snapshot per
   * commit, committed iff its `_SUCCESS` marker exists (Spark's own
-  * job-commit marker). Readers ([[read]] / [[readPruned]]) resolve the
-  * highest committed version and open exactly the files it lists, so
-  * staged data files are invisible until their manifest lands, a crash
-  * mid-manifest-write leaves an uncommitted (markerless) version that
-  * replay simply overwrites, and there is NO window where the table has
-  * no manifest (the failure mode a delete-then-rename swap carries).
+  * job-commit marker). Readers ([[read]] / [[readPruned]] /
+  * [[readPoint]]) resolve the highest committed version and open exactly
+  * the files it lists, so staged data files are invisible until their
+  * manifest lands, and there is NO window where the table has no
+  * manifest. Two further rules close the crash holes a
+  * directory-difference design carries:
+  *
+  *  1. COMMIT LINEAGE IS EXPLICIT: the new manifest registers exactly
+  *     the files THIS commit's staging pass moved
+  *     ([[Fs.stagedAppend]] returns them) — never "whatever data file
+  *     no prior manifest references". Inferring by difference would (a)
+  *     re-read EVERY prior manifest per commit — O(versions) reads,
+  *     O(versions²) over a stream's life — and (b) ADOPT orphan files a
+  *     crashed earlier attempt left behind, committing the rewritten
+  *     region's rows twice. Explicit lineage makes a commit read ONE
+  *     prior manifest (the current), so commit cost is O(current file
+  *     count) at any version — and orphans stay invisible until
+  *     [[vacuum]] reclaims them.
+  *  2. WRITERS SERIALIZE THROUGH A CLAIM: before any work, a maintainer
+  *     atomically creates `ledger/claim-v=N+1` (create-if-absent). The
+  *     loser of a concurrent race gets [[ConcurrentCommitException]]
+  *     immediately — clean refusal, nothing staged — and retries against
+  *     the winner's commit. An update can therefore never be silently
+  *     lost: version N+1's content always derives from committed
+  *     version N. A claim whose version never committed (a crashed
+  *     maintainer) blocks later claims until [[recover]] removes it —
+  *     the documented cost of crash-exclusion without clocks or leases.
+  *
   * Replaced data files are retained, which makes every historical
   * version readable ([[read]]`(asOf = Some(n))` — snapshot reads /
   * time travel) until [[vacuum]] drops versions past a retention count
-  * and deletes the data files only they reference. This is the
-  * delta-log idea reduced to its load-bearing core: immutable manifest
-  * versions + marker-gated visibility + retention-bounded vacuum.
+  * and deletes every data file the kept versions don't reference
+  * (including crash orphans and stale claims). This is the delta-log
+  * idea reduced to its load-bearing core: immutable manifest versions +
+  * marker-gated visibility + claim-serialized writers +
+  * retention-bounded vacuum.
   *
-  * Exactness: answers never depend on the layout — [[readPruned]]
-  * re-applies the predicate after pruning, and `q_cluster_append` pins
-  * (init + two appends + box read) against a full-scan DuckDB oracle.
+  * Exactness: answers never depend on the layout — [[readPruned]] /
+  * [[readPoint]] re-apply the predicate after pruning, and
+  * `q_cluster_append` / `q_cluster_point` / `q_cluster_recluster` pin
+  * the full maintenance cycles against full-scan DuckDB oracles.
   *
-  * Single maintainer, like Delta `OPTIMIZE`: two concurrent [[append]]s
-  * could rewrite the same region and lose one update — sequencing
-  * appends is the caller's job (a streaming sink's per-batch hook, a
-  * scheduled compactor). Concurrent READERS are always safe.
+  * Concurrency contract: concurrent READERS are always safe; concurrent
+  * MAINTAINERS serialize through the claim (one wins, others refuse).
+  * [[recover]] and [[vacuum]] require NO maintenance in flight (they
+  * delete claims/orphans a live maintainer may own) — the same
+  * retention-window caveat Delta's VACUUM carries.
   */
 object ClusteredStore {
 
@@ -58,14 +96,24 @@ object ClusteredStore {
       rewritten: Int, created: Int, untouched: Int, clamped: Long,
       version: Int = 1)
 
+  /** One committed version's health row: file/row counts, the streaming
+    * replay watermark, and the accumulated drift (rows that clamped to
+    * edge cells since the last init/recluster) as an absolute count and
+    * a rate over the snapshot — the "should I recluster?" signal.
+    */
+  final case class StoreStats(
+      version: Int, nFiles: Long, nRows: Long, wmBatch: Long,
+      clampedTotal: Long, clampRate: Double)
+
   private def dataDir(dir: String) = s"$dir/data"
   private def ledgerDir(dir: String) = s"$dir/ledger"
   private def versionDir(dir: String, v: Int) = s"$dir/ledger/v=$v"
   private def modelDir(dir: String) = s"$dir/model"
+  private def modelVersionDir(dir: String, v: Int) = s"$dir/model/v=$v"
+  private def claimPath(dir: String, v: Int) = s"$dir/ledger/claim-v=$v"
 
   /** Highest COMMITTED manifest version (has Spark's `_SUCCESS` marker);
-    * None before init. Uncommitted (crashed) version dirs are ignored —
-    * and overwritten by the retrying writer.
+    * None before init. Uncommitted (crashed) version dirs are ignored.
     */
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     Fs.list(spark, ledgerDir(dir))
@@ -83,22 +131,98 @@ object ClusteredStore {
     spark.read.parquet(versionDir(dir, v))
   }
 
+  // -------------------------------------------------------------------
+  // Claim protocol
+  // -------------------------------------------------------------------
+
+  /** Atomically create the claim marker for version `v`; false when
+    * another maintainer holds it. `FileSystem.create(overwrite=false)`
+    * is the atomic primitive on HDFS; on `file:` it is check-then-create
+    * (racy), so local paths route through NIO `createFile` (O_EXCL) —
+    * the one place the Fs rule "never java.io for data paths" is
+    * deliberately traded for true local atomicity, on a marker file.
+    */
+  private def tryClaim(spark: SparkSession, dir: String, v: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(claimPath(dir, v))
+    val fs = Fs(spark, claimPath(dir, v))
+    val qualified = fs.makeQualified(p)
+    if (qualified.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try { java.nio.file.Files.createFile(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def claimOrThrow(spark: SparkSession, dir: String, v: Int): Unit =
+    if (!tryClaim(spark, dir, v))
+      throw new ConcurrentCommitException(
+        s"version $v of $dir is claimed by another maintainer — " +
+          "retry after its commit lands, or run recover(dir) if it " +
+          "crashed (claim with no committed manifest)")
+
+  /** Remove maintenance debris: spent claims (their version committed),
+    * stale claims + markerless manifest dirs + dangling model versions
+    * from crashed maintainers. Returns how many items were removed.
+    *
+    * ONLY safe when no maintainer is in flight (a live maintainer owns
+    * exactly the claim/dirs this would delete) — the single-writer
+    * streaming path may call it at startup ([[appendStream]] does),
+    * because under that contract any stale claim is its own crashed
+    * predecessor's.
+    */
+  def recover(spark: SparkSession, dir: String): Int = {
+    val committed = currentVersion(spark, dir).getOrElse(0)
+    var removed = 0
+    Fs.list(spark, ledgerDir(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("claim-v=")) {
+        val v = n.stripPrefix("claim-v=").toInt
+        val spent = v <= committed
+        val stale = !Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
+        if (spent || stale) { Fs.delete(spark, p.toString); removed += 1 }
+        if (stale && Fs.exists(spark, versionDir(dir, v))) {
+          Fs.delete(spark, versionDir(dir, v)); removed += 1
+        }
+        if (stale && Fs.exists(spark, modelVersionDir(dir, v))) {
+          Fs.delete(spark, modelVersionDir(dir, v)); removed += 1
+        }
+      } else if (n.startsWith("v=") &&
+          n.stripPrefix("v=").toInt > committed &&
+          !Fs.exists(spark, s"$p/_SUCCESS")) {
+        Fs.delete(spark, p.toString); removed += 1
+      }
+    }
+    removed
+  }
+
+  // -------------------------------------------------------------------
+  // Frozen rank model (versioned: model/v=N is the model for manifests
+  // committed at version >= N, until the next model version)
+  // -------------------------------------------------------------------
+
+  private final case class Model(
+      cols: Seq[String], curve: String,
+      lo: Map[String, Double], hi: Map[String, Double],
+      bloom: Seq[(String, Int, Int)])
+
   /** Frozen curve key for `cols` under the (lo, hi) model: ranks scale
     * linearly and CLAMP at the edges, so post-init rows outside the
     * frozen bounds still land in the outermost cells.
     */
-  private def curveKey(
-      cols: Seq[String], curve: String, lo: Map[String, Double],
-      hi: Map[String, Double]): Column = {
-    val ranks = array(cols.map { c =>
-      val span = hi(c) - lo(c)
+  private def curveKey(m: Model): Column = {
+    val ranks = array(m.cols.map { c =>
+      val span = m.hi(c) - m.lo(c)
       val scaled =
-        if (span > 0) round((col(c).cast("double") - lit(lo(c))) / lit(span)
+        if (span > 0) round((col(c).cast("double") - lit(m.lo(c))) / lit(span)
           * 65535.0).cast("int")
         else lit(0)
       coalesce(least(greatest(scaled, lit(0)), lit(65535)), lit(0))
     }: _*)
-    val fn = curve match {
+    val fn = m.curve match {
       case "morton" => "z_value"
       case "hilbert" => "hilbert_value"
       case other => throw new IllegalArgumentException(
@@ -107,84 +231,192 @@ object ClusteredStore {
     call_function(fn, ranks)
   }
 
-  private def loadModel(spark: SparkSession, dir: String)
-      : (Seq[String], String, Map[String, Double], Map[String, Double]) = {
-    val m = spark.read.parquet(modelDir(dir)).collect()
-    val curve = m.head.getAs[String]("curve")
-    val cols = m.map(_.getAs[String]("col")).toSeq.sorted
-    val lo = m.map(r => r.getAs[String]("col") -> r.getAs[Double]("lo")).toMap
-    val hi = m.map(r => r.getAs[String]("col") -> r.getAs[Double]("hi")).toMap
-    // restore clustering order (model rows carry the position)
-    val ordered = m.sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("col"))
-    (ordered.toSeq, curve, lo, hi)
+  private def writeModel(
+      spark: SparkSession, dir: String, v: Int, cols: Seq[String],
+      curve: String, lo: Map[String, Double], hi: Map[String, Double],
+      bloom: Seq[(String, Int, Int)]): Unit = {
+    import spark.implicits._
+    val clusterRows = cols.zipWithIndex.map { case (c, i) =>
+      (c, i, curve, lo(c), hi(c), 0, 0)
+    }
+    val bloomRows = bloom.map { case (c, mBits, k) =>
+      (c, -1, curve, 0.0, 0.0, mBits, k)
+    }
+    (clusterRows ++ bloomRows)
+      .toDF("col", "pos", "curve", "lo", "hi", "m_bits", "k")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(modelVersionDir(dir, v))
   }
 
-  private def ledgerRows(
-      df: DataFrame, cols: Seq[String], key: Column,
-      batchId: Long): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"))) ++
-      Seq(count(lit(1)).as("n_rows"), min(col("_z")).as("z_lo"),
-        max(col("_z")).as("z_hi"))
-    df.withColumn("_z", key)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("batch_id", lit(batchId))
-  }
-
-  /** Create the store: freeze the rank model on `df`'s bounds, write the
-    * clustered files, and publish the ledger manifest.
+  /** The model governing manifest version `asOf`: highest committed
+    * `model/v=n` with n <= asOf (models change only at init/recluster).
     */
-  def init(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
-      curve: String = "hilbert"): Unit = {
-    require(cols.size >= 2 && cols.size <= 4, "clustering wants 2-4 columns")
-    val spark = df.sparkSession
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val b = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).tail: _*).head()
+  private def loadModel(
+      spark: SparkSession, dir: String, asOf: Int): Model = {
+    val mv = Fs.list(spark, modelDir(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        Fs.exists(spark, s"$p/_SUCCESS"))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .filter(_ <= asOf)
+      .sorted.lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no committed model <= v$asOf under $dir"))
+    val m = spark.read.parquet(modelVersionDir(dir, mv)).collect()
+    val cluster = m.filter(_.getAs[Int]("pos") >= 0)
+    val curve = cluster.head.getAs[String]("curve")
+    val lo = cluster.map(r =>
+      r.getAs[String]("col") -> r.getAs[Double]("lo")).toMap
+    val hi = cluster.map(r =>
+      r.getAs[String]("col") -> r.getAs[Double]("hi")).toMap
+    val ordered = cluster.sortBy(_.getAs[Int]("pos"))
+      .map(_.getAs[String]("col")).toSeq
+    val bloom = m.filter(_.getAs[Int]("pos") < 0).toSeq.map(r =>
+      (r.getAs[String]("col"), r.getAs[Int]("m_bits"), r.getAs[Int]("k")))
+    Model(ordered, curve, lo, hi, bloom)
+  }
+
+  private def bounds(df: DataFrame, cols: Seq[String])
+      : (Map[String, Double], Map[String, Double]) = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     val lo = cols.map(c =>
       c -> (if (b.isNullAt(b.fieldIndex(s"lo_$c"))) 0.0
       else b.getDouble(b.fieldIndex(s"lo_$c")))).toMap
     val hi = cols.map(c =>
       c -> (if (b.isNullAt(b.fieldIndex(s"hi_$c"))) 0.0
       else b.getDouble(b.fieldIndex(s"hi_$c")))).toMap
-    import spark.implicits._
-    cols.zipWithIndex
-      .map { case (c, i) => (c, i, curve, lo(c), hi(c)) }
-      .toDF("col", "pos", "curve", "lo", "hi")
-      .coalesce(1).write.mode("overwrite").parquet(modelDir(dir))
+    (lo, hi)
+  }
 
-    val key = curveKey(cols, curve, lo, hi)
+  // -------------------------------------------------------------------
+  // Manifest rows
+  // -------------------------------------------------------------------
+
+  /** Per-version constants every manifest row carries:
+    * `wm_batch` — the streaming replay watermark (max batch id ever
+    * committed; batch ids are monotone under Structured Streaming, so
+    * "batchId <= wm_batch" is an exact replay probe that SURVIVES
+    * compaction and rewrites, unlike probing for the batch's own
+    * surviving ledger rows); `clamped_total` — drift accumulated since
+    * the last init/recluster.
+    */
+  private val VersionConstCols = Seq("wm_batch", "clamped_total")
+
+  private def ledgerRows(
+      df: DataFrame, m: Model, key: Column, batchId: Long): DataFrame = {
+    val aggs = m.cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) ++
+      Seq(count(lit(1)).as("n_rows"), min(col("_z")).as("z_lo"),
+        max(col("_z")).as("z_hi")) ++
+      m.bloom.map { case (c, mBits, k) =>
+        // value-preserving widen: sketches hash the BIGINT value, and
+        // readPoint probes with Long keys — int key columns just work
+        expr(s"bloom_agg(CAST($c AS BIGINT), $mBits, $k)").as(s"bloom_$c")
+      }
+    df.withColumn("_z", key)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  private def stamp(rows: DataFrame, wm: Long, clamped: Long): DataFrame =
+    rows.drop(VersionConstCols: _*)
+      .withColumn("wm_batch", lit(wm))
+      .withColumn("clamped_total", lit(clamped))
+
+  /** (wm_batch, clamped_total) of a manifest; defaults on a ZERO-ROW
+    * manifest (an empty-input init) — `head()` would throw there.
+    */
+  private def versionConsts(cur: DataFrame): (Long, Long) = {
+    val r = cur.agg(
+      coalesce(max(col("wm_batch")), lit(-1L)),
+      coalesce(max(col("clamped_total")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Write manifest version `v` (the claim for `v` must be held). The
+    * `_SUCCESS` marker Spark drops at job end IS the commit point.
+    */
+  private def commitManifest(
+      rows: DataFrame, dir: String, v: Int): Unit =
+    rows.coalesce(1).write.mode("overwrite").parquet(versionDir(dir, v))
+
+  // -------------------------------------------------------------------
+  // Maintenance operations
+  // -------------------------------------------------------------------
+
+  /** Create the store: freeze the rank model on `df`'s bounds, write the
+    * clustered files, and publish manifest v=1. Refuses to initialize
+    * over an existing committed store (data/ledger/model would go stale
+    * together — delete the directory to rebuild, so a typo'd path can
+    * never silently shadow a live table's history).
+    *
+    * `bloomCols` (BIGINT columns) add a per-file Bloom sketch to every
+    * manifest row — [[readPoint]]'s point-lookup pruning for keys the
+    * curve layout does NOT sort by (same geometry rules as
+    * [[StatsLedger.buildWithBloom]]).
+    */
+  def init(df: DataFrame, cols: Seq[String], nFiles: Int, dir: String,
+      curve: String = "hilbert", bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 16, bloomK: Int = 5): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "clustering wants 2-4 columns")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    require(currentVersion(spark, dir).isEmpty,
+      s"init($dir): a committed store already exists (current version " +
+        s"${currentVersion(spark, dir).get}) — delete the directory to " +
+        "rebuild; init will not silently orphan a live manifest history")
+    // a crashed/partial previous init (no committed manifest) is debris
+    Fs.delete(spark, dataDir(dir))
+    Fs.delete(spark, ledgerDir(dir))
+    Fs.delete(spark, modelDir(dir))
+    val (lo, hi) = bounds(df, cols)
+    val bloom = bloomCols.map(c => (c, bloomBits, bloomK))
+    writeModel(spark, dir, 1, cols, curve, lo, hi, bloom)
+    val m = Model(cols, curve, lo, hi, bloom)
+    val key = curveKey(m)
     df.withColumn("_z", key)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .select(df.columns.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dataDir(dir))
-    ledgerRows(spark.read.parquet(dataDir(dir)), cols, key, batchId = -1L)
-      .write.mode("overwrite").parquet(versionDir(dir, 1))
+    claimOrThrow(spark, dir, 1)
+    commitManifest(
+      stamp(ledgerRows(spark.read.parquet(dataDir(dir)), m, key,
+        batchId = -1L), wm = -1L, clamped = 0L),
+      dir, 1)
   }
 
   /** Absorb `incoming`: rewrite only the files whose curve ranges the
     * new keys land in; rows falling in range GAPS (or past either end)
     * become fresh files without touching anything. Returns what moved.
+    *
+    * Reads exactly ONE manifest (the current) and commits exactly one —
+    * commit cost is O(current file count) regardless of how many
+    * versions precede it (lineage is the staged-file list, rule 1 of
+    * the commit protocol above).
     */
   def append(spark: SparkSession, dir: String, incoming: DataFrame,
       targetRowsPerFile: Long = 0L, batchId: Long = -1L): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val (cols, curve, lo, hi) = loadModel(spark, dir)
-    val key = curveKey(cols, curve, lo, hi)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"append before init under $dir"))
-    val led = manifest(spark, dir, Some(v))
-      .select("file", "z_lo", "z_hi", "n_rows").collect()
+    claimOrThrow(spark, dir, v + 1)
+    val m = loadModel(spark, dir, v)
+    val key = curveKey(m)
+    val cur = manifest(spark, dir, Some(v))
+    val led = cur.select("file", "z_lo", "z_hi", "n_rows").collect()
+    val (priorWm, priorClamped) = versionConsts(cur)
+    val wm = math.max(priorWm, batchId)
     val inc = incoming.withColumn("_z", key).localCheckpoint()
 
     // drift: rows whose raw values clamped to an edge cell
-    val outside = cols.map { c =>
-      col(c).cast("double") < lit(lo(c)) || col(c).cast("double") > lit(hi(c))
+    val outside = m.cols.map { c =>
+      col(c).cast("double") < lit(m.lo(c)) ||
+        col(c).cast("double") > lit(m.hi(c))
     }.reduce(_ || _)
     val clamped = inc.filter(outside).count()
 
@@ -205,7 +437,8 @@ object ClusteredStore {
       else math.max(1L, led.map(_.getAs[Long]("n_rows")).sum /
         math.max(1, led.length))
     val baseRows =
-      if (touchedFiles.isEmpty) inc.limit(0).select(incoming.columns.map(col): _*)
+      if (touchedFiles.isEmpty)
+        inc.limit(0).select(incoming.columns.map(col): _*)
       else spark.read.parquet(touchedFiles.toSeq: _*)
         .select(incoming.columns.map(col).toSeq: _*)
     val merged = baseRows
@@ -214,36 +447,23 @@ object ClusteredStore {
     val nNew = math.max(1L, (nMerged + target - 1) / target).toInt
 
     // stage the rewritten region into the live data dir: new part-file
-    // names are unique, and ledger readers cannot see them yet
-    val staged = merged.withColumn("_z", key)
-      .repartitionByRange(nNew, col("_z"))
-      .sortWithinPartitions("_z")
-      .select(incoming.columns.map(col).toSeq: _*)
-    Fs.stagedAppend(staged, None, dataDir(dir))
+    // names are unique, ledger readers cannot see them yet, and the
+    // returned path list IS the commit's lineage
+    val newFiles = Fs.stagedAppend(
+      merged.withColumn("_z", key)
+        .repartitionByRange(nNew, col("_z"))
+        .sortWithinPartitions("_z")
+        .select(incoming.columns.map(col).toSeq: _*),
+      None, dataDir(dir))
 
-    // next manifest version: untouched rows as-is + fresh rows for every
-    // data file no PRIOR manifest references (= the files just staged;
-    // replaced files stay on disk, still referenced by older versions).
-    // mode=overwrite clobbers a markerless dir a crashed attempt left.
-    val referenced = (1 to v).flatMap { old =>
-      if (Fs.exists(spark, s"${versionDir(dir, old)}/_SUCCESS"))
-        spark.read.parquet(versionDir(dir, old))
-          .select("file").collect().map(_.getString(0))
-      else Seq.empty
-    }.toSet
-    val allFiles = Fs.list(spark, dataDir(dir))
-      .map(_.getPath.toString).filter(f =>
-        !f.contains("_SUCCESS") && !f.contains("_temporary"))
-    val newFiles = allFiles
-      .filterNot(f => referenced.exists(k => samePath(k, f)))
-    val untouchedLedger = manifest(spark, dir, Some(v))
-      .filter(!col("file").isin(touchedFiles.toSeq: _*))
-    val newLedger =
-      if (newFiles.isEmpty) untouchedLedger
-      else untouchedLedger.unionByName(
-        ledgerRows(spark.read.parquet(newFiles: _*), cols, key, batchId))
-    newLedger.coalesce(1).write.mode("overwrite")
-      .parquet(versionDir(dir, v + 1))
+    val untouched = cur.filter(!col("file").isin(touchedFiles.toSeq: _*))
+    val fresh =
+      if (newFiles.isEmpty) untouched
+      else untouched.unionByName(
+        ledgerRows(spark.read.parquet(newFiles: _*), m, key, batchId),
+        allowMissingColumns = true)
+    commitManifest(
+      stamp(fresh, wm, priorClamped + clamped), dir, v + 1)
 
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
       untouched = led.length - touchedFiles.size, clamped = clamped,
@@ -260,15 +480,17 @@ object ClusteredStore {
     * ranges across gaps — coarser boxes, same answers, exactly the
     * append path's documented trade). Old versions still reference the
     * replaced files, so snapshots stay readable until [[vacuum]].
+    * The replay watermark carries through unchanged — compaction can
+    * never make a committed batch look new again.
     */
   def compact(spark: SparkSession, dir: String,
       minRowsPerFile: Long = 0L): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val (cols, curve, lo, hi) = loadModel(spark, dir)
-    val key = curveKey(cols, curve, lo, hi)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"compact before init under $dir"))
-    val led = manifest(spark, dir, Some(v)).select("file", "n_rows").collect()
+    val cur = manifest(spark, dir, Some(v))
+    val led = cur.select("file", "n_rows").collect()
+    val (priorWm, priorClamped) = versionConsts(cur)
     val mean = math.max(1L,
       led.map(_.getAs[Long]("n_rows")).sum / math.max(1, led.length))
     val floor = if (minRowsPerFile > 0) minRowsPerFile else mean / 2
@@ -276,6 +498,9 @@ object ClusteredStore {
       .map(_.getAs[String]("file"))
     if (smalls.length < 2)
       return AppendStats(0, 0, led.length, 0L, version = v)
+    claimOrThrow(spark, dir, v + 1)
+    val m = loadModel(spark, dir, v)
+    val key = curveKey(m)
 
     val rows = spark.read.parquet(smalls.toSeq: _*)
     val n = rows.count()
@@ -289,41 +514,81 @@ object ClusteredStore {
     val nNew = math.min(smalls.length - 1,
       math.max(1L, (n + target - 1) / target).toInt)
     val dropCols = rows.columns.toSeq
-    Fs.stagedAppend(
+    val newFiles = Fs.stagedAppend(
       rows.withColumn("_z", key)
         .repartitionByRange(nNew, col("_z"))
         .sortWithinPartitions("_z")
         .select(dropCols.map(col): _*),
       None, dataDir(dir))
 
-    val referenced = (1 to v).flatMap { old =>
-      if (Fs.exists(spark, s"${versionDir(dir, old)}/_SUCCESS"))
-        spark.read.parquet(versionDir(dir, old))
-          .select("file").collect().map(_.getString(0))
-      else Seq.empty
-    }.toSet
-    val allFiles = Fs.list(spark, dataDir(dir))
-      .map(_.getPath.toString).filter(f =>
-        !f.contains("_SUCCESS") && !f.contains("_temporary"))
-    val newFiles = allFiles
-      .filterNot(f => referenced.exists(k => samePath(k, f)))
-    val untouched = manifest(spark, dir, Some(v))
-      .filter(!col("file").isin(smalls.toSeq: _*))
-    val newLedger =
+    val untouched = cur.filter(!col("file").isin(smalls.toSeq: _*))
+    val fresh =
       if (newFiles.isEmpty) untouched
       else untouched.unionByName(
-        ledgerRows(spark.read.parquet(newFiles: _*), cols, key,
-          batchId = -1L))
-    newLedger.coalesce(1).write.mode("overwrite")
-      .parquet(versionDir(dir, v + 1))
+        ledgerRows(spark.read.parquet(newFiles: _*), m, key,
+          batchId = -1L),
+        allowMissingColumns = true)
+    commitManifest(
+      stamp(fresh, priorWm, priorClamped), dir, v + 1)
     AppendStats(rewritten = smalls.length, created = newFiles.size,
       untouched = led.length - smalls.length, clamped = 0L,
       version = v + 1)
   }
 
-  /** Drop manifest versions past the newest `keepLast` and delete the
-    * data files ONLY dropped versions reference — bounded-retention
-    * time travel. Keeps at least the current version.
+  /** Re-freeze the rank model on the CURRENT snapshot's bounds and
+    * rewrite the whole table under it — the answer to a climbing
+    * [[stats clamp rate]]. Commits `model/v=N+1` + manifest `v=N+1`
+    * whose rows are exactly the rewritten files; `clamped_total` resets
+    * to 0 (the new bounds contain every current row by construction),
+    * the replay watermark carries through, and every PRIOR version
+    * stays time-travelable (reads never consult the model; old files
+    * are retained until [[vacuum]]).
+    *
+    * This is the full-table rewrite [[append]] exists to avoid — run it
+    * when drift says the layout stopped earning its keep, not per
+    * batch. Crash note: a failure between the model write and the
+    * manifest commit leaves a dangling `model/v=N+1` that [[recover]]
+    * removes along with the claim; until then the store keeps serving
+    * (and appending) under the old committed model.
+    */
+  def recluster(spark: SparkSession, dir: String, nFiles: Int,
+      curve: Option[String] = None): AppendStats = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"recluster before init under $dir"))
+    claimOrThrow(spark, dir, v + 1)
+    val old = loadModel(spark, dir, v)
+    val cur = manifest(spark, dir, Some(v))
+    val (priorWm, _) = versionConsts(cur)
+    val oldFileCount = cur.select("file").count().toInt
+    val snapshot = read(spark, dir, asOf = Some(v)).localCheckpoint()
+    val (lo, hi) = bounds(snapshot, old.cols)
+    val m = Model(old.cols, curve.getOrElse(old.curve), lo, hi, old.bloom)
+    writeModel(spark, dir, v + 1, m.cols, m.curve, lo, hi, m.bloom)
+    val key = curveKey(m)
+    val newFiles = Fs.stagedAppend(
+      snapshot.withColumn("_z", key)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .select(snapshot.columns.map(col).toSeq: _*),
+      None, dataDir(dir))
+    commitManifest(
+      stamp(ledgerRows(spark.read.parquet(newFiles: _*), m, key,
+        batchId = -1L), priorWm, clamped = 0L),
+      dir, v + 1)
+    AppendStats(rewritten = oldFileCount,
+      created = newFiles.size, untouched = 0, clamped = 0L,
+      version = v + 1)
+  }
+
+  /** Drop manifest versions past the newest `keepLast` and delete every
+    * data file the KEPT versions don't reference — files exclusive to
+    * dropped versions AND orphans from crashed maintenance attempts
+    * (explicit commit lineage means orphans are never adopted, so
+    * vacuum is the only thing that touches them). Also removes spent
+    * claims, stale claims/markerless dirs below the horizon, and model
+    * versions older than the kept window needs. Keeps at least the
+    * current version. Requires no maintenance in flight.
     */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -332,45 +597,67 @@ object ClusteredStore {
       .map(_.stripPrefix("v=").toInt)
       .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
       .sorted
-    val (drop, keep) = committed.splitAt(math.max(0, committed.size - keepLast))
-    if (drop.isEmpty) return 0
+    if (committed.isEmpty) return 0
+    val (drop, keep) =
+      committed.splitAt(math.max(0, committed.size - keepLast))
     def filesOf(vs: Seq[Int]): Set[String] = vs.flatMap(n =>
       spark.read.parquet(versionDir(dir, n))
         .select("file").collect().map(_.getString(0))).toSet
-    val doomed = filesOf(drop) -- filesOf(keep)
-    doomed.foreach(f => Fs.delete(spark, f))
+    val keptPaths = filesOf(keep).map(normPath)
+    var removed = 0
+    // data files no kept version references: dropped-exclusive + orphans
+    Fs.list(spark, dataDir(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !keptPaths.contains(normPath(p.toString))) {
+        Fs.delete(spark, p.toString); removed += 1
+      }
+    }
     drop.foreach(n => Fs.delete(spark, versionDir(dir, n)))
-    doomed.size
+    removed += recover(spark, dir) // spent/stale claims, markerless dirs
+    // model versions: keep the newest <= each kept manifest needs; i.e.
+    // drop any model version strictly below the oldest kept manifest's
+    // governing model
+    val oldestKept = keep.head
+    val models = Fs.list(spark, modelDir(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt).sorted
+    val governing = models.filter(_ <= oldestKept).lastOption.getOrElse(1)
+    models.filter(_ < governing).foreach { n =>
+      Fs.delete(spark, modelVersionDir(dir, n)); removed += 1
+    }
+    removed
   }
 
-  /** [[append]] as an exactly-once `foreachBatch` hook: the batch id is
-    * stamped on the ledger rows the append creates, and since the ledger
-    * swap IS the append's commit point, "this batch's id already appears
-    * in the ledger" is a transactional replay probe — no separate marker
-    * whose write could race the commit. Structured Streaming re-delivers
-    * only the LAST uncommitted batch after a crash, and a just-appended
-    * batch's rows are still in the ledger at that moment (later batches
-    * haven't run, so nothing rewrote its files), so the probe is exact
-    * where replays can actually happen. Single maintainer per store, as
-    * [[append]] documents — one stream, or a coordinated compactor.
+  /** [[append]] as an exactly-once `foreachBatch` hook. Replay probe:
+    * every manifest version carries `wm_batch`, the max batch id ever
+    * committed; Structured Streaming delivers batch ids monotonically
+    * and re-delivers only an uncommitted batch after a crash, so
+    * "batchId <= wm_batch" is exact — and unlike probing for the
+    * batch's own surviving ledger rows, the watermark SURVIVES
+    * compaction and later rewrites of the batch's files. Startup also
+    * runs [[recover]]: under this path's single-writer contract, any
+    * stale claim can only be this stream's own crashed predecessor, so
+    * breaking it is safe.
     */
   def appendStream(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): AppendStats = {
     require(batchId >= 0, "streaming batch ids are non-negative")
-    val cur = manifest(spark, dir)
-    val replayed =
-      cur.filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (replayed)
+    recover(spark, dir)
+    val s = stats(spark, dir)
+    if (batchId <= s.wmBatch)
       AppendStats(rewritten = 0, created = 0,
-        untouched = cur.count().toInt, clamped = 0L,
-        version = currentVersion(spark, dir).getOrElse(1))
+        untouched = s.nFiles.toInt, clamped = 0L, version = s.version)
     else append(spark, dir, batch, batchId = batchId)
   }
 
   /** Hadoop path equality across `file:/` vs `file:///` spellings. */
-  private def samePath(a: String, b: String): Boolean =
-    new org.apache.hadoop.fs.Path(a).toUri.getPath ==
-      new org.apache.hadoop.fs.Path(b).toUri.getPath
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  // -------------------------------------------------------------------
+  // Read paths
+  // -------------------------------------------------------------------
 
   /** Every live row of the snapshot — exactly the files its manifest
     * lists (`asOf` = a committed version for time travel; default
@@ -398,5 +685,52 @@ object ClusteredStore {
     val files = StatsLedger.pruneFiles(spark, versionDir(dir, v), boxes)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
     else spark.read.parquet(files: _*).filter(exact)
+  }
+
+  /** Bloom-pruned exact point lookup (`keyCol IN keys`) — the probe box
+    * stats can't serve: the curve layout doesn't sort by `keyCol`, so
+    * every file's [min,max] spans the domain and range pruning keeps
+    * everything, but the per-file Bloom column ([[init]]`(bloomCols)`)
+    * keeps only may-contain files. Exact: no false negatives (Bloom),
+    * no false positives (`IN` re-applied). Files pruned are observable
+    * via [[pruneFilesPoint]].
+    */
+  def readPoint(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], asOf: Option[Int] = None): DataFrame = {
+    val files = pruneFilesPoint(spark, dir, keyCol, keys, asOf)
+    if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
+    else spark.read.parquet(files: _*).filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Manifest files whose Bloom sketch may contain ANY of `keys`. */
+  def pruneFilesPoint(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], asOf: Option[Int] = None): Seq[String] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val led = manifest(spark, dir, asOf)
+    require(led.columns.contains(s"bloom_$keyCol"),
+      s"store at $dir has no Bloom column for $keyCol — init with " +
+        s"bloomCols = Seq(${'"'}$keyCol${'"'})")
+    val any = keys.map(key =>
+        call_function("bloom_contains", col(s"bloom_$keyCol"), lit(key)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    led.filter(any).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Health of the snapshot at `asOf` (default current) — one manifest
+    * read; see [[StoreStats]].
+    */
+  def stats(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): StoreStats = {
+    val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    val r = manifest(spark, dir, Some(v))
+      .agg(count(lit(1)).as("nf"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("nr"),
+        coalesce(max(col("wm_batch")), lit(-1L)).as("wm"),
+        coalesce(max(col("clamped_total")), lit(0L)).as("ct"))
+      .head()
+    val nRows = r.getLong(1)
+    StoreStats(v, r.getLong(0), nRows, r.getLong(2), r.getLong(3),
+      if (nRows == 0) 0.0 else r.getLong(3).toDouble / nRows)
   }
 }

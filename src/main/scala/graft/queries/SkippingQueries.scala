@@ -6,14 +6,55 @@ import graft.ops.StatsLedger
 import graft.ops.StatsLedger.Box
 import graft.ops.ZOrder
 
-/** Oracle checks for [[graft.ops.StatsLedger]] / [[graft.ops.ZOrder]] —
-  * file-level data skipping. The layout and the ledger only change WHICH
-  * FILES are opened, never the answer (predicates are re-applied on the
-  * pruned read), so the DuckDB oracle is the plain full-scan filter over
-  * the original table. The pruning EFFECTIVENESS (files skipped) is
-  * asserted in StatsLedgerSpec, where the file counts are observable.
+/** Oracle checks for [[graft.ops.StatsLedger]] / [[graft.ops.ZOrder]] /
+  * [[graft.ops.ClusteredStore]] — file-level data skipping. The layout
+  * and the ledger only change WHICH FILES are opened, never the answer
+  * (predicates are re-applied on the pruned read), so the DuckDB oracle
+  * is the plain full-scan filter over the original table. The pruning
+  * EFFECTIVENESS (files skipped) is asserted in StatsLedgerSpec /
+  * ClusteredStoreSpec, where the file counts are observable.
+  *
+  * Layout fixtures are MEMOIZED per (fixture, sfDir) — the
+  * [[RunTreeQuery]] pattern: the write-side harness cost (laying out a
+  * table, building a store through init + appends) is paid once per
+  * process, so the bench lines measure the READ path the operator
+  * exists to serve, and repeated Verify/bench repetitions don't stack
+  * write I/O noise on top of it (r8 verdict: `q_cluster_append` and
+  * `q_hilbert_prune` were ≥90% repeated fixture writing). The FIRST
+  * run in a process still exercises the full maintenance cycle.
   */
 object SkippingQueries {
+
+  /** base temp dir per (fixture key, sfDir); compute() runs the build
+    * atomically per key, so racing queries in the Verify pool block
+    * until the fixture is on disk.
+    */
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memo(key: String, sfDir: String)(build: String => Unit): String =
+    fixtures.compute(s"$key|$sfDir", (_, prev) => {
+      if (prev != null) prev
+      else {
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_$key").toString
+        build(base)
+        base
+      }
+    })
+
+  /** events range-laid-out by user_id + one-column ledger — shared by
+    * [[statsPrune]] and [[aggPushdown]].
+    */
+  private def eventsLayout(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    memo("evlayout", dir) { base =>
+      val ev = tbl(s, dir, "events")
+      ev.repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$base/events")
+      StatsLedger.build(s, s"$base/events", s"$base/ledger", Seq("user_id"))
+    }
 
   /** Range-laid-out events + one-column ledger prune: write events
     * range-partitioned by user_id (the hot filter key), build the
@@ -24,20 +65,13 @@ object SkippingQueries {
   val statsPrune = Q(
     "q_stats_prune",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_statsprune").toString
-      val data = s"$base/events"
-      val ledger = s"$base/ledger"
+      val base = eventsLayout(s, dir)
       val ev = tbl(s, dir, "events")
-      ev.repartitionByRange(16, col("user_id"))
-        .sortWithinPartitions("user_id")
-        .write.mode("overwrite").parquet(data)
-      StatsLedger.build(s, data, ledger, Seq("user_id"))
       // band scales with the key domain (user_id cardinality grows with
       // sf): [60%, 80%] of max — exact integer arithmetic both engines
       val mrow = ev.agg(max(col("user_id"))).head()
       val maxU = if (mrow.isNullAt(0)) 0L else mrow.getLong(0) // empty input
-      StatsLedger.readPruned(s, data, ledger,
+      StatsLedger.readPruned(s, s"$base/events", s"$base/ledger",
           Seq(Box.between("user_id", maxU * 3 / 5, maxU * 4 / 5)))
         .groupBy(col("event_type"))
         .agg(cnt("n_events"), sum(col("user_id")).as("uid_sum"))
@@ -60,20 +94,20 @@ object SkippingQueries {
   val zorderPrune = Q(
     "q_zorder_prune",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_zorder").toString
-      val data = s"$base/lineitem"
-      val ledger = s"$base/ledger"
+      val base = memo("zorder", dir) { b =>
+        ZOrder.write(tbl(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), 24, s"$b/lineitem")
+        StatsLedger.build(s, s"$b/lineitem", s"$b/ledger",
+          Seq("l_partkey", "l_suppkey"))
+      }
       val li = tbl(s, dir, "lineitem")
-      ZOrder.write(li, Seq("l_partkey", "l_suppkey"), 24, data)
-      StatsLedger.build(s, data, ledger, Seq("l_partkey", "l_suppkey"))
       // 2-D box scaled to the key domains: partkey [10%,30%], suppkey
       // [20%,40%] of their maxima
       val m = li.agg(max(col("l_partkey")).as("p"),
         max(col("l_suppkey")).as("s")).head()
       val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
       val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
-      StatsLedger.readPruned(s, data, ledger,
+      StatsLedger.readPruned(s, s"$base/lineitem", s"$base/ledger",
           Seq(Box.between("l_partkey", maxP / 10, maxP * 3 / 10),
             Box.between("l_suppkey", maxS / 5, maxS * 2 / 5)))
         .groupBy(col("l_returnflag"))
@@ -99,18 +133,11 @@ object SkippingQueries {
   val aggPushdown = Q(
     "q_agg_pushdown",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_aggfast").toString
-      val data = s"$base/events"
-      val ledger = s"$base/ledger"
+      val base = eventsLayout(s, dir)
       val ev = tbl(s, dir, "events")
-      ev.repartitionByRange(16, col("user_id"))
-        .sortWithinPartitions("user_id")
-        .write.mode("overwrite").parquet(data)
-      StatsLedger.build(s, data, ledger, Seq("user_id"))
       val mrow = ev.agg(max(col("user_id"))).head()
       val maxU = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
-      StatsLedger.aggFast(s, data, ledger,
+      StatsLedger.aggFast(s, s"$base/events", s"$base/ledger",
           Box.between("user_id", maxU * 3 / 5, maxU * 4 / 5))
         .select(col("n_rows"), col("min_v").cast("long").as("min_v"),
           col("max_v").cast("long").as("max_v"))
@@ -132,20 +159,19 @@ object SkippingQueries {
   val bloomIndex = Q(
     "q_bloom_index",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bloomidx").toString
-      val data = s"$base/docs"
-      val ledger = s"$base/ledger"
+      val base = memo("bloomidx", dir) { b =>
+        tbl(s, dir, "documents")
+          .repartition(16, col("doc_id")) // hash layout: ranges useless
+          .write.mode("overwrite").parquet(s"$b/docs")
+        StatsLedger.buildWithBloom(s, s"$b/docs", s"$b/ledger",
+          cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
       val docs = tbl(s, dir, "documents")
-      docs.repartition(16, col("doc_id")) // hash layout: ranges useless
-        .write.mode("overwrite").parquet(data)
-      StatsLedger.buildWithBloom(s, data, ledger,
-        cols = Seq("doc_id"), bloomCols = Seq("doc_id"))
       val mrow = docs.agg(max(col("doc_id"))).head()
       val mx = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
       val keys = Seq(mx / 7, mx / 3, mx / 2, mx * 2 / 3, mx - 1)
         .distinct.filter(_ >= 0)
-      StatsLedger.readPoint(s, data, ledger, "doc_id", keys)
+      StatsLedger.readPoint(s, s"$base/docs", s"$base/ledger", "doc_id", keys)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },
@@ -173,19 +199,19 @@ object SkippingQueries {
   val hilbertPrune = Q(
     "q_hilbert_prune",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_hilbert").toString
-      val data = s"$base/lineitem"
-      val ledger = s"$base/ledger"
+      val base = memo("hilbert", dir) { b =>
+        ZOrder.write(tbl(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), 24, s"$b/lineitem",
+          curve = "hilbert")
+        StatsLedger.build(s, s"$b/lineitem", s"$b/ledger",
+          Seq("l_partkey", "l_suppkey"))
+      }
       val li = tbl(s, dir, "lineitem")
-      ZOrder.write(li, Seq("l_partkey", "l_suppkey"), 24, data,
-        curve = "hilbert")
-      StatsLedger.build(s, data, ledger, Seq("l_partkey", "l_suppkey"))
       val m = li.agg(max(col("l_partkey")).as("p"),
         max(col("l_suppkey")).as("s")).head()
       val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
       val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
-      StatsLedger.readPruned(s, data, ledger,
+      StatsLedger.readPruned(s, s"$base/lineitem", s"$base/ledger",
           Seq(Box.between("l_partkey", maxP * 2 / 5, maxP * 3 / 5),
             Box.between("l_suppkey", maxS / 2, maxS * 7 / 10)))
         .groupBy(col("l_linestatus"))
@@ -204,6 +230,24 @@ object SkippingQueries {
             GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""),
     bench = true)
 
+  /** One clustered store (init from 80% of lineitem + two appends
+    * absorbing the remaining fifth), shared by [[clusterAppend]] and
+    * [[clusterTimeTravel]] — they pin different read paths of the SAME
+    * maintenance history (current box read / as-of-v1 snapshot).
+    */
+  private def lineitemStore(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    memo("clstore", dir) { b =>
+      val li = tbl(s, dir, "lineitem")
+      graft.ops.ClusteredStore.init(
+        li.filter(col("l_orderkey") % 5 =!= 4),
+        Seq("l_partkey", "l_suppkey"), 24, s"$b/store")
+      graft.ops.ClusteredStore.append(s, s"$b/store",
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 0))
+      graft.ops.ClusteredStore.append(s, s"$b/store",
+        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 1))
+    }
+
   /** Incremental clustered maintenance ([[graft.ops.ClusteredStore]]):
     * init the store from 80% of lineitem, absorb the remaining fifth in
     * two appends (each rewriting only its touched curve region), then
@@ -216,21 +260,13 @@ object SkippingQueries {
   val clusterAppend = Q(
     "q_cluster_append",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_clstore").toString
+      val base = lineitemStore(s, dir)
       val li = tbl(s, dir, "lineitem")
-      graft.ops.ClusteredStore.init(
-        li.filter(col("l_orderkey") % 5 =!= 4),
-        Seq("l_partkey", "l_suppkey"), 24, base)
-      graft.ops.ClusteredStore.append(s, base,
-        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 0))
-      graft.ops.ClusteredStore.append(s, base,
-        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 1))
       val m = li.agg(max(col("l_partkey")).as("p"),
         max(col("l_suppkey")).as("s")).head()
       val maxP = if (m.isNullAt(0)) 0L else m.getLong(0) // empty input
       val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
-      graft.ops.ClusteredStore.readPruned(s, base,
+      graft.ops.ClusteredStore.readPruned(s, s"$base/store",
           Seq(Box.between("l_partkey", maxP / 4, maxP / 2),
             Box.between("l_suppkey", maxS / 4, maxS / 2)))
         .groupBy(col("l_returnflag"))
@@ -257,17 +293,8 @@ object SkippingQueries {
   val clusterTimeTravel = Q(
     "q_cluster_timetravel",
     (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_timetravel").toString
-      val li = tbl(s, dir, "lineitem")
-      graft.ops.ClusteredStore.init(
-        li.filter(col("l_orderkey") % 5 =!= 4),
-        Seq("l_partkey", "l_suppkey"), 16, base)
-      graft.ops.ClusteredStore.append(s, base,
-        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 0))
-      graft.ops.ClusteredStore.append(s, base,
-        li.filter(col("l_orderkey") % 5 === 4 && col("l_orderkey") % 2 === 1))
-      graft.ops.ClusteredStore.read(s, base, asOf = Some(1))
+      val base = lineitemStore(s, dir)
+      graft.ops.ClusteredStore.read(s, s"$base/store", asOf = Some(1))
         .groupBy(col("l_returnflag"))
         .agg(cnt("n_lines"),
           sum(col("l_quantity")).cast("double").as("qty"),
@@ -281,7 +308,95 @@ object SkippingQueries {
             WHERE l_orderkey % 5 <> 4
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Bloom point lookup through a CLUSTERED store's manifest
+    * ([[graft.ops.ClusteredStore.readPoint]]): documents clustered on
+    * (n_chars, a hash-spread derived key) — doc_id deliberately NOT a
+    * layout key, so every file's [min,max] doc_id window spans the
+    * domain and box pruning would keep everything; the per-file Bloom
+    * column on the manifest keeps only may-contain files and the exact
+    * `IN` re-filter makes the answer the full scan's (the
+    * `q_bloom_index` contract served from a maintained store's manifest
+    * instead of a standalone ledger). File-level pruning effectiveness
+    * is asserted in ClusteredStoreSpec.
+    */
+  val clusterPoint = Q(
+    "q_cluster_point",
+    (s, dir) => {
+      val base = memo("clpoint", dir) { b =>
+        val docs = tbl(s, dir, "documents")
+          .withColumn("spread", pmod(col("doc_id") * 7919, lit(9973)))
+        graft.ops.ClusteredStore.init(docs, Seq("n_chars", "spread"), 16,
+          s"$b/store", bloomCols = Seq("doc_id"))
+      }
+      val docs = tbl(s, dir, "documents")
+      val mrow = docs.agg(max(col("doc_id"))).head()
+      val mx = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
+      val keys = Seq(mx / 9, mx / 4, mx / 2, mx * 5 / 6, mx - 2)
+        .distinct.filter(_ >= 0)
+      graft.ops.ClusteredStore.readPoint(s, s"$base/store", "doc_id", keys)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+                 keys AS (SELECT mx // 9 AS k FROM m
+                          UNION SELECT mx // 4 FROM m
+                          UNION SELECT mx // 2 FROM m
+                          UNION SELECT mx * 5 // 6 FROM m
+                          UNION SELECT mx - 2 FROM m)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN keys ON d.doc_id = keys.k
+            WHERE keys.k >= 0
+            ORDER BY d.doc_id"""))
+
+  /** Drift → recluster lifecycle, exact end-to-end: the store is
+    * initialized on the LOW half of the partkey domain (bounds frozen
+    * narrow), the HIGH half arrives as an append whose rows all clamp
+    * into the edge cells (counted drift — the store keeps answering
+    * exactly), then [[graft.ops.ClusteredStore.recluster]] re-freezes
+    * the bounds on the full snapshot and rewrites under a new manifest
+    * + model version. The box read over the ONCE-CLAMPED region must
+    * equal the full-scan oracle — layout drift and its repair are both
+    * answer-invariant. Clamp-counter reset and pruning recovery are
+    * asserted in ClusteredStoreSpec.
+    */
+  val clusterRecluster = Q(
+    "q_cluster_recluster",
+    (s, dir) => {
+      val base = memo("clrecluster", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        val m = li.agg(max(col("l_partkey"))).head()
+        val maxP = if (m.isNullAt(0)) 0L else m.getLong(0)
+        graft.ops.ClusteredStore.init(
+          li.filter(col("l_partkey") <= maxP / 2),
+          Seq("l_partkey", "l_suppkey"), 16, s"$b/store")
+        graft.ops.ClusteredStore.append(s, s"$b/store",
+          li.filter(col("l_partkey") > maxP / 2))
+        graft.ops.ClusteredStore.recluster(s, s"$b/store", nFiles = 16)
+      }
+      val li = tbl(s, dir, "lineitem")
+      val m = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("s")).head()
+      val maxP = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
+      graft.ops.ClusteredStore.readPruned(s, s"$base/store",
+          Seq(Box.between("l_partkey", maxP * 3 / 5, maxP * 4 / 5),
+            Box.between("l_suppkey", maxS / 5, maxS * 3 / 5)))
+        .groupBy(col("l_linestatus"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) * 3 // 5 FROM lineitem)
+                                AND (SELECT MAX(l_partkey) * 4 // 5 FROM lineitem)
+              AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 5 FROM lineitem)
+                                AND (SELECT MAX(l_suppkey) * 3 // 5 FROM lineitem)
+            GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
-      clusterAppend, clusterTimeTravel)
+      clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster)
 }

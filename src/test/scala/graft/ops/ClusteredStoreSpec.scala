@@ -141,4 +141,262 @@ class ClusteredStoreSpec extends SparkSpec {
     assertThrows[Exception](
       ClusteredStore.read(spark, dir, asOf = Some(1)).count())
   }
+
+  test("commit lineage is O(1) in version count: append/compact consult " +
+    "only the CURRENT manifest, proven by deleting every older version") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore4").toString
+    ClusteredStore.init(mkDocs(0 until 6000), Seq("a", "b"), 8, dir)
+    for (k <- 1 to 4) {
+      val delta = ((10000 * k) until (10000 * k + 300)).toDF("id")
+        .withColumn("a", col("id") * 31 % 1000)
+        .withColumn("b", col("id") * 17 % 1000)
+        .withColumn("payload", lit(s"b$k"))
+      ClusteredStore.append(spark, dir, delta)
+    }
+    val v = ClusteredStore.currentVersion(spark, dir).get
+    assert(v === 5)
+    // simulate external history loss: remove EVERY manifest below the
+    // current version — if maintenance read any of them, it would throw
+    (1 until v).foreach(n => Fs.delete(spark, s"$dir/ledger/v=$n"))
+    val a = ClusteredStore.append(spark, dir,
+      (90000 until 90200).toDF("id")
+        .withColumn("a", col("id") % 500)
+        .withColumn("b", col("id") % 700)
+        .withColumn("payload", lit("post")))
+    assert(a.version === v + 1)
+    assert(ClusteredStore.read(spark, dir).count() === 6000L + 4 * 300 + 200)
+    val c = ClusteredStore.compact(spark, dir, minRowsPerFile = 400L)
+    assert(c.version >= a.version, s"$c")
+    assert(ClusteredStore.read(spark, dir).count() === 6000L + 4 * 300 + 200)
+  }
+
+  test("crash orphans are never adopted: a stray data file is invisible " +
+    "to commits and reclaimed by vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore5").toString
+    ClusteredStore.init(mkDocs(0 until 4000), Seq("a", "b"), 4, dir)
+    // simulate a crashed append that staged (moved) files into data/
+    // but never committed its manifest: copy a real data file under a
+    // fresh name — same rows, exactly the duplication ADVICE described
+    val fs = Fs(spark, dir)
+    val victim = Fs.list(spark, s"$dir/data")
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/data/orphan-copy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    val nOrphanRows = spark.read.parquet(orphan.toString).count()
+    assert(nOrphanRows > 0)
+
+    // a subsequent append must NOT adopt the orphan into its manifest
+    val st = ClusteredStore.append(spark, dir,
+      (50000 until 50100).toDF("id")
+        .withColumn("a", col("id") % 30).withColumn("b", col("id") % 20)
+        .withColumn("payload", lit("n")))
+    assert(st.version === 2)
+    assert(ClusteredStore.read(spark, dir).count() === 4100L,
+      "orphan rows must not appear in the snapshot (no double-count)")
+    val listed = ClusteredStore.manifest(spark, dir).select("file")
+      .collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    assert(!listed.contains("orphan-copy.parquet"))
+
+    // vacuum reclaims it (referenced by no kept version)
+    ClusteredStore.vacuum(spark, dir, keepLast = 1)
+    assert(!Fs.exists(spark, orphan.toString), "vacuum must reclaim orphans")
+    assert(ClusteredStore.read(spark, dir).count() === 4100L)
+  }
+
+  test("init refuses to overwrite a committed store; a fresh dir and a " +
+    "crashed partial init both initialize cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore6").toString
+    ClusteredStore.init(mkDocs(0 until 1000), Seq("a", "b"), 2, dir)
+    val e = intercept[IllegalArgumentException](
+      ClusteredStore.init(mkDocs(0 until 10), Seq("a", "b"), 2, dir))
+    assert(e.getMessage.contains("already exists"))
+    // crashed partial init (data + model, no committed manifest) is
+    // debris a retry clears
+    val dir2 = java.nio.file.Files.createTempDirectory("clstore7").toString
+    mkDocs(0 until 50).write.parquet(s"$dir2/data")
+    ClusteredStore.init(mkDocs(0 until 1000), Seq("a", "b"), 2, dir2)
+    assert(ClusteredStore.read(spark, dir2).count() === 1000L)
+  }
+
+  test("concurrent maintainers serialize through the claim: one commits, " +
+    "the other gets a clean refusal, and no update is ever lost") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore8").toString
+    ClusteredStore.init(mkDocs(0 until 4000), Seq("a", "b"), 4, dir)
+    def delta(tag: String, r: Range) = r.toDF("id")
+      .withColumn("a", col("id") % 100).withColumn("b", col("id") % 100)
+      .withColumn("payload", lit(tag))
+
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def runner(tag: String, r: Range) = new Thread(() => {
+      gate.await()
+      try {
+        ClusteredStore.append(spark, dir, delta(tag, r))
+        results.put(tag, "committed")
+      } catch {
+        case _: ConcurrentCommitException => results.put(tag, "refused")
+      }
+    })
+    val t1 = runner("left", 70000 until 70100)
+    val t2 = runner("right", 80000 until 80100)
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    val outcomes = Seq(results.get("left"), results.get("right"))
+    assert(outcomes.count(_ == "committed") >= 1, s"$results")
+    // every committed delta is present EXACTLY once; a refused one is
+    // absent entirely — never a torn or lost update
+    val snap = ClusteredStore.read(spark, dir)
+    Seq("left" -> (70000 until 70100), "right" -> (80000 until 80100))
+      .foreach { case (tag, r) =>
+        val n = snap.filter(col("payload") === tag).count()
+        if (results.get(tag) == "committed")
+          assert(n === r.size.toLong, s"$tag committed but has $n rows")
+        else assert(n === 0L, s"$tag refused but left $n rows visible")
+      }
+    // a refused maintainer retries and lands on the next version
+    if (outcomes.contains("refused")) {
+      val tag = if (results.get("left") == "refused") "left" else "right"
+      val r = if (tag == "left") 70000 until 70100 else 80000 until 80100
+      ClusteredStore.append(spark, dir, delta(tag, r))
+      assert(ClusteredStore.read(spark, dir)
+        .filter(col("payload") === tag).count() === r.size.toLong)
+    }
+  }
+
+  test("recover clears a crashed maintainer's claim (and dangling model " +
+    "version) so maintenance can resume") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore9").toString
+    ClusteredStore.init(mkDocs(0 until 2000), Seq("a", "b"), 2, dir)
+    // simulate a crash AFTER the claim (and a recluster's model write)
+    // but BEFORE the manifest commit
+    val fs = Fs(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/ledger/claim-v=2"),
+      false).close()
+    mkDocs(0 until 1).write.parquet(s"$dir/model/v=2")
+    val blocked = intercept[ConcurrentCommitException](
+      ClusteredStore.append(spark, dir, mkDocs(5000 until 5010)))
+    assert(blocked.getMessage.contains("claimed"))
+    assert(ClusteredStore.recover(spark, dir) > 0)
+    assert(!Fs.exists(spark, s"$dir/model/v=2"))
+    val st = ClusteredStore.append(spark, dir, mkDocs(5000 until 5010))
+    assert(st.version === 2)
+    assert(ClusteredStore.read(spark, dir).count() === 2010L)
+  }
+
+  test("recluster re-freezes bounds on the drifted snapshot: clamp " +
+    "counter resets, pruning bites again, old snapshots stay readable") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore10").toString
+    // frozen bounds cover [0, 1000); then a drifted regime arrives far
+    // outside — every drifted row clamps into the edge cells
+    ClusteredStore.init(mkDocs(0 until 6000), Seq("a", "b"), 8, dir)
+    val drifted = (200000 until 203000).toDF("id")
+      .withColumn("a", lit(50000) + col("id") % 1000)
+      .withColumn("b", lit(50000) + col("id") % 1000)
+      .withColumn("payload", lit("drift"))
+    ClusteredStore.append(spark, dir, drifted)
+    val before = ClusteredStore.stats(spark, dir)
+    assert(before.clampedTotal === 3000L)
+    assert(before.clampRate > 0.3, s"$before")
+    // drifted keys all clamp to one corner cell: a box over the drifted
+    // regime cannot be separated from the edge files
+    val box = Seq(Box.between("a", 50000L, 52000L),
+      Box.between("b", 50000L, 52000L))
+
+    val rs = ClusteredStore.recluster(spark, dir, nFiles = 8)
+    assert(rs.version === 3 && rs.created > 0)
+    val after = ClusteredStore.stats(spark, dir)
+    assert(after.clampedTotal === 0L && after.clampRate === 0.0)
+
+    // exactness: snapshot content unchanged by the rewrite
+    assert(ClusteredStore.read(spark, dir).count() === 9000L)
+    val want = mkDocs(0 until 6000).unionByName(drifted)
+    val got = ClusteredStore.read(spark, dir).select("id", "a", "b", "payload")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // pruned read over the drifted regime stays exact AND now isolates
+    // the drifted band into a proper subset of files
+    val pruned = ClusteredStore.readPruned(spark, dir, box)
+    assert(pruned.count() === 3000L)
+    val survivors = graft.ops.StatsLedger.pruneFiles(spark,
+      s"$dir/ledger/v=3", box)
+    val totalFiles = ClusteredStore.manifest(spark, dir).count()
+    assert(survivors.size < totalFiles,
+      s"recluster should make the drifted band prunable: " +
+        s"${survivors.size} of $totalFiles files survive")
+    // time travel: v1 (pre-drift) and v2 (pre-recluster) both intact
+    assert(ClusteredStore.read(spark, dir, asOf = Some(1)).count() === 6000L)
+    assert(ClusteredStore.read(spark, dir, asOf = Some(2)).count() === 9000L)
+    // appends after recluster use the NEW model
+    val post = ClusteredStore.append(spark, dir,
+      (300000 until 300050).toDF("id")
+        .withColumn("a", lit(25000) + col("id") % 10)
+        .withColumn("b", lit(25000) + col("id") % 10)
+        .withColumn("payload", lit("post")))
+    assert(post.clamped === 0L,
+      s"in-new-bounds rows must not clamp after recluster: $post")
+  }
+
+  test("Bloom point lookups prune files the box stats cannot, and stay " +
+    "exact; the sketch column rides appends") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore11").toString
+    // cluster on (a, b); point-lookup key is id — uncorrelated with the
+    // layout, so id ranges span every file and range pruning is useless
+    ClusteredStore.init(mkDocs(0 until 20000), Seq("a", "b"), 16, dir,
+      bloomCols = Seq("id"))
+    ClusteredStore.append(spark, dir,
+      (40000 until 40500).toDF("id")
+        .withColumn("a", col("id") % 1000).withColumn("b", col("id") % 997)
+        .withColumn("payload", concat(lit("row"), col("id"))))
+    val keys = Seq(17L, 9999L, 40123L)
+    val got = ClusteredStore.readPoint(spark, dir, "id", keys)
+      .select(col("id").cast("long"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === keys.map(k => (k, s"row$k")).toSet)
+    val opened = ClusteredStore.pruneFilesPoint(spark, dir, "id", keys)
+    val total = ClusteredStore.manifest(spark, dir).count()
+    assert(opened.size < total,
+      s"bloom should prune: opened ${opened.size} of $total files")
+    // absent key: zero rows, and typically zero-to-few files opened
+    assert(ClusteredStore.readPoint(spark, dir, "id", Seq(999999L))
+      .count() === 0L)
+    // a store without bloom columns refuses point reads loudly
+    val plain = java.nio.file.Files.createTempDirectory("clstore12").toString
+    ClusteredStore.init(mkDocs(0 until 100), Seq("a", "b"), 2, plain)
+    val err = intercept[IllegalArgumentException](
+      ClusteredStore.readPoint(spark, plain, "id", Seq(1L)).count())
+    assert(err.getMessage.contains("no Bloom column"))
+  }
+
+  test("the replay watermark survives compaction: a replayed batch id " +
+    "is a no-op even after compact rewrote the batch's files") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore13").toString
+    ClusteredStore.init(mkDocs(0 until 5000), Seq("a", "b"), 4, dir)
+    def batchDf(k: Int) = ((60000 + 1000 * k) until (60000 + 1000 * k + 120))
+      .toDF("id")
+      .withColumn("a", (col("id") % 50) + k * 60)
+      .withColumn("b", (col("id") % 40) + k * 60)
+      .withColumn("payload", lit(s"batch$k"))
+    ClusteredStore.appendStream(spark, dir, batchDf(0), batchId = 0L)
+    ClusteredStore.appendStream(spark, dir, batchDf(1), batchId = 1L)
+    assert(ClusteredStore.stats(spark, dir).wmBatch === 1L)
+    // compact EVERYTHING (floor above every file size) — the per-row
+    // batch_id markers are re-stamped -1 by the merge, so a probe that
+    // looked for surviving batch rows would wrongly re-append; the
+    // carried watermark still remembers the batch
+    val c = ClusteredStore.compact(spark, dir, minRowsPerFile = 100000L)
+    assert(c.rewritten >= 2, s"batch files should compact: $c")
+    assert(ClusteredStore.stats(spark, dir).wmBatch === 1L,
+      "compaction must carry the replay watermark")
+    val replay = ClusteredStore.appendStream(spark, dir, batchDf(1),
+      batchId = 1L)
+    assert(replay.created === 0 && replay.rewritten === 0, s"$replay")
+    assert(ClusteredStore.read(spark, dir).count() === 5240L,
+      "replay after compaction must not duplicate the batch")
+    // the next REAL batch still lands
+    ClusteredStore.appendStream(spark, dir, batchDf(2), batchId = 2L)
+    assert(ClusteredStore.read(spark, dir).count() === 5360L)
+    assert(ClusteredStore.stats(spark, dir).wmBatch === 2L)
+  }
 }
