@@ -122,9 +122,13 @@ object DedupCostQuery {
       val s60 = DedupQueries.simhash60.spark(s, dir)
         .select(col("ai"), col("bi"))
 
-      def one(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.agg(count(lit(1)).cast("long").as(as))
-      val tc = one(truth, "t")
+      // counts are materialized EAGERLY (the table is 5 rows of counts
+      // either way): the heavy frames all resolve inside this closure,
+      // so the persisted embeddings cache can be released in the
+      // finally below instead of leaking one copy per bench/verify
+      // repetition into the long-lived Verify/ScaleCurve process
+      def one(df: org.apache.spark.sql.DataFrame): Long = df.count()
+      val tcN = one(truth)
 
       // =================================================================
       // Semantic legs: embedding-LSH and SemDeDup — the two methods a
@@ -144,9 +148,10 @@ object DedupCostQuery {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val truthCos = DedupQueries.embeddingCosine.spark(s, dir)
         .select(col("ai"), col("bi"))
-      val tcCos = one(truthCos, "t")
+      val tcCosN = one(truthCos)
 
       // ---- embedding-LSH: candidate stage of q_dedup_embedding_lsh
       // (8 tables × 4 sign bits, same-(table, sig, label) buckets),
@@ -187,7 +192,7 @@ object DedupCostQuery {
         }
       val lshFound = DedupQueries.embeddingLsh.spark(s, dir)
         .select(col("ai"), col("bi"))
-      val lshHits = one(lshFound.join(truthCos, Seq("ai", "bi")), "h")
+      val lshHitsN = one(lshFound.join(truthCos, Seq("ai", "bi")))
 
       // ---- SemDeDup: candidates = the per-cluster quadratic the method
       // pays (Σ C(n,2) over k-means-style cluster sizes); verified =
@@ -212,42 +217,40 @@ object DedupCostQuery {
           expr("dot_product(av, bv)") / sqrt(col("an") * col("bn")))
         .filter(col("cos") >= CurationQueries.cosThreshold)
         .select(col("ai"), col("bi"))
-      val semHits = one(semPairs.join(truthCos, Seq("ai", "bi")), "h")
+      val semHitsN = one(semPairs.join(truthCos, Seq("ai", "bi")))
       // exact hits: a truth pair is exact iff the two texts hash equal —
       // joined on the bounded verified-truth frame, never pair-exploded
       val da = docs.select(col("doc_id").as("ai"), md5(col("text")).as("ha"))
       val db = docs.select(col("doc_id").as("bi"), md5(col("text")).as("hb"))
-      val eHits = one(truth.join(da, "ai").join(db, "bi")
-        .filter(col("ha") === col("hb")), "h")
-      val mhHits = one(mh.join(truth, Seq("ai", "bi")), "h")
-      val shHits = one(s60.join(truth, Seq("ai", "bi")), "h")
+      val eHitsN = one(truth.join(da, "ai").join(db, "bi")
+        .filter(col("ha") === col("hb")))
+      val mhHitsN = one(mh.join(truth, Seq("ai", "bi")))
+      val shHitsN = one(s60.join(truth, Seq("ai", "bi")))
+      val ecN = exactPairs.head().getLong(0)
+      val semCandN = semCand.head().getLong(0)
 
-      def row(method: String, cand: org.apache.spark.sql.DataFrame,
-          found: org.apache.spark.sql.DataFrame,
-          hits: org.apache.spark.sql.DataFrame,
-          truthCnt: org.apache.spark.sql.DataFrame) =
-        cand.toDF("c").crossJoin(found.toDF("f")).crossJoin(hits)
-          .crossJoin(truthCnt)
-          .select(lit(method).as("method"), col("c").as("cand_pairs"),
-            col("f").as("found_pairs"), col("t").as("truth_pairs"),
-            col("h").as("hit_pairs"),
-            when(col("t") === 0, lit(null).cast("double"))
-              .otherwise(round(col("h").cast("double")
-                / col("t").cast("double"), 6)).as("recall"),
-            when(col("c") === 0, lit(null).cast("double"))
-              .otherwise(round(col("f").cast("double")
-                / col("c").cast("double"), 6)).as("verify_rate"))
-
-      row("exact", exactPairs, exactPairs, eHits, tc)
-        .unionByName(row("minhash", one(mhCand, "c"), one(mh, "f"), mhHits,
-          tc))
-        .unionByName(row("simhash60", one(shCand, "c"), one(s60, "f"),
-          shHits, tc))
-        .unionByName(row("embedding_lsh", one(lshCand, "c"),
-          one(lshFound, "f"), lshHits, tcCos))
-        .unionByName(row("semdedup", semCand, one(semPairs, "f"), semHits,
-          tcCos))
+      // the decision table itself: 5 rows of already-computed counts —
+      // ratio columns are still Spark expressions so ROUND semantics
+      // stay engine-side, matching the oracle's ROUND(.., 6)
+      import s.implicits._
+      Seq(
+        ("exact", ecN, ecN, tcN, eHitsN),
+        ("minhash", one(mhCand), one(mh), tcN, mhHitsN),
+        ("simhash60", one(shCand), one(s60), tcN, shHitsN),
+        ("embedding_lsh", one(lshCand), one(lshFound), tcCosN, lshHitsN),
+        ("semdedup", semCandN, one(semPairs), tcCosN, semHitsN))
+        .toDF("method", "cand_pairs", "found_pairs", "truth_pairs",
+          "hit_pairs")
+        .select(col("method"), col("cand_pairs"), col("found_pairs"),
+          col("truth_pairs"), col("hit_pairs"),
+          when(col("truth_pairs") === 0, lit(null).cast("double"))
+            .otherwise(round(col("hit_pairs").cast("double")
+              / col("truth_pairs").cast("double"), 6)).as("recall"),
+          when(col("cand_pairs") === 0, lit(null).cast("double"))
+            .otherwise(round(col("found_pairs").cast("double")
+              / col("cand_pairs").cast("double"), 6)).as("verify_rate"))
         .orderBy("method")
+      } finally emb.unpersist()
     },
     Some(s"""WITH truth0 AS (${DedupQueries.ngramJaccard.oracle.get}),
             truth AS (SELECT ai, bi FROM truth0),

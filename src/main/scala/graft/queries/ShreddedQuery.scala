@@ -43,6 +43,11 @@ object ShreddedQuery {
             coalesce(get_json_object(col("props"), "$.k").cast("long"),
               lit(0L)))
           .withColumn("out_tok", pmod(col("eid"), lit(100L)))
+          // half the rows are llm_end so the token-usage builders (which
+          // filter on it, reference README.md:221-224) see real traffic
+          .withColumn("event_type",
+            when(pmod(col("eid"), lit(2L)) === 0, lit("llm_end"))
+              .otherwise(col("event_type")))
         val entries = ev.select(
           timestamp_micros(tsMicros).as("timestamp"),
           concat(lit("run-"), col("eid")).as("run_id"),
@@ -106,5 +111,55 @@ object ShreddedQuery {
         FROM read_parquet('$logDir/date=*/*.parquet', hive_partitioning=1)
         GROUP BY model ORDER BY model NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(shredded)
+  /** The STANDING token-usage builder routed through the shredded
+    * store: [[graft.query.LogTable.tokenUsagePreferShredded]] answers
+    * from typed columns when the store exists (it does here — same
+    * memoized fixture), from parse-on-read otherwise; either path must
+    * equal the oracle's per-row JSON parse of the ORIGINAL log files.
+    * The plan's JSON-freeness on the shredded path is asserted in
+    * ShreddedLogSpec; this row pins the VALUES cross-engine.
+    */
+  val tokensShredded = Q(
+    "q_tokens_shredded",
+    (s, dir) => {
+      ensureBuilt(s, dir)
+      graft.query.LogTable.tokenUsagePreferShredded(s, logDir, storeDir)
+        .select(col("custom_id"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("n_calls"))
+        .orderBy("custom_id")
+    },
+    Some(s"""SELECT custom_id,
+          CAST(SUM(COALESCE(CAST(json_extract_string(payload,
+            '$$.data.usage_metadata.total_tokens') AS BIGINT), 0))
+            AS BIGINT) AS total_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_calls
+        FROM read_parquet('$logDir/date=*/*.parquet', hive_partitioning=1)
+        WHERE event_type = 'llm_end'
+        GROUP BY custom_id ORDER BY custom_id NULLS FIRST"""))
+
+  /** Error drill-down through the same routing
+    * ([[graft.query.LogTable.errorsPreferShredded]]): per error type,
+    * count, spread over logical ids, and the max message — answered
+    * from the shredded store's typed error columns, pinned against the
+    * oracle's parse of the raw payloads.
+    */
+  val errorsShredded = Q(
+    "q_errors_shredded",
+    (s, dir) => {
+      ensureBuilt(s, dir)
+      graft.query.LogTable.errorsPreferShredded(s, logDir, storeDir)
+    },
+    Some(s"""SELECT json_extract_string(payload, '$$.data.error.type')
+            AS error_type,
+          CAST(COUNT(*) AS BIGINT) AS n_errors,
+          CAST(COUNT(DISTINCT custom_id) AS BIGINT) AS n_custom,
+          MAX(json_extract_string(payload, '$$.data.error.message'))
+            AS worst_message
+        FROM read_parquet('$logDir/date=*/*.parquet', hive_partitioning=1)
+        WHERE json_extract_string(payload, '$$.data.error.message')
+          IS NOT NULL
+        GROUP BY error_type ORDER BY error_type NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(shredded, tokensShredded, errorsShredded)
 }

@@ -52,6 +52,20 @@ final class LogTable private (val df: DataFrame) {
       .agg(sum("total_tokens").as("total_tokens"), count(lit(1)).as("n_calls"))
       .orderBy("custom_id")
 
+  /** Error drill-down: per error type, how many failures, how many
+    * logical ids they span, and a representative (max) message — the
+    * "what broke overnight" query over the payload error struct
+    * (reference logger.py:180-186 error capture).
+    */
+  def errorsByType: DataFrame =
+    parsed
+      .filter(col("p.data.error.message").isNotNull)
+      .groupBy(col("p.data.error.type").as("error_type"))
+      .agg(count(lit(1)).as("n_errors"),
+        countDistinct(col("custom_id")).as("n_custom"),
+        max(col("p.data.error.message")).as("worst_message"))
+      .orderBy("error_type")
+
   /** Q5: all events of one trace: run itself + direct children
     * (AGENTS.md:237-258 semantics).
     */
@@ -123,6 +137,45 @@ object LogTable {
     */
   def shredded(spark: SparkSession, shredDir: String): DataFrame =
     ShreddedLog.read(spark, shredDir)
+
+  /** Token-usage rollup (same contract as
+    * [[LogTable.tokenUsageByCustomId]]) answered from the SHREDDED
+    * store when one has been maintained beside the log — typed columns,
+    * zero JSON machinery in the plan (asserted in ShreddedLogSpec) —
+    * and by parse-on-read otherwise. Same output either path, so
+    * standing dashboards route here and transparently stop paying the
+    * per-query JSON parse the moment the store exists; at 100 TB the
+    * parse is the read side's dominant CPU cost.
+    */
+  def tokenUsagePreferShredded(
+      spark: SparkSession, logDir: String, shredDir: String): DataFrame =
+    if (ShreddedLog.exists(spark, shredDir))
+      ShreddedLog.read(spark, shredDir)
+        .filter(col("event_type") === "llm_end")
+        .select(col("custom_id"),
+          coalesce(col("total_tokens"),
+            element_at(col("usage"), "total_tokens"),
+            lit(0L)).as("total_tokens"))
+        .groupBy("custom_id")
+        .agg(sum("total_tokens").as("total_tokens"),
+          count(lit(1)).as("n_calls"))
+        .orderBy("custom_id")
+    else read(spark, logDir).tokenUsageByCustomId
+
+  /** [[LogTable.errorsByType]] preferring the shredded store — same
+    * routing rule as [[tokenUsagePreferShredded]].
+    */
+  def errorsPreferShredded(
+      spark: SparkSession, logDir: String, shredDir: String): DataFrame =
+    if (ShreddedLog.exists(spark, shredDir))
+      ShreddedLog.read(spark, shredDir)
+        .filter(col("error_message").isNotNull)
+        .groupBy(col("error_type"))
+        .agg(count(lit(1)).as("n_errors"),
+          countDistinct(col("custom_id")).as("n_custom"),
+          max(col("error_message")).as("worst_message"))
+        .orderBy("error_type")
+    else read(spark, logDir).errorsByType
 
   def apply(df: DataFrame): LogTable = new LogTable(df)
 }

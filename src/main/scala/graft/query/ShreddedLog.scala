@@ -170,4 +170,10 @@ object ShreddedLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         LogSchema.schema)).drop("src")
     else spark.read.parquet(shredDir).drop("src")
+
+  /** Has this store ever been maintained? One partition-dir listing —
+    * the probe [[LogTable]]'s prefer-shredded builders route on.
+    */
+  def exists(spark: SparkSession, shredDir: String): Boolean =
+    processedSrcs(spark, shredDir).nonEmpty
 }

@@ -94,4 +94,39 @@ class ShreddedLogSpec extends SparkSpec {
     assert(q.collect().map(_.toString).sorted ===
       want.collect().map(_.toString).sorted)
   }
+
+  test("prefer-shredded builders: token usage and error drill-down " +
+    "route through typed columns when the store exists (JSON-free " +
+    "plan), fall back to parse-on-read when it doesn't, same answers") {
+    val root = java.nio.file.Files.createTempDirectory("shredroute").toString
+    val logDir = s"$root/log"
+    val storeDir = s"$root/store"
+    writeBatch(logDir, 0 until 30, usage = true)  // llm_end + tokens
+    writeBatch(logDir, 30 until 45, usage = false) // errors, no usage
+
+    // BEFORE the store exists: fallback = the classic parse-on-read
+    val fallbackTok = LogTable
+      .tokenUsagePreferShredded(spark, logDir, storeDir)
+    assert(fallbackTok.queryExecution.executedPlan.toString
+      .contains("from_json") ||
+      fallbackTok.queryExecution.executedPlan.toString.contains("FromJson"),
+      "without a store the builder must parse-on-read")
+    val wantTok = fallbackTok.collect().map(_.toString)
+    val wantErr = LogTable.errorsPreferShredded(spark, logDir, storeDir)
+      .collect().map(_.toString)
+
+    // AFTER maintenance: typed path, no JSON machinery, same rows
+    ShreddedLog.build(spark, logDir, storeDir)
+    val tok = LogTable.tokenUsagePreferShredded(spark, logDir, storeDir)
+    val err = LogTable.errorsPreferShredded(spark, logDir, storeDir)
+    Seq(tok, err).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("from_json") && !plan.contains("FromJson") &&
+        !plan.contains("get_json_object") && !plan.contains("GetJsonObject"),
+        s"JSON machinery leaked into a shredded-routed plan:\n$plan")
+    }
+    assert(tok.collect().map(_.toString) === wantTok)
+    assert(err.collect().map(_.toString) === wantErr)
+    assert(wantErr.nonEmpty && wantTok.nonEmpty, "fixture must exercise both")
+  }
 }
