@@ -160,10 +160,25 @@ object Synth {
         val n = size(words)
         // rotate by 7k mod n: slice(w, r+1, n-r) ++ slice(w, 1, r)
         val r = lit(7 * k) % n
-        val rotated = concat_ws(" ",
-          concat(slice(words, r + lit(1), n - r), slice(words, lit(1), r)))
+        val rotated = concat(slice(words, r + lit(1), n - r),
+          slice(words, lit(1), r))
+        // sparse token mutation (every 17th position, phase-shifted per
+        // replica, gets a replica-tagged suffix): rotation alone is
+        // UNIGRAM-BAG-INVARIANT, so bag-based fingerprints (simhash over
+        // unigrams) saw every replica group as an exact clone cluster —
+        // the r8 "dup storm" regime. Mutating ~6% of tokens per replica
+        // varies the bag AND the shingles while keeping token counts,
+        // and near-exactly char counts, at the base's values — so every
+        // dup family (shingle, bag, exact-hash) scales with per-decade
+        // selectivity like the driver's own legs instead of degenerate
+        // clone clusters. Within one replica the rule is deterministic,
+        // so base dup PAIRS stay dup pairs.
+        val mutated = concat_ws(" ",
+          transform(rotated, (w, i) =>
+            when((i + lit(k % 17)) % 17 === 0,
+              concat(w, lit(s"x$k"))).otherwise(w)))
         val text = if (k == 0) col("text") else
-          when(col("text").isNull, col("text")).otherwise(rotated)
+          when(col("text").isNull, col("text")).otherwise(mutated)
         df.select(off("doc_id", nDoc, k), text.as("text"), col("lang"),
           col("source"), length(coalesce(text, lit("")))
             .cast("long").as("n_chars"))
@@ -174,7 +189,15 @@ object Synth {
         val rot = if (k == 0) col("embedding") else
           concat(slice(col("embedding"), r + 1, dim - r),
             slice(col("embedding"), 1, r))
-        df.select(off("vec_id", nVec, k), rot.as("embedding"), col("label"))
+        // factor > dim would repeat rotations (replica k and k-dim
+        // would carry EXACT-duplicate vectors — a synthetic dup storm
+        // for the semantic legs); negate the second lap so every
+        // replica's map is distinct while norms and coordinate
+        // distributions stay exactly preserved
+        val mapped = if (k < dim) rot
+          else transform(rot, x => -x)
+        df.select(off("vec_id", nVec, k), mapped.as("embedding"),
+          col("label"))
       }, 2))
 
     tables.map { case (name, df, nFiles) =>
