@@ -24,11 +24,16 @@ import graft.ops.ClusteredStore
   * and a final summary line with the first-vs-last decile mean append
   * latency (flat ⇒ ratio ≈ 1; the old design would trend linearly).
   *
-  * Batch shape mirrors a real ingest: each micro-batch is LOCALIZED in
-  * key space (a drifting window over the frozen domain), so appends
-  * exercise the merge-rewrite path, not just gap inserts; every 10th
-  * batch strays partly outside the frozen bounds so the drift counter
-  * accrues like a production stream's would.
+  * Batch shape mirrors a real ingest and exercises every maintenance
+  * path: the store is initialized over the LOWER HALF of the frozen key
+  * domain (bounds frozen on sentinel corners), so two batch regimes
+  * coexist — two thirds of batches are LOCALIZED windows over covered
+  * key space (the merge-rewrite path), one third lands in the virgin
+  * upper half (the gap-insert path: new small files that `compact`
+  * must actually fold — a soak whose compaction always finds nothing
+  * proves nothing about it); every 10th batch also strays partly
+  * outside the frozen bounds so the drift counter accrues like a
+  * production stream's would.
   */
 object StoreSoak {
   def main(args: Array[String]): Unit = {
@@ -49,24 +54,41 @@ object StoreSoak {
     import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    // data occupies [0, 50k); bounds are frozen to [0, 100k] by two
+    // sentinel corner rows, leaving the upper half of curve space VIRGIN
+    // — gap-insert batches land there as new files
     def base(n: Long) = spark.range(n)
       .select(col("id"),
-        pmod(col("id") * 7919, lit(100000)).as("a"),
-        pmod(col("id") * 104729, lit(100000)).as("b"),
+        pmod(col("id") * 7919, lit(50000)).as("a"),
+        pmod(col("id") * 104729, lit(50000)).as("b"),
         concat(lit("payload-"), col("id")).as("payload"))
+      .unionByName(spark.range(2).select((col("id") - 10).as("id"),
+        lit(100000L).as("a"), lit(100000L).as("b"),
+        lit("sentinel").as("payload")))
     ClusteredStore.init(base(200000), Seq("a", "b"), 64, dir)
 
     def batchDf(k: Int) = {
-      // drifting localized window; every 10th batch 20% out-of-bounds
-      val lo = (k * 1837) % 90000
       val idBase = 1000000L + k.toLong * rowsPerBatch
-      spark.range(idBase, idBase + rowsPerBatch)
-        .select(col("id"),
+      val ids = spark.range(idBase, idBase + rowsPerBatch)
+      if (k % 3 == 2) {
+        // gap regime: a drifting window in the virgin upper half —
+        // beyond every file's curve range, so the append CREATES files
+        val lo = 52000 + (k * 1231) % 40000
+        ids.select(col("id"),
+          (lit(lo) + pmod(col("id"), lit(3000))).as("a"),
+          (lit(lo) + pmod(col("id") * 31, lit(3000))).as("b"),
+          concat(lit(s"batch$k-"), col("id")).as("payload"))
+      } else {
+        // merge regime: localized window over covered space; every 10th
+        // batch 20% out-of-bounds (drift clamps to the edge cells)
+        val lo = (k * 1837) % 45000
+        ids.select(col("id"),
           (lit(lo) + pmod(col("id"), lit(5000)) +
             when(lit(k % 10 == 0) && pmod(col("id"), lit(5)) === 0,
               lit(120000)).otherwise(lit(0))).as("a"),
           (lit(lo) + pmod(col("id") * 31, lit(5000))).as("b"),
           concat(lit(s"batch$k-"), col("id")).as("payload"))
+      }
     }
 
     def diskFiles(): Int = Fs.list(spark, s"$dir/data")
@@ -75,7 +97,7 @@ object StoreSoak {
       .count(_.getPath.getName.startsWith("v="))
 
     val appendMs = Array.ofDim[Double](nBatches)
-    var totalRows = 200000L
+    var totalRows = 200002L // base + 2 sentinel corners
     for (k <- 0 until nBatches) {
       val t0 = System.nanoTime()
       val st = ClusteredStore.appendStream(spark, dir, batchDf(k), k.toLong)
