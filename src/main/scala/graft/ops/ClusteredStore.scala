@@ -436,25 +436,50 @@ object ClusteredStore {
       if (targetRowsPerFile > 0) targetRowsPerFile
       else math.max(1L, led.map(_.getAs[Long]("n_rows")).sum /
         math.max(1, led.length))
+
+    // Split the batch at the touched intervals' edges and stage the two
+    // halves SEPARATELY: rows inside a touched file's curve range merge-
+    // rewrite with those files; rows outside every range become fresh
+    // files on their own. Staging them as ONE range-split write would
+    // give the merged output the UNION interval of both — and a wide-
+    // interval file is a positive feedback loop: it may-matches every
+    // later batch's probe, absorbs it, and widens further, until one
+    // file spans the whole curve (pruning ruined, every append a
+    // rewrite). Split staging keeps rewrite outputs inside the touched
+    // hull and gives fresh files their own tight boxes, so file
+    // intervals never expand under append — dispersed small inserts
+    // accumulate as small files instead, which is exactly the debt
+    // [[compact]] is designed to collect.
+    val touchedIv = intervals.filter(col("file")
+      .isin(touchedFiles.toSeq: _*))
+    val zInside = inc("_z") >= touchedIv("z_lo") &&
+      inc("_z") <= touchedIv("z_hi")
+    val outCols = incoming.columns.map(col).toSeq
+    val insideRows = inc.join(broadcast(touchedIv), zInside, "leftsemi")
+    val freshRows = inc.join(broadcast(touchedIv), zInside, "leftanti")
+
+    def staged(df: DataFrame, n: Long): Seq[String] =
+      if (n == 0) Nil
+      else Fs.stagedAppend(
+        df.withColumn("_z", key)
+          .repartitionByRange(math.max(1L, (n + target - 1) / target).toInt,
+            col("_z"))
+          .sortWithinPartitions("_z")
+          .select(outCols: _*),
+        None, dataDir(dir))
+
     val baseRows =
       if (touchedFiles.isEmpty)
-        inc.limit(0).select(incoming.columns.map(col): _*)
+        inc.limit(0).select(outCols: _*)
       else spark.read.parquet(touchedFiles.toSeq: _*)
-        .select(incoming.columns.map(col).toSeq: _*)
-    val merged = baseRows
-      .unionByName(inc.select(incoming.columns.map(col).toSeq: _*))
-    val nMerged = merged.count()
-    val nNew = math.max(1L, (nMerged + target - 1) / target).toInt
-
-    // stage the rewritten region into the live data dir: new part-file
-    // names are unique, ledger readers cannot see them yet, and the
-    // returned path list IS the commit's lineage
-    val newFiles = Fs.stagedAppend(
-      merged.withColumn("_z", key)
-        .repartitionByRange(nNew, col("_z"))
-        .sortWithinPartitions("_z")
-        .select(incoming.columns.map(col).toSeq: _*),
-      None, dataDir(dir))
+        .select(outCols: _*)
+    val merged = baseRows.unionByName(insideRows.select(outCols: _*))
+    // stage into the live data dir: new part-file names are unique,
+    // ledger readers cannot see them yet, and the returned path lists
+    // ARE the commit's lineage
+    val newFiles =
+      staged(merged, if (touchedFiles.isEmpty) 0L else merged.count()) ++
+        staged(freshRows.select(outCols: _*), freshRows.count())
 
     val untouched = cur.filter(!col("file").isin(touchedFiles.toSeq: _*))
     val fresh =
@@ -505,12 +530,21 @@ object ClusteredStore {
     val rows = spark.read.parquet(smalls.toSeq: _*)
     val n = rows.count()
     // size outputs at the HEALTHY files' mean (the overall mean is
-    // dragged down by the very files being merged), and always emit
-    // strictly fewer files than were merged — compaction that breaks
-    // even on file count is not compaction
+    // dragged down by the very files being merged) but never below 2×
+    // the floor: when a stream has churned EVERY file small, the
+    // healthy mean does not exist and the overall mean is itself small
+    // — targeting it would emit files that are still under the floor,
+    // and the next tick would refold the whole table forever (full-
+    // table rewrite per tick, file count never converging). Outputs at
+    // ≥2×floor are healthy by construction, so each tick's work is
+    // bounded by the rows ingested since the last one. Also always
+    // emit strictly fewer files than were merged — compaction that
+    // breaks even on file count is not compaction.
     val healthy = led.filter(_.getAs[Long]("n_rows") >= floor)
       .map(_.getAs[Long]("n_rows"))
-    val target = if (healthy.nonEmpty) healthy.sum / healthy.length else mean
+    val target = math.max(
+      if (healthy.nonEmpty) healthy.sum / healthy.length else mean,
+      2 * floor)
     val nNew = math.min(smalls.length - 1,
       math.max(1L, (n + target - 1) / target).toInt)
     val dropCols = rows.columns.toSeq
@@ -641,14 +675,14 @@ object ClusteredStore {
     * breaking it is safe.
     */
   def appendStream(spark: SparkSession, dir: String, batch: DataFrame,
-      batchId: Long): AppendStats = {
+      batchId: Long, targetRowsPerFile: Long = 0L): AppendStats = {
     require(batchId >= 0, "streaming batch ids are non-negative")
     recover(spark, dir)
     val s = stats(spark, dir)
     if (batchId <= s.wmBatch)
       AppendStats(rewritten = 0, created = 0,
         untouched = s.nFiles.toInt, clamped = 0L, version = s.version)
-    else append(spark, dir, batch, batchId = batchId)
+    else append(spark, dir, batch, targetRowsPerFile, batchId = batchId)
   }
 
   /** Hadoop path equality across `file:/` vs `file:///` spellings. */
@@ -732,5 +766,82 @@ object ClusteredStore {
     val nRows = r.getLong(1)
     StoreStats(v, r.getLong(0), nRows, r.getLong(2), r.getLong(3),
       if (nRows == 0) 0.0 else r.getLong(3).toDouble / nRows)
+  }
+
+  /** Version log over the RETAINED manifest versions, newest first —
+    * one row per committed version: (version, n_files, n_rows,
+    * wm_batch, clamped_total, clamp_rate). The inspection surface for
+    * time travel ("which versions can I still read as-of?") and for
+    * watching drift accumulate commit over commit. Reads one manifest
+    * per RETAINED version — bounded by [[vacuum]]'s keepLast, not by
+    * the table's lifetime commit count.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val vs = Fs.list(spark, ledgerDir(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
+      .sorted
+    val rows = vs.map { v =>
+      val s = stats(spark, dir, Some(v))
+      (s.version, s.nFiles, s.nRows, s.wmBatch, s.clampedTotal,
+        s.clampRate)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_rows", "wm_batch",
+      "clamped_total", "clamp_rate")
+      .orderBy(col("version").desc)
+  }
+
+  /** What one [[maintain]] tick did: files folded by compaction,
+    * whether the table was reclustered, versions reclaimed by vacuum,
+    * and the resulting current version.
+    */
+  final case class MaintainReport(
+      compactedFiles: Int, reclustered: Boolean, vacuumedFiles: Int,
+      version: Int)
+
+  /** One self-maintenance tick — the measured-decision loop closed:
+    * every threshold below reads the signals the store already
+    * publishes, so maintenance is policy on measurements, not a
+    * schedule guessed in advance.
+    *
+    *  1. [[compact]] when the small-file FRACTION (manifest files under
+    *     half the mean size) is at least `smallFileFrac`;
+    *  2. [[recluster]] (at the current file count) when the
+    *     accumulated clamp rate is at least `clampRateMax` — the drift
+    *     counter says the frozen bounds stopped fitting the data;
+    *  3. [[vacuum]] (keeping `keepLast`) when more than `maxVersions`
+    *     manifest versions are retained.
+    *
+    * Run it from the same single-maintainer loop that appends (e.g.
+    * every Nth micro-batch). Each action is its own claimed manifest
+    * commit, so a crash mid-tick leaves a recoverable store — the next
+    * tick's [[recover]]-via-append simply continues where it died.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      smallFileFrac: Double = 0.25, clampRateMax: Double = 0.05,
+      maxVersions: Int = 10, keepLast: Int = 5): MaintainReport = {
+    val s0 = stats(spark, dir)
+    val led = manifest(spark, dir, Some(s0.version))
+      .select("n_rows").collect().map(_.getLong(0))
+    val mean = math.max(1L, led.sum / math.max(1, led.length))
+    val smallFrac =
+      led.count(_ < mean / 2).toDouble / math.max(1, led.length)
+    val compacted =
+      if (smallFrac >= smallFileFrac)
+        compact(spark, dir).rewritten
+      else 0
+    val reclustered = stats(spark, dir).clampRate >= clampRateMax
+    if (reclustered)
+      recluster(spark, dir, nFiles = math.max(1, s0.nFiles.toInt))
+    val retained = Fs.list(spark, ledgerDir(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .count(n => Fs.exists(spark,
+        s"${versionDir(dir, n.stripPrefix("v=").toInt)}/_SUCCESS"))
+    val vacuumed =
+      if (retained > maxVersions) vacuum(spark, dir, keepLast) else 0
+    MaintainReport(compacted, reclustered, vacuumed,
+      currentVersion(spark, dir).getOrElse(s0.version))
   }
 }

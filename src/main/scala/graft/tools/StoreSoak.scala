@@ -28,12 +28,22 @@ import graft.ops.ClusteredStore
   * path: the store is initialized over the LOWER HALF of the frozen key
   * domain (bounds frozen on sentinel corners), so two batch regimes
   * coexist — two thirds of batches are LOCALIZED windows over covered
-  * key space (the merge-rewrite path), one third lands in the virgin
-  * upper half (the gap-insert path: new small files that `compact`
-  * must actually fold — a soak whose compaction always finds nothing
-  * proves nothing about it); every 10th batch also strays partly
-  * outside the frozen bounds so the drift counter accrues like a
-  * production stream's would.
+  * key space (the merge-rewrite path), one third is a SKINNY batch
+  * landing in the virgin upper half (the gap-insert path); every 10th
+  * batch also strays partly outside the frozen bounds so the drift
+  * counter accrues like a production stream's would.
+  *
+  * The gap regime drops its boxes in the curve's LAST quadrant
+  * (high-a, low-b): the file holding the frozen-bound sentinels spans
+  * the whole (high-a, high-b) quadrant's curve range, so boxes there
+  * merge into it instead of accumulating — the last quadrant is past
+  * every live interval, so each box becomes its own small fresh file
+  * (split staging keeps its interval tight), and the accumulated
+  * smalls are exactly the debt `compact`'s own mean/2 policy must
+  * find and fold. File count must sawtooth — climb between
+  * compactions, fold at each one, never trend upward — and that
+  * envelope, plus the flat append-latency curve, is what this harness
+  * records.
   */
 object StoreSoak {
   def main(args: Array[String]): Unit = {
@@ -71,12 +81,17 @@ object StoreSoak {
       val idBase = 1000000L + k.toLong * rowsPerBatch
       val ids = spark.range(idBase, idBase + rowsPerBatch)
       if (k % 3 == 2) {
-        // gap regime: a drifting window in the virgin upper half —
-        // beyond every file's curve range, so the append CREATES files
-        val lo = 52000 + (k * 1231) % 40000
-        ids.select(col("id"),
-          (lit(lo) + pmod(col("id"), lit(3000))).as("a"),
-          (lit(lo) + pmod(col("id") * 31, lit(3000))).as("b"),
+        // gap regime: a SKINNY batch (rowsPerBatch/16 — real streams
+        // deliver skinny micro-batches) in a TINY box (50×50) at a
+        // pseudo-randomly striding spot in the virgin LAST quadrant
+        // (high a, low b — see the class comment for why the (high,
+        // high) quadrant would be absorbed instead of accumulating)
+        val g = k / 3
+        val loA = 52000 + (g * 7919) % 45000
+        val loB = 2000 + (g * 4793) % 45000
+        ids.limit(rowsPerBatch / 16).select(col("id"),
+          (lit(loA) + pmod(col("id"), lit(50))).as("a"),
+          (lit(loB) + pmod(col("id") * 31, lit(50))).as("b"),
           concat(lit(s"batch$k-"), col("id")).as("payload"))
       } else {
         // merge regime: localized window over covered space; every 10th
@@ -103,7 +118,7 @@ object StoreSoak {
       val st = ClusteredStore.appendStream(spark, dir, batchDf(k), k.toLong)
       val ms = (System.nanoTime() - t0) / 1e6
       appendMs(k) = ms
-      totalRows += rowsPerBatch
+      totalRows += (if (k % 3 == 2) rowsPerBatch / 16 else rowsPerBatch)
       val s = ClusteredStore.stats(spark, dir)
       val extra = new StringBuilder
       if ((k + 1) % compactEvery == 0) {

@@ -399,4 +399,143 @@ class ClusteredStoreSpec extends SparkSpec {
     assert(ClusteredStore.read(spark, dir).count() === 5360L)
     assert(ClusteredStore.stats(spark, dir).wmBatch === 2L)
   }
+
+  test("history lists every retained version's health row; maintain " +
+    "acts only when its measured thresholds trip") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore14").toString
+    ClusteredStore.init(mkDocs(0 until 6000), Seq("a", "b"), 4, dir)
+    // two appends: one in-bounds, one fully out-of-bounds (drift)
+    ClusteredStore.append(spark, dir, (70000 until 70300).toDF("id")
+      .withColumn("a", col("id") % 200).withColumn("b", col("id") % 150)
+      .withColumn("payload", lit("in")))
+    ClusteredStore.append(spark, dir, (80000 until 80600).toDF("id")
+      .withColumn("a", lit(7000) + col("id") % 10)
+      .withColumn("b", col("id") % 100)
+      .withColumn("payload", lit("oob")))
+
+    val h = ClusteredStore.history(spark, dir).collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(3, 2, 1), "newest first")
+    assert(h.map(_.getLong(2)).toSeq === Seq(6900L, 6300L, 6000L),
+      "per-version row counts")
+    assert(h.last.getLong(4) === 0L && h.head.getLong(4) === 600L,
+      "clamped_total accumulates along the version log")
+
+    // thresholds NOT tripped: small-file fraction low (init wrote
+    // uniform files), clamp rate 600/6900 ≈ 0.087 < 0.10, 3 ≤ 10
+    // versions → maintain does nothing
+    val calm = ClusteredStore.maintain(spark, dir,
+      smallFileFrac = 0.9, clampRateMax = 0.10, maxVersions = 10)
+    assert(calm === ClusteredStore.MaintainReport(0, false, 0, 3), s"$calm")
+
+    // drop the clamp threshold below the measured rate → recluster
+    // fires, drift resets, rows unchanged; version log grows
+    val act = ClusteredStore.maintain(spark, dir,
+      smallFileFrac = 0.9, clampRateMax = 0.05, maxVersions = 10)
+    assert(act.reclustered, s"$act")
+    assert(ClusteredStore.stats(spark, dir).clampedTotal === 0L,
+      "recluster resets the drift counter")
+    assert(ClusteredStore.read(spark, dir).count() === 6900L)
+
+    // version budget exceeded → the next tick vacuums down to keepLast
+    val vac = ClusteredStore.maintain(spark, dir,
+      smallFileFrac = 0.9, clampRateMax = 0.99, maxVersions = 3,
+      keepLast = 2)
+    assert(vac.vacuumedFiles > 0, s"$vac")
+    assert(ClusteredStore.history(spark, dir).count() === 2L)
+    assert(ClusteredStore.read(spark, dir).count() === 6900L)
+  }
+
+  test("split staging: appends never widen a file's curve interval — " +
+    "fresh rows get their own tight files, merge outputs stay inside " +
+    "the touched hull, and compact folds the accumulated smalls") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore15").toString
+    // two dense clusters at the (lo,lo) and (hi,hi) corners: the
+    // curve's LAST quadrant (hi-a, lo-b) is live-file-free — every
+    // box dropped there must take the fresh-file staging path
+    def corner(ids: Range, base: Int) = ids.toDF("id")
+      .withColumn("a", lit(base) + col("id") % 1000)
+      .withColumn("b", lit(base) + (col("id") * 7) % 1000)
+      .withColumn("payload", concat(lit("c"), col("id")))
+    val init = corner(0 until 3000, 0)
+      .unionByName(corner(100000 until 103000, 99000))
+    ClusteredStore.init(init, Seq("a", "b"), 4, dir)
+    val man1 = ClusteredStore.manifest(spark, dir)
+      .select("z_lo", "z_hi").collect()
+    val hullHi = man1.map(_.getLong(1)).max
+
+    def box(ids: Range, loA: Int, loB: Int) = ids.toDF("id")
+      .withColumn("a", lit(loA) + col("id") % 50)
+      .withColumn("b", lit(loB) + (col("id") * 3) % 50)
+      .withColumn("payload", concat(lit("g"), col("id")))
+
+    // two tiny boxes in the virgin last quadrant: pure fresh-file
+    // inserts (nothing rewritten), each its own tight file past the hull
+    val s1 = ClusteredStore.append(spark, dir, box(200000 until 200200, 95000, 3000))
+    val s2 = ClusteredStore.append(spark, dir, box(300000 until 300200, 80000, 10000))
+    assert(s1.rewritten === 0 && s1.created === 1, s"$s1")
+    assert(s2.rewritten === 0 && s2.created === 1, s"$s2")
+
+    val man2 = ClusteredStore.manifest(spark, dir)
+      .select("file", "z_lo", "z_hi", "n_rows").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("z_lo"),
+        r.getAs[Long]("z_hi")))
+    assert(man2.count(_._2 > hullHi) === 2,
+      "both fresh files sit past the init hull with tight intervals")
+
+    // a mixed batch: half lands inside a covered region (one init file
+    // straddles the inter-cluster curve jump — its wide interval
+    // contains the (30000,30000) box), half in another virgin last-
+    // quadrant box. Pre-split-staging, ONE range-partitioned write
+    // fused both into a single file whose interval spanned from the
+    // straddler to the virgin corner — the widening this pins out.
+    val mixed = box(400000 until 400100, 30000, 30000)
+      .unionByName(box(500000 until 500100, 70000, 20000))
+    val s3 = ClusteredStore.append(spark, dir, mixed)
+    assert(s3.rewritten === 1, s"the straddler must merge-rewrite: $s3")
+
+    // the replaced file is exactly the straddler; its replacements (and
+    // every other current file overlapping its old interval) sit INSIDE
+    // the old interval — and the virgin half of the batch became its
+    // own file DISJOINT from it
+    val man3 = ClusteredStore.manifest(spark, dir)
+      .select("file", "z_lo", "z_hi").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("z_lo"),
+        r.getAs[Long]("z_hi")))
+    val man3files = man3.map(_._1).toSet
+    val replaced = man2.filterNot(f => man3files.contains(f._1))
+    assert(replaced.length === 1, s"$replaced")
+    val iv1 = replaced.head
+    info(s"straddler interval: $iv1")
+    val overlapping = man3.filter(f => f._2 <= iv1._3 && f._3 >= iv1._2)
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { f =>
+      assert(f._2 >= iv1._2 && f._3 <= iv1._3,
+        s"append widened interval: $f vs $iv1")
+    }
+    assert(man3.count(_._2 > hullHi) === 3,
+      "the virgin half of the mixed batch is its own tight file")
+
+    // the small virgin-corner files are real debt: an explicit-floor
+    // compact folds them (≥2 smalls found) and answers are unchanged
+    val cs = ClusteredStore.compact(spark, dir, minRowsPerFile = 500L)
+    assert(cs.rewritten >= 2, s"compact must fold the gap smalls: $cs")
+    assert(ClusteredStore.read(spark, dir).count() === 6600L)
+    val want = init.unionByName(mixed)
+      .unionByName(box(200000 until 200200, 95000, 3000))
+      .unionByName(box(300000 until 300200, 80000, 10000))
+    assert(ClusteredStore.read(spark, dir)
+      .select("id", "a", "b", "payload").exceptAll(want).count() === 0L)
+
+    // compaction CONVERGES: with a floor above every current file's
+    // size, one tick folds the lot into outputs ≥2×floor (healthy by
+    // construction) and the next tick finds nothing. Targeting the
+    // mean instead would emit still-small files and refold the whole
+    // table every tick, forever.
+    val c2 = ClusteredStore.compact(spark, dir, minRowsPerFile = 2000L)
+    assert(c2.rewritten >= 2, s"$c2")
+    val c3 = ClusteredStore.compact(spark, dir, minRowsPerFile = 2000L)
+    assert(c3.rewritten === 0,
+      s"compaction must converge, not refold every tick: $c3")
+    assert(ClusteredStore.read(spark, dir).count() === 6600L)
+  }
 }
