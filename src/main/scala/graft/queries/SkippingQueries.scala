@@ -396,7 +396,87 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_suppkey) * 3 // 5 FROM lineitem)
             GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST"""))
 
+  /** Version-log accounting ([[graft.ops.ClusteredStore.history]]): the
+    * SAME store [[lineitemStore]] builds (init from 80% of lineitem +
+    * two appends) must expose exactly three committed versions whose
+    * per-version row counts equal the cumulative slice sizes the oracle
+    * recomputes from the source table — the manifest chain's row
+    * bookkeeping is exact, not advisory. Latency/clamp columns are
+    * layout-dependent and asserted in ClusteredStoreSpec instead.
+    */
+  val clusterHistory = Q(
+    "q_cluster_history",
+    (s, dir) => {
+      val base = lineitemStore(s, dir)
+      graft.ops.ClusteredStore.history(s, s"$base/store")
+        .select(col("version"), col("n_rows"))
+        .orderBy("version")
+    },
+    Some("""WITH c AS (SELECT
+              CAST(COUNT(*) FILTER (WHERE l_orderkey % 5 <> 4) AS BIGINT) AS v1,
+              CAST(COUNT(*) FILTER (WHERE l_orderkey % 5 = 4
+                                      AND l_orderkey % 2 = 0) AS BIGINT) AS a1,
+              CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+            SELECT CAST(1 AS INTEGER) AS version, v1 AS n_rows FROM c
+            UNION ALL SELECT 2, v1 + a1 FROM c
+            UNION ALL SELECT 3, total FROM c
+            ORDER BY version"""))
+
+  /** One full measured-policy maintenance tick
+    * ([[graft.ops.ClusteredStore.maintain]]), answer-invariant
+    * end-to-end: the store is initialized on the LOW half of the
+    * partkey domain, churned by four skinny appends carrying the HIGH
+    * half (every row clamps — drift — and lands as small files), then a
+    * single `maintain` whose thresholds all trip runs compact +
+    * recluster + vacuum-to-one-version back to back. The box read over
+    * the maintained store must equal the full-scan oracle: none of the
+    * three maintenance actions may change an answer. Threshold gating
+    * (which actions fire when) is asserted in ClusteredStoreSpec.
+    */
+  val clusterMaintain = Q(
+    "q_cluster_maintain",
+    (s, dir) => {
+      val base = memo("clmaintain", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        val m = li.agg(max(col("l_partkey"))).head()
+        val maxP = if (m.isNullAt(0)) 0L else m.getLong(0)
+        graft.ops.ClusteredStore.init(
+          li.filter(col("l_partkey") <= maxP / 2),
+          Seq("l_partkey", "l_suppkey"), 16, s"$b/store")
+        (0 until 4).foreach { k =>
+          graft.ops.ClusteredStore.append(s, s"$b/store",
+            li.filter(col("l_partkey") > maxP / 2 &&
+              col("l_partkey") % 4 === k))
+        }
+        graft.ops.ClusteredStore.maintain(s, s"$b/store",
+          smallFileFrac = 0.01, clampRateMax = 0.01,
+          maxVersions = 2, keepLast = 1)
+      }
+      val li = tbl(s, dir, "lineitem")
+      val m = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("s")).head()
+      val maxP = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val maxS = if (m.isNullAt(1)) 0L else m.getLong(1)
+      graft.ops.ClusteredStore.readPruned(s, s"$base/store",
+          Seq(Box.between("l_partkey", maxP * 2 / 5, maxP * 7 / 10),
+            Box.between("l_suppkey", maxS / 10, maxS / 2)))
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) * 2 // 5 FROM lineitem)
+                                AND (SELECT MAX(l_partkey) * 7 // 10 FROM lineitem)
+              AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 10 FROM lineitem)
+                                AND (SELECT MAX(l_suppkey) // 2 FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
-      clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster)
+      clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
+      clusterHistory, clusterMaintain)
 }
