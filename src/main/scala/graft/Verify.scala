@@ -28,6 +28,8 @@ object Verify {
       "/tmp/graft_runtree_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     sys.props("graft.shred.dir") =
       "/tmp/graft_shred_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    sys.props("graft.rollup.dir") =
+      "/tmp/graft_rollup_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -14,7 +14,7 @@ object Registry {
       WinsorizeQuery.all ++ RunTreeQuery.all ++ PqDriftQuery.all ++
       AnnCostQuery.all ++ DedupCostQuery.all ++ BloomSuppressQuery.all ++
       SkippingQueries.all ++ JsonlQuery.all ++ SnapshotDiffQuery.all ++
-      ResampleQuery.all ++ ShreddedQuery.all ++
+      ResampleQuery.all ++ ShreddedQuery.all ++ RollupQuery.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 

@@ -87,7 +87,7 @@ object ShreddedLog {
       .parquet(shredDir)
 
   /** Source data files of a log directory (recursive under `date=`). */
-  private def logFiles(spark: SparkSession, logDir: String): Seq[String] = {
+  private[query] def logFiles(spark: SparkSession, logDir: String): Seq[String] = {
     val fs = Fs(spark, logDir)
     val p = new org.apache.hadoop.fs.Path(logDir)
     if (!fs.exists(p)) return Seq.empty
@@ -102,7 +102,7 @@ object ShreddedLog {
     out.result()
   }
 
-  private def md5Hex(s: String): String =
+  private[query] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.replaceFirst(SchemePattern, "").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -110,7 +110,7 @@ object ShreddedLog {
   /** `src=` fingerprints already present in the store — one recursive
     * listing of partition DIRECTORIES, no data read.
     */
-  private def processedSrcs(spark: SparkSession, shredDir: String): Set[String] = {
+  private[query] def processedSrcs(spark: SparkSession, shredDir: String): Set[String] = {
     val fs = Fs(spark, shredDir)
     val p = new org.apache.hadoop.fs.Path(shredDir)
     if (!fs.exists(p)) return Set.empty
