@@ -18,6 +18,21 @@ object CurationQueries {
   private[queries] val cosThreshold = 0.4
   private val nShards = 8
 
+  /** SemDeDup's scale knob, made adaptive: cluster count grows with the
+    * corpus so the EXPECTED cluster size stays ~[[semTargetBucket]] and
+    * the per-cluster quadratic stays linear-in-n overall (Σ size² ≈
+    * n × target). A fixed k is the classic SemDeDup scaling bug — bucket
+    * occupancy grows ∝ n and candidate pairs ∝ n²; the 5-point r9 scale
+    * curve caught exactly that (SkewGuard refused 2.5e9 pairs at sf10).
+    * Deterministic from the non-null corpus count, and replayed by the
+    * oracle with the same integer arithmetic, so results hash-match at
+    * every scale factor.
+    */
+  private[queries] val semTargetBucket = 512L
+  private[queries] def semClusters(nVecs: Long): Int =
+    math.max(nClusters.toLong,
+      (nVecs + semTargetBucket - 1) / semTargetBucket).toInt
+
   private[queries] val duckCorpus =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
               list_sum([x * x for x in embedding::DOUBLE[]]) AS nrm
@@ -67,13 +82,15 @@ object CurationQueries {
     bench = true)
 
   /** SemDeDup-style semantic dedup ([[graft.ops.SemanticDedup]]): coarse
-    * k-means-style clustering (the IVF centroid rule — lowest-16 vec_ids,
+    * k-means-style clustering (the IVF centroid rule — lowest-k vec_ids,
     * model state folded into a map-only projection), then within each
     * cluster drop every vector with an earlier near-identical neighbor
     * (cosine ≥ 0.4). The per-cluster quadratic is the SemDeDup design
-    * point — cluster count is the knob that bounds it, and
-    * `SkewGuard.requirePairBound` enforces the budget. The oracle replays
-    * assignment and the keep rule exactly (argmax tie-break on lowest
+    * point — cluster count is the knob that bounds it, so k scales with
+    * the corpus ([[semClusters]]: expected cluster size stays ~512 and
+    * total pairs stay linear in n), and `SkewGuard.requirePairBound`
+    * remains the hard budget gate. The oracle replays the adaptive k,
+    * assignment, and the keep rule exactly (argmax tie-break on lowest
     * centroid id, double-precision left-to-right dot products).
     */
   val semanticDedup = Q(
@@ -84,7 +101,8 @@ object CurationQueries {
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", expr("dot_product(v, v)"))
-      val cents = graft.ops.VectorIndex.centroidsFrom(e, nClusters)
+      val cents = graft.ops.VectorIndex.centroidsFrom(
+        e, semClusters(e.count()))
       val assigned = e.withColumn(
         "bucket", graft.ops.VectorIndex.assignBucket(cents))
       graft.ops.SemanticDedup.mark(assigned, "vec_id", cosThreshold)
@@ -94,7 +112,9 @@ object CurationQueries {
     },
     Some(s"""WITH e AS ($duckCorpus),
             cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
-                     WHERE vec_id < $nClusters),
+                     WHERE vec_id < (SELECT GREATEST($nClusters,
+                       (COUNT(*) + ${semTargetBucket - 1}) // $semTargetBucket)
+                       FROM e)),
             assigned AS (
               SELECT vec_id, v, nrm, cid AS bucket FROM (
                 SELECT e.vec_id, e.v, e.nrm, cent.cid,

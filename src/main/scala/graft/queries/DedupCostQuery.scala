@@ -198,8 +198,11 @@ object DedupCostQuery {
       // pays (Σ C(n,2) over k-means-style cluster sizes); verified =
       // within-cluster pairs at exact cos ≥ threshold (the pairs whose
       // earlier member suppresses the later in q_semantic_dedup)
+      // adaptive k (CurationQueries.semClusters): this leg's corpus is
+      // the label-non-null frame, so k derives from ITS count — the
+      // oracle's sd_cent replays the same integer arithmetic over ee
       val cents = graft.ops.VectorIndex
-        .centroidsFrom(emb, CurationQueries.nClusters)
+        .centroidsFrom(emb, CurationQueries.semClusters(emb.count()))
       val assigned = emb
         .withColumn("bucket", graft.ops.VectorIndex.assignBucket(cents))
         .filter(col("bucket").isNotNull)
@@ -361,7 +364,8 @@ object DedupCostQuery {
             el_h AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
                      FROM lf JOIN ct USING (ai, bi)),
             sd_cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ee
-                        WHERE vec_id < 16),
+                        WHERE vec_id < (SELECT GREATEST(16,
+                          (COUNT(*) + 511) // 512) FROM ee)),
             sd_assigned AS (
               SELECT vec_id, v, nrm, cid AS bucket FROM (
                 SELECT ee.vec_id, ee.v, ee.nrm, sd_cent.cid,

@@ -13,16 +13,23 @@ import graft.ops.ClusteredStore
   * re-read every prior manifest per commit (O(versions) reads, O(v²)
   * cumulative over a stream's life); the r9 explicit-lineage commit
   * reads exactly one manifest — this soak drives hundreds of streaming
-  * micro-batches through `appendStream` with periodic `compact` and
-  * `vacuum` and records the latency curve that proves the flat shape.
+  * micro-batches through `appendStream` with a `maintain` policy tick
+  * every 10th batch (the SHIPPED measured-decision loop, not a hand
+  * schedule: compact fires on the small-file fraction, recluster on the
+  * accumulated clamp rate, vacuum on the retained-version budget) and
+  * records the latency curve that proves the flat shape.
   *
   * Usage: runMain graft.tools.StoreSoak [nBatches [rowsPerBatch]]
   * (defaults 200 / 5000). Emits one JSON line per batch:
   *   {"batch":k,"version":v,"append_ms":…,"files":manifestFiles,
   *    "disk_files":dataFilesOnDisk,"versions":committedManifests,
-  *    "rows":totalRows[,"compact_ms":…][,"vacuum_ms":…,"reclaimed":…]}
+  *    "rows":totalRows[,"maintain_ms":…,"compacted":…,"reclustered":…,
+  *    "vacuumed":…]}
   * and a final summary line with the first-vs-last decile mean append
   * latency (flat ⇒ ratio ≈ 1; the old design would trend linearly).
+  * The clamp threshold is set low enough (0.01) that the soak's drift
+  * regime crosses it mid-run, so the curve shows at least one full
+  * drift → recluster → counter-reset cycle firing FROM the policy.
   *
   * Batch shape mirrors a real ingest and exercises every maintenance
   * path: the store is initialized over the LOWER HALF of the frozen key
@@ -49,9 +56,7 @@ object StoreSoak {
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(200)
     val rowsPerBatch = args.drop(1).headOption.map(_.toInt).getOrElse(5000)
-    val compactEvery = 25
-    val vacuumEvery = 50
-    val keepLast = 5
+    val maintainEvery = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -121,17 +126,15 @@ object StoreSoak {
       totalRows += (if (k % 3 == 2) rowsPerBatch / 16 else rowsPerBatch)
       val s = ClusteredStore.stats(spark, dir)
       val extra = new StringBuilder
-      if ((k + 1) % compactEvery == 0) {
-        val c0 = System.nanoTime()
-        val cs = ClusteredStore.compact(spark, dir)
-        extra ++= f""","compact_ms":${(System.nanoTime() - c0) / 1e6}%.0f"""
-        extra ++= s""","compacted":${cs.rewritten}"""
-      }
-      if ((k + 1) % vacuumEvery == 0) {
-        val v0 = System.nanoTime()
-        val reclaimed = ClusteredStore.vacuum(spark, dir, keepLast)
-        extra ++= f""","vacuum_ms":${(System.nanoTime() - v0) / 1e6}%.0f"""
-        extra ++= s""","reclaimed":$reclaimed"""
+      if ((k + 1) % maintainEvery == 0) {
+        val m0 = System.nanoTime()
+        val mr = ClusteredStore.maintain(spark, dir,
+          smallFileFrac = 0.05, clampRateMax = 0.01,
+          maxVersions = 20, keepLast = 5)
+        extra ++= f""","maintain_ms":${(System.nanoTime() - m0) / 1e6}%.0f"""
+        extra ++= s""","compacted":${mr.compactedFiles}"""
+        extra ++= s""","reclustered":${mr.reclustered}"""
+        extra ++= s""","vacuumed":${mr.vacuumedFiles}"""
       }
       println(f"""{"batch":$k,"version":${st.version},"append_ms":$ms%.0f,""" +
         s""""files":${s.nFiles},"disk_files":${diskFiles()},""" +
