@@ -61,14 +61,26 @@ final class ConcurrentCommitException(msg: String)
   *     count) at any version — and orphans stay invisible until
   *     [[vacuum]] reclaims them.
   *  2. WRITERS SERIALIZE THROUGH A CLAIM: before any work, a maintainer
-  *     atomically creates `ledger/claim-v=N+1` (create-if-absent). The
-  *     loser of a concurrent race gets [[ConcurrentCommitException]]
+  *     atomically creates `ledger/claim-v=N+1` (create-if-absent),
+  *     writing a random TOKEN into it — its lease identity. The loser
+  *     of a concurrent race gets [[ConcurrentCommitException]]
   *     immediately — clean refusal, nothing staged — and retries against
   *     the winner's commit. An update can therefore never be silently
   *     lost: version N+1's content always derives from committed
   *     version N. A claim whose version never committed (a crashed
-  *     maintainer) blocks later claims until [[recover]] removes it —
-  *     the documented cost of crash-exclusion without clocks or leases.
+  *     maintainer) blocks later claims until [[recover]] removes it,
+  *     OR — when the claimant opts in with `staleClaimMs` — until a
+  *     successor breaks it through the lease path: a claim whose mtime
+  *     is older than `staleClaimMs` with no committed manifest is
+  *     presumed dead and taken over (rename-aside, token re-verified,
+  *     debris cleared, claim re-taken). Live maintainers defend their
+  *     lease by heartbeat (the built-in ops refresh the claim mtime
+  *     after their staging pass), and EVERY commit re-verifies its own
+  *     token at the commit point, so a maintainer that was wrongly
+  *     presumed dead refuses cleanly instead of double-committing.
+  *     (Residual window — token check to manifest write — is the same
+  *     compromise every lease-without-coordination-service design
+  *     carries; size `staleClaimMs` well above a heartbeat interval.)
   *
   * Replaced data files are retained, which makes every historical
   * version readable ([[read]]`(asOf = Some(n))` — snapshot reads /
@@ -106,6 +118,7 @@ object ClusteredStore {
       clampedTotal: Long, clampRate: Double)
 
   private def dataDir(dir: String) = s"$dir/data"
+  private def schemaDir(dir: String) = s"$dir/schema"
   private def ledgerDir(dir: String) = s"$dir/ledger"
   private def versionDir(dir: String, v: Int) = s"$dir/ledger/v=$v"
   private def modelDir(dir: String) = s"$dir/model"
@@ -135,34 +148,143 @@ object ClusteredStore {
   // Claim protocol
   // -------------------------------------------------------------------
 
-  /** Atomically create the claim marker for version `v`; false when
-    * another maintainer holds it. `FileSystem.create(overwrite=false)`
-    * is the atomic primitive on HDFS; on `file:` it is check-then-create
-    * (racy), so local paths route through NIO `createFile` (O_EXCL) —
-    * the one place the Fs rule "never java.io for data paths" is
-    * deliberately traded for true local atomicity, on a marker file.
+  /** A held claim: the version it locks plus the random token this
+    * maintainer wrote into the claim file — its lease identity.
+    * [[commitManifest]] re-verifies the token at the commit point, so a
+    * maintainer whose stale-looking claim was broken by a successor
+    * ([[breakStaleClaim]]) refuses cleanly instead of double-committing.
     */
-  private def tryClaim(spark: SparkSession, dir: String, v: Int): Boolean = {
+  private final case class Claim(v: Int, token: String)
+
+  private def newToken(): String = java.util.UUID.randomUUID().toString
+
+  /** Atomically create the claim marker for version `v` carrying
+    * `token`; false when another maintainer holds it.
+    * `FileSystem.create(overwrite=false)` is the atomic primitive on
+    * HDFS; on `file:` it is check-then-create (racy), so local paths
+    * route through NIO `CREATE_NEW` (O_EXCL) — the one place the Fs rule
+    * "never java.io for data paths" is deliberately traded for true
+    * local atomicity, on a marker file. Only the remote "already exists"
+    * exception maps to a refusal; any OTHER IOException (transient
+    * network/permission failure) propagates as itself — mapping it to
+    * "claim held" would steer the operator toward recover(), which
+    * deletes live claims.
+    */
+  private def tryClaim(
+      spark: SparkSession, dir: String, v: Int, token: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(claimPath(dir, v))
     val fs = Fs(spark, claimPath(dir, v))
     val qualified = fs.makeQualified(p)
     if (qualified.toUri.getScheme == "file") {
       val local = java.nio.file.Paths.get(qualified.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      try { java.nio.file.Files.createFile(local); true }
+      try {
+        java.nio.file.Files.write(local,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
     }
   }
 
-  private def claimOrThrow(spark: SparkSession, dir: String, v: Int): Unit =
-    if (!tryClaim(spark, dir, v))
-      throw new ConcurrentCommitException(
-        s"version $v of $dir is claimed by another maintainer — " +
-          "retry after its commit lands, or run recover(dir) if it " +
-          "crashed (claim with no committed manifest)")
+  /** (token, mtime) of the claim for `v`; None when absent (races with
+    * a concurrent delete read as absent).
+    */
+  private def readClaim(
+      spark: SparkSession, dir: String, v: Int): Option[(String, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(claimPath(dir, v))
+      val fs = Fs(spark, claimPath(dir, v))
+      if (!fs.exists(p)) None
+      else {
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val tok =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some((tok, st.getModificationTime))
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Refresh the claim's liveness timestamp (lease heartbeat). The
+    * built-in maintainers call it after their staging pass; custom
+    * long-running flows holding a claim should call it at least once
+    * per `staleClaimMs / 3`.
+    */
+  private def heartbeat(spark: SparkSession, claim: Claim, dir: String): Unit =
+    try Fs(spark, claimPath(dir, claim.v)).setTimes(
+      new org.apache.hadoop.fs.Path(claimPath(dir, claim.v)),
+      System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () } // lost lease → commit refuses
+
+  /** Break a presumed-dead maintainer's claim on version `v`: eligible
+    * only when the claim's mtime is older than `staleMs` AND `v` never
+    * committed. Verify-then-break: the claim file is atomically RENAMED
+    * aside, its content re-checked against the token read beforehand,
+    * and only then discarded — a claim that changed hands between the
+    * read and the rename is renamed back untouched. The dead attempt's
+    * debris (markerless manifest dir, dangling model version) is cleared
+    * before returning, so a successor never adopts half-committed state.
+    * Returns true when the way is clear to re-claim `v`.
+    */
+  private def breakStaleClaim(
+      spark: SparkSession, dir: String, v: Int, staleMs: Long): Boolean =
+    readClaim(spark, dir, v) match {
+      case None => true // vanished since tryClaim failed — slot is open
+      case Some((tok, mtime)) =>
+        val fresh = System.currentTimeMillis() - mtime < staleMs
+        val committed = Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
+        if (fresh || committed) false
+        else {
+          val fs = Fs(spark, claimPath(dir, v))
+          val src = new org.apache.hadoop.fs.Path(claimPath(dir, v))
+          val aside = new org.apache.hadoop.fs.Path(
+            s"${ledgerDir(dir)}/.break-v=$v-${newToken()}")
+          if (!fs.rename(src, aside)) false // raced with another breaker
+          else {
+            val in = fs.open(aside)
+            val got =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            if (got != tok) { fs.rename(aside, src); false } // changed hands
+            else {
+              if (Fs.exists(spark, versionDir(dir, v)))
+                Fs.delete(spark, versionDir(dir, v))
+              if (Fs.exists(spark, modelVersionDir(dir, v)))
+                Fs.delete(spark, modelVersionDir(dir, v))
+              fs.delete(aside, false)
+              true
+            }
+          }
+        }
+    }
+
+  private def claimOrThrow(spark: SparkSession, dir: String, v: Int,
+      staleMs: Long = Long.MaxValue): Claim = {
+    val token = newToken()
+    if (tryClaim(spark, dir, v, token)) Claim(v, token)
+    else if (staleMs != Long.MaxValue &&
+        breakStaleClaim(spark, dir, v, staleMs) &&
+        tryClaim(spark, dir, v, token)) Claim(v, token)
+    else throw new ConcurrentCommitException(
+      s"version $v of $dir is claimed by another maintainer — " +
+        "retry after its commit lands, run recover(dir) if it " +
+        "crashed (claim with no committed manifest), or pass " +
+        "staleClaimMs to let this maintainer break dead claims")
+  }
 
   /** Remove maintenance debris: spent claims (their version committed),
     * stale claims + markerless manifest dirs + dangling model versions
@@ -182,17 +304,33 @@ object ClusteredStore {
       if (n.startsWith("claim-v=")) {
         val v = n.stripPrefix("claim-v=").toInt
         val spent = v <= committed
-        val stale = !Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
-        if (spent || stale) { Fs.delete(spark, p.toString); removed += 1 }
+        // stale ONLY above the committed horizon: below it, a missing
+        // versionDir means vacuum dropped the (committed) version while
+        // its spent claim lingered — treating that as "crashed
+        // maintainer" deleted the GOVERNING model version and bricked
+        // every later append (bug found by the first spec to append
+        // after a vacuum; reproduced, fixed here)
+        val stale = !spent &&
+          !Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
+        // debris FIRST, claim LAST: a crash between these deletes must
+        // leave the claim standing guard over the half-cleaned version —
+        // deleting the claim first would let a later maintainer commit
+        // manifest v while a dangling (self-_SUCCESS'd) model/v=N still
+        // exists, which loadModel would then silently adopt: bounds the
+        // data was never laid out under, garbage drift counts, manifests
+        // mixing z-intervals from two models
         if (stale && Fs.exists(spark, versionDir(dir, v))) {
           Fs.delete(spark, versionDir(dir, v)); removed += 1
         }
         if (stale && Fs.exists(spark, modelVersionDir(dir, v))) {
           Fs.delete(spark, modelVersionDir(dir, v)); removed += 1
         }
+        if (spent || stale) { Fs.delete(spark, p.toString); removed += 1 }
       } else if (n.startsWith("v=") &&
           n.stripPrefix("v=").toInt > committed &&
           !Fs.exists(spark, s"$p/_SUCCESS")) {
+        Fs.delete(spark, p.toString); removed += 1
+      } else if (n.startsWith(".break-")) { // crashed breaker's aside file
         Fs.delete(spark, p.toString); removed += 1
       }
     }
@@ -337,12 +475,24 @@ object ClusteredStore {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Write manifest version `v` (the claim for `v` must be held). The
-    * `_SUCCESS` marker Spark drops at job end IS the commit point.
+  /** Write manifest version `claim.v`. The `_SUCCESS` marker Spark
+    * drops at job end IS the commit point. The lease is re-verified
+    * first: if the claim file no longer carries OUR token (a stale-claim
+    * breaker took over while this maintainer worked), refuse — nothing
+    * is written, the successor's commit stands, and our staged data
+    * files stay invisible orphans until vacuum.
     */
   private def commitManifest(
-      rows: DataFrame, dir: String, v: Int): Unit =
-    rows.coalesce(1).write.mode("overwrite").parquet(versionDir(dir, v))
+      rows: DataFrame, dir: String, claim: Claim): Unit = {
+    val spark = rows.sparkSession
+    if (!readClaim(spark, dir, claim.v).map(_._1).contains(claim.token))
+      throw new ConcurrentCommitException(
+        s"claim for version ${claim.v} of $dir was broken by a " +
+          "stale-claim takeover while this maintainer worked — nothing " +
+          "was committed; retry against the successor's version")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(versionDir(dir, claim.v))
+  }
 
   // -------------------------------------------------------------------
   // Maintenance operations
@@ -369,10 +519,20 @@ object ClusteredStore {
       s"init($dir): a committed store already exists (current version " +
         s"${currentVersion(spark, dir).get}) — delete the directory to " +
         "rebuild; init will not silently orphan a live manifest history")
-    // a crashed/partial previous init (no committed manifest) is debris
+    // claim v=1 BEFORE any work, so concurrent inits serialize exactly
+    // like every other maintainer — two inits both passing the
+    // emptiness check above would otherwise interleave mode-overwrite
+    // writes into the same data/ and model/ dirs. (A previous init that
+    // crashed HOLDING its claim blocks here until recover(dir), the
+    // same rule as any crashed maintainer.)
+    val claim = claimOrThrow(spark, dir, 1)
+    // a crashed/partial previous init (no committed manifest) is
+    // debris; clear everything except our own claim
     Fs.delete(spark, dataDir(dir))
-    Fs.delete(spark, ledgerDir(dir))
     Fs.delete(spark, modelDir(dir))
+    Fs.list(spark, ledgerDir(dir)).map(_.getPath)
+      .filter(_.getName != s"claim-v=1")
+      .foreach(p => Fs.delete(spark, p.toString))
     val (lo, hi) = bounds(df, cols)
     val bloom = bloomCols.map(c => (c, bloomBits, bloomK))
     writeModel(spark, dir, 1, cols, curve, lo, hi, bloom)
@@ -383,11 +543,17 @@ object ClusteredStore {
       .sortWithinPartitions("_z")
       .select(df.columns.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(dataDir(dir))
-    claimOrThrow(spark, dir, 1)
+    // the store OWNS its schema: a zero-row anchor parquet, exempt from
+    // vacuum (which touches only data/ledger/model), so the read paths
+    // can serve TYPED empty frames even after vacuum legally reclaims
+    // every data file of an empty store (inference from data/ would
+    // crash there — there is nothing left to infer from)
+    df.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(schemaDir(dir))
     commitManifest(
       stamp(ledgerRows(spark.read.parquet(dataDir(dir)), m, key,
         batchId = -1L), wm = -1L, clamped = 0L),
-      dir, 1)
+      dir, claim)
   }
 
   /** Absorb `incoming`: rewrite only the files whose curve ranges the
@@ -400,11 +566,12 @@ object ClusteredStore {
     * the commit protocol above).
     */
   def append(spark: SparkSession, dir: String, incoming: DataFrame,
-      targetRowsPerFile: Long = 0L, batchId: Long = -1L): AppendStats = {
+      targetRowsPerFile: Long = 0L, batchId: Long = -1L,
+      staleClaimMs: Long = Long.MaxValue): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"append before init under $dir"))
-    claimOrThrow(spark, dir, v + 1)
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
     val cur = manifest(spark, dir, Some(v))
@@ -480,6 +647,7 @@ object ClusteredStore {
     val newFiles =
       staged(merged, if (touchedFiles.isEmpty) 0L else merged.count()) ++
         staged(freshRows.select(outCols: _*), freshRows.count())
+    heartbeat(spark, claim, dir) // staging was the long part
 
     val untouched = cur.filter(!col("file").isin(touchedFiles.toSeq: _*))
     val fresh =
@@ -488,7 +656,7 @@ object ClusteredStore {
         ledgerRows(spark.read.parquet(newFiles: _*), m, key, batchId),
         allowMissingColumns = true)
     commitManifest(
-      stamp(fresh, wm, priorClamped + clamped), dir, v + 1)
+      stamp(fresh, wm, priorClamped + clamped), dir, claim)
 
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
       untouched = led.length - touchedFiles.size, clamped = clamped,
@@ -509,7 +677,8 @@ object ClusteredStore {
     * never make a committed batch look new again.
     */
   def compact(spark: SparkSession, dir: String,
-      minRowsPerFile: Long = 0L): AppendStats = {
+      minRowsPerFile: Long = 0L,
+      staleClaimMs: Long = Long.MaxValue): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"compact before init under $dir"))
@@ -523,7 +692,7 @@ object ClusteredStore {
       .map(_.getAs[String]("file"))
     if (smalls.length < 2)
       return AppendStats(0, 0, led.length, 0L, version = v)
-    claimOrThrow(spark, dir, v + 1)
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
 
@@ -562,8 +731,9 @@ object ClusteredStore {
         ledgerRows(spark.read.parquet(newFiles: _*), m, key,
           batchId = -1L),
         allowMissingColumns = true)
+    heartbeat(spark, claim, dir)
     commitManifest(
-      stamp(fresh, priorWm, priorClamped), dir, v + 1)
+      stamp(fresh, priorWm, priorClamped), dir, claim)
     AppendStats(rewritten = smalls.length, created = newFiles.size,
       untouched = led.length - smalls.length, clamped = 0L,
       version = v + 1)
@@ -586,11 +756,12 @@ object ClusteredStore {
     * (and appending) under the old committed model.
     */
   def recluster(spark: SparkSession, dir: String, nFiles: Int,
-      curve: Option[String] = None): AppendStats = {
+      curve: Option[String] = None,
+      staleClaimMs: Long = Long.MaxValue): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"recluster before init under $dir"))
-    claimOrThrow(spark, dir, v + 1)
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     val old = loadModel(spark, dir, v)
     val cur = manifest(spark, dir, Some(v))
     val (priorWm, _) = versionConsts(cur)
@@ -606,10 +777,15 @@ object ClusteredStore {
         .sortWithinPartitions("_z")
         .select(snapshot.columns.map(col).toSeq: _*),
       None, dataDir(dir))
-    commitManifest(
-      stamp(ledgerRows(spark.read.parquet(newFiles: _*), m, key,
-        batchId = -1L), priorWm, clamped = 0L),
-      dir, v + 1)
+    heartbeat(spark, claim, dir)
+    // an EMPTY snapshot stages no files (legal: recluster of a store
+    // whose rows were all in vacuumed versions) — commit a typed
+    // zero-row manifest instead of reading zero parquet paths
+    val rows =
+      if (newFiles.isEmpty) cur.limit(0)
+      else ledgerRows(spark.read.parquet(newFiles: _*), m, key,
+        batchId = -1L)
+    commitManifest(stamp(rows, priorWm, clamped = 0L), dir, claim)
     AppendStats(rewritten = oldFileCount,
       created = newFiles.size, untouched = 0, clamped = 0L,
       version = v + 1)
@@ -701,9 +877,15 @@ object ClusteredStore {
       asOf: Option[Int] = None): DataFrame = {
     val files = manifest(spark, dir, asOf)
       .select("file").collect().map(_.getString(0))
-    if (files.isEmpty)
+    if (files.nonEmpty) spark.read.parquet(files.toSeq: _*)
+    else if (Fs.nonEmptyDir(spark, schemaDir(dir)))
+      // zero-row snapshot: serve a TYPED empty frame from the schema
+      // anchor the store wrote at init — data/ may legally hold ZERO
+      // files here (vacuum of an empty store reclaims them all), so
+      // schema inference from data/ is not an option
+      spark.read.parquet(schemaDir(dir))
+    else // store built before the anchor existed: old inference fallback
       spark.read.parquet(dataDir(dir)).where(lit(false))
-    else spark.read.parquet(files.toSeq: _*)
   }
 
   /** Ledger-pruned box read; predicate re-applied → full-scan answers. */
@@ -821,7 +1003,8 @@ object ClusteredStore {
     */
   def maintain(spark: SparkSession, dir: String,
       smallFileFrac: Double = 0.25, clampRateMax: Double = 0.05,
-      maxVersions: Int = 10, keepLast: Int = 5): MaintainReport = {
+      maxVersions: Int = 10, keepLast: Int = 5,
+      staleClaimMs: Long = Long.MaxValue): MaintainReport = {
     val s0 = stats(spark, dir)
     val led = manifest(spark, dir, Some(s0.version))
       .select("n_rows").collect().map(_.getLong(0))
@@ -830,11 +1013,12 @@ object ClusteredStore {
       led.count(_ < mean / 2).toDouble / math.max(1, led.length)
     val compacted =
       if (smallFrac >= smallFileFrac)
-        compact(spark, dir).rewritten
+        compact(spark, dir, staleClaimMs = staleClaimMs).rewritten
       else 0
     val reclustered = stats(spark, dir).clampRate >= clampRateMax
     if (reclustered)
-      recluster(spark, dir, nFiles = math.max(1, s0.nFiles.toInt))
+      recluster(spark, dir, nFiles = math.max(1, s0.nFiles.toInt),
+        staleClaimMs = staleClaimMs)
     val retained = Fs.list(spark, ledgerDir(dir))
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .count(n => Fs.exists(spark,
