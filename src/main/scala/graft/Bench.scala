@@ -23,10 +23,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Registry.all.filter(_.bench)
-    // warm the JVM + file-system cache once with the cheapest query
-    try headline.head.spark(spark, sfDir).write.format("noop")
-      .mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Untimed fixture pass over EVERY headline query: memoized layouts
+    // (clustered stores, z-order dirs + their ledgers) are built by the
+    // first run in the process, and timing that run as rep 1 made the
+    // spread column measure fixture construction, not the query
+    // (r9: q_cluster_append spread 21.7×, q_hilbert_prune 7.3× — the
+    // min was fine, the spread was the fixture). One untimed sweep
+    // builds every fixture and warms codegen + the fs cache; the timed
+    // reps below then all measure the serving path. Errors are ignored
+    // here — the timed reps record them properly.
+    headline.foreach { q =>
+      try q.spark(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     // MIN of N runs per query: two consecutive rounds recorded phantom
     // contention regressions on the shared box (r2: q_asof_native 7.04s

@@ -84,6 +84,20 @@ object LogRollup {
     fresh.size
   }
 
+  /** Roll up one STREAMING micro-batch, idempotence keyed on its batch
+    * id (`src=batch-<id>`) — same key and same replay contract as
+    * [[ShreddedLog.appendBatch]]; see there for why the file-diff key
+    * cannot survive streaming replay and why maintenance modes must not
+    * be mixed on one store.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, rollupDir: String): Unit =
+    partials(ShreddedLog.shred(batch)
+        .withColumn("src", lit(s"batch-$batchId")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date", "src")
+      .parquet(rollupDir)
+
   /** Full (re)build: delete + roll up everything. */
   def build(spark: SparkSession, logDir: String, rollupDir: String): Unit = {
     Fs.delete(spark, rollupDir)

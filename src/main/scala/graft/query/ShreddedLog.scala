@@ -147,6 +147,23 @@ object ShreddedLog {
     fresh.size
   }
 
+  /** Shred one STREAMING micro-batch, idempotence keyed on its batch id
+    * instead of a source-file fingerprint. The file-diff key of
+    * [[appendNew]] breaks under streaming replay: a re-delivered batch
+    * is re-LANDED under fresh part-file names (Spark names are
+    * per-attempt), so its rows would fingerprint as new files and shred
+    * twice. Structured Streaming's batch id is the stable replay
+    * identity — `src=batch-<id>` partitions overwrite themselves on
+    * replay exactly like a re-shredded file's would. One store should be
+    * maintained by ONE mode (file-diff [[appendNew]] OR per-batch ticks
+    * via [[graft.streaming.LogStreamPipeline]]): mixing them double-
+    * ingests, because the file-diff cannot know which files a batch tick
+    * already covered.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, shredDir: String): Unit =
+    writeInto(
+      shred(batch).withColumn("src", lit(s"batch-$batchId")), shredDir)
+
   /** Full (re)build: delete + shred everything. */
   def build(spark: SparkSession, logDir: String, shredDir: String): Unit = {
     Fs.delete(spark, shredDir)
