@@ -791,6 +791,128 @@ object ClusteredStore {
       version = v + 1)
   }
 
+  /** What one [[delete]] did: files rewritten (they contained matches),
+    * files untouched, rows removed, and the new current version (== the
+    * prior version when nothing matched — no empty commit).
+    */
+  final case class DeleteStats(
+      rewritten: Int, untouched: Int, deleted: Long, version: Int)
+
+  /** Copy-on-write row deletion — the takedown path: remove every row
+    * matching `predicate`, rewriting ONLY the files that contain at
+    * least one match, committed as a new manifest version. At 100 TB
+    * "delete these documents" must not be a full-table rewrite: scope
+    * is bounded in two stages —
+    *
+    *  1. MANIFEST pruning (no data touched): `pruneBoxes` (a superset
+    *     box over the predicate, same geometry as [[readPruned]])
+    *     and/or `keyIn` (point keys against the manifest Bloom column,
+    *     like [[readPoint]]) cut the candidate set to may-contain
+    *     files. Both optional; omitted → every file is a candidate.
+    *     Correctness never depends on them: the predicate is re-applied
+    *     in full on the candidates (pruning hints that UNDER-cover the
+    *     predicate delete fewer rows than asked — supply a superset, as
+    *     with every pruned read).
+    *  2. MATCH COUNTING (column-pruned scan of candidates only): files
+    *     with zero matches keep their manifest rows byte-identical;
+    *     only true hits are read in full and rewritten without the
+    *     matching rows, curve-sorted and range-split like [[compact]]
+    *     (merged outputs may span the replaced files' interval hull —
+    *     coarser boxes, same answers, the documented compact trade).
+    *
+    * Old versions still reference the pre-delete files, so the deleted
+    * rows remain visible to `read(asOf = <older>)` until [[vacuum]] —
+    * time travel is the audit trail, vacuum is the actual disposal
+    * (run it when the retention clock, not the delete, says so).
+    * `clamped_total` carries through unchanged: it is a lifetime drift
+    * odometer for the CURRENT model, not a live row property.
+    */
+  def delete(spark: SparkSession, dir: String, predicate: Column,
+      pruneBoxes: Seq[StatsLedger.Box] = Nil,
+      keyIn: Option[(String, Seq[Long])] = None,
+      targetRowsPerFile: Long = 0L,
+      staleClaimMs: Long = Long.MaxValue): DeleteStats = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"delete before init under $dir"))
+    val cur = manifest(spark, dir, Some(v))
+    val all = cur.select("file", "n_rows").collect()
+    val boxSurvivors =
+      if (pruneBoxes.isEmpty) all.map(_.getString(0)).toSet
+      else StatsLedger.pruneFiles(spark, versionDir(dir, v), pruneBoxes)
+        .toSet
+    val bloomSurvivors = keyIn match {
+      case Some((kc, ks)) if cur.columns.contains(s"bloom_$kc") =>
+        pruneFilesPoint(spark, dir, kc, ks, Some(v)).toSet
+      case _ => boxSurvivors // no sketch for this key → no Bloom pruning
+    }
+    val candidates = boxSurvivors.intersect(bloomSurvivors).toSeq.sorted
+    if (candidates.isEmpty)
+      return DeleteStats(0, all.length, 0L, v)
+
+    // column-pruned match count per candidate file — only files with a
+    // real hit are rewritten; a pruning false-positive costs one scan,
+    // never a rewrite
+    val hitRows = spark.read.parquet(candidates: _*)
+      .withColumn("_f", input_file_name())
+      .filter(predicate)
+      .groupBy(col("_f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val hits = hitRows.map(r => normPath(r.getString(0))).toSet
+    val nDeleted = hitRows.map(_.getLong(1)).sum
+    if (hits.isEmpty)
+      return DeleteStats(0, all.length, 0L, v)
+
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    val m = loadModel(spark, dir, v)
+    val key = curveKey(m)
+    val (priorWm, priorClamped) = versionConsts(cur)
+    val hitFiles = candidates.filter(f => hits.contains(normPath(f)))
+    // survivors = NOT deleted: rows where the predicate is FALSE or
+    // NULL — a bare !predicate filter would silently drop null-eval
+    // rows too (deleted + counted nowhere), the classic tri-state trap
+    val survivors = spark.read.parquet(hitFiles: _*)
+      .filter(!coalesce(predicate, lit(false)))
+    val outCols = survivors.columns.map(col).toSeq
+    val n = survivors.count()
+    val target =
+      if (targetRowsPerFile > 0) targetRowsPerFile
+      else math.max(1L, all.map(_.getAs[Long]("n_rows")).sum /
+        math.max(1, all.length))
+    val newFiles =
+      if (n == 0) Nil
+      else Fs.stagedAppend(
+        survivors.withColumn("_z", key)
+          .repartitionByRange(
+            math.max(1L, (n + target - 1) / target).toInt, col("_z"))
+          .sortWithinPartitions("_z")
+          .select(outCols: _*),
+        None, dataDir(dir))
+    heartbeat(spark, claim, dir)
+
+    val untouched = cur.filter(!col("file").isin(hitFiles: _*))
+    val fresh =
+      if (newFiles.isEmpty) untouched
+      else untouched.unionByName(
+        ledgerRows(spark.read.parquet(newFiles: _*), m, key,
+          batchId = -1L),
+        allowMissingColumns = true)
+    commitManifest(stamp(fresh, priorWm, priorClamped), dir, claim)
+    DeleteStats(rewritten = hitFiles.length,
+      untouched = all.length - hitFiles.length,
+      deleted = nDeleted, version = v + 1)
+  }
+
+  /** Point-key takedown: delete rows whose `keyCol` is in `keys`, with
+    * the manifest Bloom column bounding the rewrite to may-contain
+    * files — the "remove these N document ids from 100 TB" call, priced
+    * like a point lookup plus a rewrite of only the hit files.
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], staleClaimMs: Long = Long.MaxValue): DeleteStats =
+    delete(spark, dir, col(keyCol).isin(keys: _*),
+      keyIn = Some((keyCol, keys)), staleClaimMs = staleClaimMs)
+
   /** Drop manifest versions past the newest `keepLast` and delete every
     * data file the KEPT versions don't reference — files exclusive to
     * dropped versions AND orphans from crashed maintenance attempts

@@ -26,15 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object SkewGuard {
 
-  /** Default per-bucket member cap: far above anything a healthy LSH
-    * bucket reaches at any tested scale, small enough that one task's
-    * collect buffer stays a few MB even with wide member structs. The
-    * system property lets specs drive the real query pipelines through
-    * the salted path without a custom corpus size.
+  /** Default per-bucket member cap. The binding constraint is NOT the
+    * member buffer (O(cap)) but the pair expansion downstream: the
+    * bucket queries flatten a C(cap,2)-element struct array per bucket
+    * row BEFORE the verify filter, so per-task expansion memory is
+    * O(cap²). At the original cap of 4096 that is ~8.4M structs
+    * (~200 MB) in one row — measured at the sf10 decade, where capped
+    * buckets doubled the per-candidate-pair cost (GC pressure) and were
+    * an OOM hazard for wider structs. 1024 keeps the worst expansion
+    * near 0.5M structs (~15 MB/task) and, on adversarially replicated
+    * corpora, also bounds candidate growth to n·cap per oversized
+    * bucket instead of n²/salts. Still far above any healthy LSH bucket
+    * at every tested scale (sf0.1 max observed: 237), so oracle-scale
+    * results are bit-identical. The system property lets specs drive
+    * the real query pipelines through the salted path without a custom
+    * corpus size.
     */
   def DefaultCap: Int = sys.props.get("graft.bucket.cap")
     .orElse(sys.env.get("SPARK_GRAFT_BUCKET_CAP"))
-    .map(_.toInt).getOrElse(4096)
+    .map(_.toInt).getOrElse(1024)
 
   /** Add a `salt` column that splits buckets larger than `cap`.
     *

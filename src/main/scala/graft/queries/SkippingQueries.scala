@@ -475,8 +475,49 @@ object SkippingQueries {
                                 AND (SELECT MAX(l_suppkey) // 2 FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Copy-on-write row deletion ([[graft.ops.ClusteredStore.delete]]),
+    * answer-invariant end-to-end: init on the full table, take down a
+    * partkey band (box-hinted, so only may-contain files are even
+    * scanned) plus two point keys via the manifest Bloom sketch, then
+    * aggregate the WHOLE surviving store. The oracle is DuckDB's
+    * full-scan complement filter — the delete may only ever remove
+    * exactly the asked-for rows, however few files it chose to rewrite.
+    * Rewrite-scope bounds are asserted in ClusteredStoreSpec.
+    */
+  val clusterDelete = Q(
+    "q_cluster_delete",
+    (s, dir) => {
+      val base = memo("cldelete", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        val m = li.agg(max(col("l_partkey"))).head()
+        val maxP = if (m.isNullAt(0)) 0L else m.getLong(0)
+        graft.ops.ClusteredStore.init(li,
+          Seq("l_partkey", "l_suppkey"), 16, s"$b/store",
+          bloomCols = Seq("l_orderkey"))
+        graft.ops.ClusteredStore.delete(s, s"$b/store",
+          col("l_partkey").between(maxP / 4, maxP / 2),
+          pruneBoxes = Seq(Box.between("l_partkey", maxP / 4, maxP / 2)))
+        graft.ops.ClusteredStore.deleteKeys(s, s"$b/store",
+          "l_orderkey", Seq(1L, 3L))
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE NOT (l_partkey BETWEEN
+                         (SELECT MAX(l_partkey) // 4 FROM lineitem)
+                     AND (SELECT MAX(l_partkey) // 2 FROM lineitem))
+              AND l_orderkey NOT IN (1, 3)
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
-      clusterHistory, clusterMaintain)
+      clusterHistory, clusterMaintain, clusterDelete)
 }

@@ -378,6 +378,73 @@ class ClusteredStoreSpec extends SparkSpec {
       s"in-new-bounds rows must not clamp after recluster: $post")
   }
 
+  test("copy-on-write delete: only files containing matches are " +
+    "rewritten, answers stay exact, time travel keeps the audit trail, " +
+    "and a delete-everything still serves typed empty frames") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore_del").toString
+    val base = mkDocs(0 until 20000)
+    ClusteredStore.init(base, Seq("a", "b"), 16, dir, bloomCols = Seq("id"))
+    val pred = col("a") < 50 && col("b") < 50
+    val expected = base.filter(pred).count()
+    assert(expected > 0)
+
+    val ds = ClusteredStore.delete(spark, dir, pred,
+      pruneBoxes = Seq(StatsLedger.Box.between("a", 0L, 49L),
+        StatsLedger.Box.between("b", 0L, 49L)))
+    assert(ds.deleted === expected, s"$ds")
+    assert(ds.version === 2)
+    assert(ds.rewritten < 16 && ds.untouched > 0,
+      s"a corner delete must not rewrite the whole table: $ds")
+    val got = ClusteredStore.read(spark, dir)
+      .select("id", "a", "b", "payload")
+    val want = base.filter(!pred)
+    assert(got.count() === 20000L - expected)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // audit trail: the pre-delete snapshot still has the rows
+    assert(ClusteredStore.read(spark, dir, asOf = Some(1))
+      .filter(pred).count() === expected)
+
+    // point takedown: Bloom bounds the rewrite; absent keys are free
+    val keys = Seq(7001L, 7003L, 999999L) // 2 surviving band, 1 absent
+    val present = ClusteredStore.read(spark, dir)
+      .filter(col("id").isin(keys: _*)).count()
+    assert(present >= 1L)
+    val dk = ClusteredStore.deleteKeys(spark, dir, "id", keys)
+    assert(dk.deleted === present, s"$dk")
+    assert(dk.rewritten <= 2, s"bloom should bound the rewrite: $dk")
+    assert(ClusteredStore.read(spark, dir).count() ===
+      20000L - expected - present)
+
+    // no-match delete: no claim, no commit, version unchanged
+    val nm = ClusteredStore.delete(spark, dir, col("a") === -5)
+    assert(nm === ClusteredStore.DeleteStats(0,
+      nm.untouched, 0L, dk.version), s"$nm")
+
+    // tri-state predicate: rows where the predicate evaluates NULL are
+    // NOT deleted (a bare !pred filter would silently drop them)
+    val nd = java.nio.file.Files.createTempDirectory("clstore_null").toString
+    val withNull = mkDocs(0 until 100)
+      .withColumn("payload",
+        when(col("id") === 5, lit(null: String)).otherwise(col("payload")))
+    ClusteredStore.init(withNull, Seq("a", "b"), 2, nd)
+    val nds = ClusteredStore.delete(spark, nd, col("payload") === "row7")
+    assert(nds.deleted === 1L)
+    val ndGot = ClusteredStore.read(spark, nd)
+    assert(ndGot.count() === 99L)
+    assert(ndGot.filter(col("payload").isNull).count() === 1L,
+      "null-eval rows must survive a delete")
+
+    // delete everything → typed empty store that still accepts data
+    val da = ClusteredStore.delete(spark, dir, lit(true))
+    assert(da.deleted === 20000L - expected - present)
+    val empty = ClusteredStore.read(spark, dir)
+    assert(empty.count() === 0L &&
+      empty.columns.toSeq === Seq("id", "a", "b", "payload"))
+    ClusteredStore.append(spark, dir, mkDocs(20000 until 20100))
+    assert(ClusteredStore.read(spark, dir).count() === 100L)
+  }
+
   test("Bloom point lookups prune files the box stats cannot, and stay " +
     "exact; the sketch column rides appends") {
     val dir = java.nio.file.Files.createTempDirectory("clstore11").toString
