@@ -564,13 +564,59 @@ object ClusteredStore {
     * commit cost is O(current file count) regardless of how many
     * versions precede it (lineage is the staged-file list, rule 1 of
     * the commit protocol above).
+    *
+    * Schema contract: a batch whose columns differ from the store's is
+    * REFUSED before any work (the rewrite would otherwise silently
+    * strip store columns the batch lacks from every rewritten file).
+    * `mergeSchema = true` opts into ADDITIVE widening: new columns join
+    * the schema anchor (files written before the widening serve them
+    * as null — on every read path, including time travel, which serves
+    * old snapshots under the latest schema), and store columns missing
+    * from the batch are null-filled into it. Type changes are never
+    * accepted.
     */
   def append(spark: SparkSession, dir: String, incoming: DataFrame,
       targetRowsPerFile: Long = 0L, batchId: Long = -1L,
-      staleClaimMs: Long = Long.MaxValue): AppendStats = {
+      staleClaimMs: Long = Long.MaxValue,
+      mergeSchema: Boolean = false): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"append before init under $dir"))
+
+    // Schema contract BEFORE the claim: the rewrite stages
+    // `select(incoming's columns)` over the touched files, so a batch
+    // missing a store column would silently STRIP that column from
+    // every rewritten file (data loss that surfaces rounds later as
+    // nulls), and an extra column would fork the store's file schemas
+    // unmanaged. Refuse loudly unless the caller opts into
+    // mergeSchema, which supports exactly ADDITIVE widening: new
+    // columns land on the anchor (old files read as null there via
+    // [[readFiles]]), missing columns are null-filled into the batch.
+    val aligned = anchorSchema(spark, dir) match {
+      case None => incoming // legacy store: pre-anchor behavior
+      case Some(st) =>
+        val storeCols = st.fields.map(f => f.name -> f.dataType).toMap
+        val inCols = incoming.schema.fields.map(f =>
+          f.name -> f.dataType).toMap
+        val missing = st.fieldNames.toSeq.filterNot(inCols.contains)
+        val added = incoming.columns.toSeq.filterNot(storeCols.contains)
+        val retyped = st.fieldNames.toSeq.filter(c =>
+          inCols.contains(c) && inCols(c) != storeCols(c))
+        require(retyped.isEmpty,
+          s"append($dir): batch re-types store columns $retyped — " +
+            "evolution is additive only; cast the batch to the store's " +
+            "types")
+        if (!mergeSchema)
+          require(missing.isEmpty && added.isEmpty,
+            s"append($dir): batch schema differs from the store's " +
+              s"(missing=$missing, added=$added) — a mismatched append " +
+              "would strip or fork columns on the rewritten files; " +
+              "pass mergeSchema = true for additive widening")
+        val nullFilled = missing.foldLeft(incoming)((df, c) =>
+          df.withColumn(c, lit(null).cast(storeCols(c))))
+        // stable widened order: store columns first, new ones after
+        nullFilled.select((st.fieldNames.toSeq ++ added).map(col): _*)
+    }
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
@@ -578,7 +624,16 @@ object ClusteredStore {
     val led = cur.select("file", "z_lo", "z_hi", "n_rows").collect()
     val (priorWm, priorClamped) = versionConsts(cur)
     val wm = math.max(priorWm, batchId)
-    val inc = incoming.withColumn("_z", key).localCheckpoint()
+    // widen the anchor FIRST (claim held): a crash before the commit
+    // leaves an anchor with extra columns no file carries — harmless,
+    // every read just serves them as null
+    anchorSchema(spark, dir) match {
+      case Some(st) if st.fieldNames.length != aligned.columns.length =>
+        aligned.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(schemaDir(dir))
+      case _ => ()
+    }
+    val inc = aligned.withColumn("_z", key).localCheckpoint()
 
     // drift: rows whose raw values clamped to an edge cell
     val outside = m.cols.map { c =>
@@ -621,7 +676,7 @@ object ClusteredStore {
       .isin(touchedFiles.toSeq: _*))
     val zInside = inc("_z") >= touchedIv("z_lo") &&
       inc("_z") <= touchedIv("z_hi")
-    val outCols = incoming.columns.map(col).toSeq
+    val outCols = aligned.columns.map(col).toSeq
     val insideRows = inc.join(broadcast(touchedIv), zInside, "leftsemi")
     val freshRows = inc.join(broadcast(touchedIv), zInside, "leftanti")
 
@@ -638,7 +693,8 @@ object ClusteredStore {
     val baseRows =
       if (touchedFiles.isEmpty)
         inc.limit(0).select(outCols: _*)
-      else spark.read.parquet(touchedFiles.toSeq: _*)
+      else readFiles(spark, dir, touchedFiles.toSeq) // anchor schema:
+        // pre-widening files serve added columns as null here
         .select(outCols: _*)
     val merged = baseRows.unionByName(insideRows.select(outCols: _*))
     // stage into the live data dir: new part-file names are unique,
@@ -696,7 +752,7 @@ object ClusteredStore {
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
 
-    val rows = spark.read.parquet(smalls.toSeq: _*)
+    val rows = readFiles(spark, dir, smalls.toSeq)
     val n = rows.count()
     // size outputs at the HEALTHY files' mean (the overall mean is
     // dragged down by the very files being merged) but never below 2×
@@ -853,7 +909,7 @@ object ClusteredStore {
     // column-pruned match count per candidate file — only files with a
     // real hit are rewritten; a pruning false-positive costs one scan,
     // never a rewrite
-    val hitRows = spark.read.parquet(candidates: _*)
+    val hitRows = readFiles(spark, dir, candidates)
       .withColumn("_f", input_file_name())
       .filter(predicate)
       .groupBy(col("_f")).agg(count(lit(1)).as("n"))
@@ -871,7 +927,7 @@ object ClusteredStore {
     // survivors = NOT deleted: rows where the predicate is FALSE or
     // NULL — a bare !predicate filter would silently drop null-eval
     // rows too (deleted + counted nowhere), the classic tri-state trap
-    val survivors = spark.read.parquet(hitFiles: _*)
+    val survivors = readFiles(spark, dir, hitFiles)
       .filter(!coalesce(predicate, lit(false)))
     val outCols = survivors.columns.map(col).toSeq
     val n = survivors.count()
@@ -987,6 +1043,29 @@ object ClusteredStore {
   private def normPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** The store-owned schema (the `schema/` anchor init writes and
+    * widening appends update); None on stores built before the anchor
+    * existed.
+    */
+  private def anchorSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (Fs.nonEmptyDir(spark, schemaDir(dir)))
+      Some(spark.read.parquet(schemaDir(dir)).schema)
+    else None
+
+  /** Open store data files UNDER THE ANCHOR SCHEMA when one exists:
+    * files written before a widening append lack the added columns and
+    * read as nulls there — and no footer-merge inference job ever runs
+    * (at 100 TB, schema inference over a file list is itself a cost).
+    * Legacy stores fall back to plain inference.
+    */
+  private def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame =
+    anchorSchema(spark, dir) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+
   // -------------------------------------------------------------------
   // Read paths
   // -------------------------------------------------------------------
@@ -999,7 +1078,7 @@ object ClusteredStore {
       asOf: Option[Int] = None): DataFrame = {
     val files = manifest(spark, dir, asOf)
       .select("file").collect().map(_.getString(0))
-    if (files.nonEmpty) spark.read.parquet(files.toSeq: _*)
+    if (files.nonEmpty) readFiles(spark, dir, files.toSeq)
     else if (Fs.nonEmptyDir(spark, schemaDir(dir)))
       // zero-row snapshot: serve a TYPED empty frame from the schema
       // anchor the store wrote at init — data/ may legally hold ZERO
@@ -1022,7 +1101,7 @@ object ClusteredStore {
       throw new IllegalStateException(s"no committed manifest under $dir"))
     val files = StatsLedger.pruneFiles(spark, versionDir(dir, v), boxes)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
-    else spark.read.parquet(files: _*).filter(exact)
+    else readFiles(spark, dir, files).filter(exact)
   }
 
   /** Bloom-pruned exact point lookup (`keyCol IN keys`) — the probe box
@@ -1037,7 +1116,7 @@ object ClusteredStore {
       keys: Seq[Long], asOf: Option[Int] = None): DataFrame = {
     val files = pruneFilesPoint(spark, dir, keyCol, keys, asOf)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
-    else spark.read.parquet(files: _*).filter(col(keyCol).isin(keys: _*))
+    else readFiles(spark, dir, files).filter(col(keyCol).isin(keys: _*))
   }
 
   /** Manifest files whose Bloom sketch may contain ANY of `keys`. */

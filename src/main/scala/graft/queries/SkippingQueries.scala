@@ -516,8 +516,47 @@ object SkippingQueries {
               AND l_orderkey NOT IN (1, 3)
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Additive schema evolution
+    * ([[graft.ops.ClusteredStore.append]]`(mergeSchema = true)`),
+    * answer-invariant: init WITHOUT the `bonus` column, widen it in on
+    * the second generation's append, serve an aggregate over the whole
+    * store where pre-widening rows read as null. The oracle recomputes
+    * the same split with a CASE — a hash match proves null-backfill on
+    * the old files is exact, not just non-crashing.
+    */
+  val clusterEvolve = Q(
+    "q_cluster_evolve",
+    (s, dir) => {
+      val base = memo("clevolve", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        graft.ops.ClusteredStore.init(
+          li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0),
+          Seq("l_partkey", "l_suppkey"), 12, s"$b/store")
+        graft.ops.ClusteredStore.append(s, s"$b/store",
+          li.filter(pmod(col("l_orderkey"), lit(3L)) === 0)
+            .withColumn("bonus", col("l_extendedprice") * 2),
+          mergeSchema = true)
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"),
+          sum(coalesce(col("bonus"), lit(0)).cast("decimal(18,2)"))
+            .cast("double").as("bonus_sum"),
+          count(col("bonus")).as("n_bonus"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(CASE WHEN l_orderkey % 3 = 0
+                                 THEN l_extendedprice * 2 ELSE 0 END
+                                 AS DECIMAL(18,2)))
+                        AS DOUBLE) AS bonus_sum,
+                   CAST(COUNT(CASE WHEN l_orderkey % 3 = 0 THEN 1 END)
+                        AS BIGINT) AS n_bonus
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
-      clusterHistory, clusterMaintain, clusterDelete)
+      clusterHistory, clusterMaintain, clusterDelete, clusterEvolve)
 }

@@ -378,6 +378,65 @@ class ClusteredStoreSpec extends SparkSpec {
       s"in-new-bounds rows must not clamp after recluster: $post")
   }
 
+  test("schema contract: a mismatched batch refuses loudly before any " +
+    "work; mergeSchema widens additively — pre-widening files read as " +
+    "null on every path, and later maintenance handles the mixed files") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore_ev").toString
+    ClusteredStore.init(mkDocs(0 until 8000), Seq("a", "b"), 8, dir)
+
+    // missing column: refused (the rewrite would strip `payload` from
+    // every rewritten file — silent data loss); extra column: refused
+    // (unmanaged schema fork). Both BEFORE the claim — the store stays
+    // immediately appendable.
+    val e1 = intercept[IllegalArgumentException](ClusteredStore.append(
+      spark, dir, mkDocs(15000 until 15100).drop("payload")))
+    assert(e1.getMessage.contains("missing"))
+    val e2 = intercept[IllegalArgumentException](ClusteredStore.append(
+      spark, dir, mkDocs(15000 until 15100)
+        .withColumn("extra", col("id").cast("long") * 2)))
+    assert(e2.getMessage.contains("mergeSchema"))
+    val e3 = intercept[IllegalArgumentException](ClusteredStore.append(
+      spark, dir, mkDocs(15000 until 15100)
+        .withColumn("payload", lit(42)), mergeSchema = true))
+    assert(e3.getMessage.contains("re-types"))
+    assert(ClusteredStore.currentVersion(spark, dir) === Some(1),
+      "refused appends must not commit or leak a claim")
+
+    // additive widening
+    val widened = mkDocs(15000 until 15200)
+      .withColumn("extra", col("id").cast("long") * 2)
+    val s1 = ClusteredStore.append(spark, dir, widened, mergeSchema = true)
+    assert(s1.version === 2)
+    val r = ClusteredStore.read(spark, dir)
+    assert(r.columns.contains("extra"))
+    assert(r.filter(col("extra").isNull).count() === 8000L,
+      "pre-widening rows read as null in the added column")
+    assert(r.filter(col("extra") === col("id").cast("long") * 2)
+      .count() === 200L)
+    // time travel serves the OLD snapshot under the latest schema
+    assert(ClusteredStore.read(spark, dir, asOf = Some(1))
+      .filter(col("extra").isNull).count() === 8000L)
+
+    // a batch missing the new column now null-fills under mergeSchema
+    ClusteredStore.append(spark, dir, mkDocs(16000 until 16100),
+      mergeSchema = true)
+    assert(ClusteredStore.read(spark, dir)
+      .filter(col("extra").isNull).count() === 8100L)
+
+    // maintenance over the mixed-schema files: compact folds old+new
+    // files together (anchor-schema read), answers unchanged
+    val c = ClusteredStore.compact(spark, dir, minRowsPerFile = 100000L)
+    assert(c.rewritten >= 2, s"$c")
+    val after = ClusteredStore.read(spark, dir)
+    assert(after.count() === 8300L)
+    assert(after.filter(col("extra").isNull).count() === 8100L)
+    // tri-state synergy: deleting on the added column spares null rows
+    val d = ClusteredStore.delete(spark, dir, col("extra") >= 30000L)
+    assert(ClusteredStore.read(spark, dir).count() === 8300L - d.deleted)
+    assert(ClusteredStore.read(spark, dir)
+      .filter(col("extra").isNull).count() === 8100L)
+  }
+
   test("copy-on-write delete: only files containing matches are " +
     "rewritten, answers stay exact, time travel keeps the audit trail, " +
     "and a delete-everything still serves typed empty frames") {
