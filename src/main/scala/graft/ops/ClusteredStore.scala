@@ -97,10 +97,14 @@ final class ConcurrentCommitException(msg: String)
   * the full maintenance cycles against full-scan DuckDB oracles.
   *
   * Concurrency contract: concurrent READERS are always safe; concurrent
-  * MAINTAINERS serialize through the claim (one wins, others refuse).
-  * [[recover]] and [[vacuum]] require NO maintenance in flight (they
-  * delete claims/orphans a live maintainer may own) — the same
-  * retention-window caveat Delta's VACUUM carries.
+  * MAINTAINERS — including [[vacuum]] — serialize through the claim
+  * (one wins, others refuse). Vacuum holds the next-version claim for
+  * its whole kept-file snapshot + delete scan, so a committing append
+  * can never race its files into the reclaim set; and it REFUSES while
+  * a live maintainer's claim stands. [[recover]] breaks claims only
+  * under the same staleness/lease rules as every breaker (its default
+  * `staleClaimMs = 0` is the explicit "caller asserts nothing is in
+  * flight" escape hatch the single-writer streaming path uses).
   */
 object ClusteredStore {
 
@@ -124,6 +128,7 @@ object ClusteredStore {
   private def modelDir(dir: String) = s"$dir/model"
   private def modelVersionDir(dir: String, v: Int) = s"$dir/model/v=$v"
   private def claimPath(dir: String, v: Int) = s"$dir/ledger/claim-v=$v"
+  private def hbPath(dir: String, v: Int) = s"$dir/ledger/hb-v=$v"
 
   /** Highest COMMITTED manifest version (has Spark's `_SUCCESS` marker);
     * None before init. Uncommitted (crashed) version dirs are ignored.
@@ -219,16 +224,105 @@ object ClusteredStore {
       }
     } catch { case _: java.io.FileNotFoundException => None }
 
-  /** Refresh the claim's liveness timestamp (lease heartbeat). The
-    * built-in maintainers call it after their staging pass; custom
-    * long-running flows holding a claim should call it at least once
-    * per `staleClaimMs / 3`.
+  /** Refresh the claim's liveness timestamp (lease heartbeat). Two
+    * hardening rules (r10 advice):
+    *
+    *  1. TOKEN RE-VERIFY FIRST — a maintainer whose claim was broken
+    *     and re-taken must not refresh the SUCCESSOR's lease; if the
+    *     claim no longer carries our token, no-op and return false (the
+    *     commit will refuse on its own re-verify).
+    *  2. OBJECT-STORE FALLBACK — the primary channel is the claim
+    *     file's mtime (`setTimes`), but stores without `setTimes`
+    *     support would otherwise never refresh and a SLOW LIVE
+    *     maintainer would be broken under `staleClaimMs`. When
+    *     `setTimes` fails, liveness moves to a heartbeat SIDECAR
+    *     (`hb-v=N`: token + millis); [[breakStaleClaim]] reads
+    *     `max(claim mtime, sidecar millis)` with the sidecar honored
+    *     only when its token matches the claim's. Sidecar rewrites are
+    *     not atomic — a torn read just falls back to the claim mtime,
+    *     which errs toward "staler", i.e. toward the verify-then-break
+    *     path that the commit-point token check already guards.
+    *
+    * Maintainers that opted into takeover (`staleClaimMs` finite) keep
+    * their lease fresh THROUGHOUT staging via [[withLease]]'s keeper
+    * thread, so `staleClaimMs` does not need to exceed the worst-case
+    * staging duration — only the keeper's beat interval (staleMs/3).
     */
-  private def heartbeat(spark: SparkSession, claim: Claim, dir: String): Unit =
-    try Fs(spark, claimPath(dir, claim.v)).setTimes(
-      new org.apache.hadoop.fs.Path(claimPath(dir, claim.v)),
-      System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () } // lost lease → commit refuses
+  private def heartbeat(
+      spark: SparkSession, claim: Claim, dir: String): Boolean = {
+    if (!readClaim(spark, dir, claim.v).map(_._1).contains(claim.token))
+      return false // lost lease → the successor owns this slot now
+    val viaMtime =
+      try {
+        Fs(spark, claimPath(dir, claim.v)).setTimes(
+          new org.apache.hadoop.fs.Path(claimPath(dir, claim.v)),
+          System.currentTimeMillis(), -1)
+        true
+      } catch {
+        case _: java.io.IOException => false
+        case _: UnsupportedOperationException => false
+      }
+    if (!viaMtime)
+      try {
+        val fs = Fs(spark, hbPath(dir, claim.v))
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(hbPath(dir, claim.v)), true)
+        try out.write(s"${claim.token}\n${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
+    true
+  }
+
+  /** Best liveness evidence for the claim on `v`: its mtime, advanced
+    * by a heartbeat sidecar whose token matches (see [[heartbeat]]).
+    * Torn/mismatched sidecars are ignored — staler reads are the safe
+    * direction.
+    */
+  private def livenessTime(spark: SparkSession, dir: String, v: Int,
+      claimTok: String, claimMtime: Long): Long = {
+    val hb =
+      try {
+        val fs = Fs(spark, hbPath(dir, v))
+        val p = new org.apache.hadoop.fs.Path(hbPath(dir, v))
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val lines = txt.split('\n')
+          if (lines.length >= 2 && lines(0) == claimTok)
+            scala.util.Try(lines(1).trim.toLong).toOption
+          else None
+        }
+      } catch { case _: java.io.IOException => None }
+    math.max(claimMtime, hb.getOrElse(Long.MinValue))
+  }
+
+  /** Run `body` while keeping `claim`'s lease fresh: when the claimant
+    * opted into takeover (`staleMs` finite), a daemon keeper thread
+    * heartbeats every `staleMs / 3`, so a staging pass of ANY duration
+    * stays visibly alive (r10 advice: without this, `staleClaimMs` had
+    * to exceed the worst-case staging time). With takeover disabled
+    * there is no lease to defend; body runs bare.
+    */
+  private def withLease[T](spark: SparkSession, dir: String, claim: Claim,
+      staleMs: Long)(body: => T): T =
+    if (staleMs == Long.MaxValue) body
+    else {
+      val stop = new java.util.concurrent.CountDownLatch(1)
+      val keeper = new Thread(() => {
+        val beat = math.max(50L, staleMs / 3)
+        while (!stop.await(beat,
+            java.util.concurrent.TimeUnit.MILLISECONDS) &&
+          heartbeat(spark, claim, dir)) {}
+      })
+      keeper.setDaemon(true)
+      keeper.setName(s"graft-lease-v${claim.v}")
+      keeper.start()
+      try body finally { stop.countDown(); keeper.join(2000) }
+    }
 
   /** Break a presumed-dead maintainer's claim on version `v`: eligible
     * only when the claim's mtime is older than `staleMs` AND `v` never
@@ -245,7 +339,8 @@ object ClusteredStore {
     readClaim(spark, dir, v) match {
       case None => true // vanished since tryClaim failed — slot is open
       case Some((tok, mtime)) =>
-        val fresh = System.currentTimeMillis() - mtime < staleMs
+        val alive = livenessTime(spark, dir, v, tok, mtime)
+        val fresh = System.currentTimeMillis() - alive < staleMs
         val committed = Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
         if (fresh || committed) false
         else {
@@ -265,6 +360,7 @@ object ClusteredStore {
                 Fs.delete(spark, versionDir(dir, v))
               if (Fs.exists(spark, modelVersionDir(dir, v)))
                 Fs.delete(spark, modelVersionDir(dir, v))
+              Fs.delete(spark, hbPath(dir, v)) // dead holder's sidecar
               fs.delete(aside, false)
               true
             }
@@ -286,51 +382,74 @@ object ClusteredStore {
         "staleClaimMs to let this maintainer break dead claims")
   }
 
-  /** Remove maintenance debris: spent claims (their version committed),
-    * stale claims + markerless manifest dirs + dangling model versions
-    * from crashed maintainers. Returns how many items were removed.
+  /** Remove maintenance debris: spent claims (their version committed)
+    * plus their heartbeat sidecars, crashed maintainers' claims with
+    * their markerless manifest dirs and dangling model versions, and
+    * breaker aside-files. Returns how many items were removed.
     *
-    * ONLY safe when no maintainer is in flight (a live maintainer owns
-    * exactly the claim/dirs this would delete) — the single-writer
-    * streaming path may call it at startup ([[appendStream]] does),
-    * because under that contract any stale claim is its own crashed
-    * predecessor's.
+    * Multi-maintainer safety (r10 verdict: recover's old rule — "any
+    * uncommitted claim is dead" — killed LIVE claims): an uncommitted
+    * claim is now broken only under the SAME staleness rule as
+    * [[breakStaleClaim]] — liveness (claim mtime, advanced by a valid
+    * heartbeat sidecar) older than `staleClaimMs` — and through the
+    * same verify-then-break path (rename-aside + token re-check), so a
+    * claim that changes hands mid-recover is never deleted, and a
+    * markerless manifest dir guarded by a live claim (an in-flight
+    * commit) is left alone. The default `staleClaimMs = 0` keeps the
+    * historical "caller asserts no maintenance in flight" semantics
+    * (every uncommitted claim is immediately stale) — the single-writer
+    * streaming path relies on it at startup ([[appendStream]]), where
+    * any lingering claim can only be its own crashed predecessor's.
+    * Pass a real lease window when other maintainers may be live.
     */
-  def recover(spark: SparkSession, dir: String): Int = {
+  def recover(spark: SparkSession, dir: String,
+      staleClaimMs: Long = 0L): Int =
+    recoverImpl(spark, dir, staleClaimMs, exempt = None)
+
+  private def recoverImpl(spark: SparkSession, dir: String,
+      staleClaimMs: Long, exempt: Option[Claim]): Int = {
     val committed = currentVersion(spark, dir).getOrElse(0)
     var removed = 0
-    Fs.list(spark, ledgerDir(dir)).map(_.getPath).foreach { p =>
+    val entries = Fs.list(spark, ledgerDir(dir))
+    val claimVs = entries.map(_.getPath.getName)
+      .filter(_.startsWith("claim-v="))
+      .map(_.stripPrefix("claim-v=").toInt).toSet
+    entries.foreach { st =>
+      val p = st.getPath
       val n = p.getName
       if (n.startsWith("claim-v=")) {
         val v = n.stripPrefix("claim-v=").toInt
-        val spent = v <= committed
-        // stale ONLY above the committed horizon: below it, a missing
-        // versionDir means vacuum dropped the (committed) version while
-        // its spent claim lingered — treating that as "crashed
-        // maintainer" deleted the GOVERNING model version and bricked
-        // every later append (bug found by the first spec to append
-        // after a vacuum; reproduced, fixed here)
-        val stale = !spent &&
-          !Fs.exists(spark, s"${versionDir(dir, v)}/_SUCCESS")
-        // debris FIRST, claim LAST: a crash between these deletes must
-        // leave the claim standing guard over the half-cleaned version —
-        // deleting the claim first would let a later maintainer commit
-        // manifest v while a dangling (self-_SUCCESS'd) model/v=N still
-        // exists, which loadModel would then silently adopt: bounds the
-        // data was never laid out under, garbage drift counts, manifests
-        // mixing z-intervals from two models
-        if (stale && Fs.exists(spark, versionDir(dir, v))) {
-          Fs.delete(spark, versionDir(dir, v)); removed += 1
+        if (exempt.exists(_.v == v)) () // the caller's own live lease
+        else if (v <= committed) {
+          // spent: its version committed (and possibly vacuumed later —
+          // NEVER treat a missing versionDir below the horizon as a
+          // crash; that once deleted the governing model version and
+          // bricked every later append)
+          Fs.delete(spark, hbPath(dir, v))
+          Fs.delete(spark, p.toString); removed += 1
+        } else if (breakStaleClaim(spark, dir, v, staleClaimMs)) {
+          removed += 1 // manifest dir / model / sidecar went with it
         }
-        if (stale && Fs.exists(spark, modelVersionDir(dir, v))) {
-          Fs.delete(spark, modelVersionDir(dir, v)); removed += 1
+      } else if (n.startsWith("hb-v=")) {
+        val v = n.stripPrefix("hb-v=").toInt
+        if (!claimVs.contains(v) && !exempt.exists(_.v == v)) {
+          Fs.delete(spark, p.toString); removed += 1 // orphan sidecar
         }
-        if (spent || stale) { Fs.delete(spark, p.toString); removed += 1 }
       } else if (n.startsWith("v=") &&
           n.stripPrefix("v=").toInt > committed &&
+          !claimVs.contains(n.stripPrefix("v=").toInt) &&
           !Fs.exists(spark, s"$p/_SUCCESS")) {
+        // markerless dir with NO guarding claim: unreachable debris (a
+        // guarded one is an in-flight commit — breakStaleClaim clears
+        // it together with its claim if the claim goes stale)
         Fs.delete(spark, p.toString); removed += 1
-      } else if (n.startsWith(".break-")) { // crashed breaker's aside file
+      } else if (n.startsWith(".break-") &&
+          System.currentTimeMillis() - st.getModificationTime >=
+            math.min(staleClaimMs, 60000L)) {
+        // a breaker's aside file — debris once it outlives any sane
+        // rename-aside window (an in-flight breaker holds it for
+        // sub-seconds); the 60 s floor keeps takeover-disabled vacuums
+        // from hoarding crashed breakers' leavings forever
         Fs.delete(spark, p.toString); removed += 1
       }
     }
@@ -618,6 +737,7 @@ object ClusteredStore {
         nullFilled.select((st.fieldNames.toSeq ++ added).map(col): _*)
     }
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    withLease(spark, dir, claim, staleClaimMs) {
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
     val cur = manifest(spark, dir, Some(v))
@@ -693,8 +813,10 @@ object ClusteredStore {
     val baseRows =
       if (touchedFiles.isEmpty)
         inc.limit(0).select(outCols: _*)
-      else readFiles(spark, dir, touchedFiles.toSeq) // anchor schema:
-        // pre-widening files serve added columns as null here
+      else readFilesDv(spark, dir, cur, touchedFiles.toSeq) // anchor
+        // schema: pre-widening files serve added columns as null; DV:
+        // masked rows fold out of the rewrite (replacement rows carry
+        // no mask — the manifest row for the merged file is clean)
         .select(outCols: _*)
     val merged = baseRows.unionByName(insideRows.select(outCols: _*))
     // stage into the live data dir: new part-file names are unique,
@@ -717,6 +839,7 @@ object ClusteredStore {
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
       untouched = led.length - touchedFiles.size, clamped = clamped,
       version = v + 1)
+    } // withLease
   }
 
   /** Small-file compaction: merge every manifest file under
@@ -739,20 +862,32 @@ object ClusteredStore {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"compact before init under $dir"))
     val cur = manifest(spark, dir, Some(v))
-    val led = cur.select("file", "n_rows").collect()
+    // LIVE rows (physical minus DV-masked) drive every sizing decision:
+    // a file whose deletion vector hides half its rows IS a small file
+    // in every way that matters, and folding it here is exactly where
+    // merge-on-read masks get physically disposed
+    val led = ensureDvCols(cur).select(col("file"), col("n_rows"),
+        coalesce(col("dv_rows"), lit(0L)).as("dv_rows")).collect()
+    def live(r: org.apache.spark.sql.Row): Long =
+      r.getAs[Long]("n_rows") - r.getAs[Long]("dv_rows")
     val (priorWm, priorClamped) = versionConsts(cur)
     val mean = math.max(1L,
-      led.map(_.getAs[Long]("n_rows")).sum / math.max(1, led.length))
+      led.map(live).sum / math.max(1, led.length))
     val floor = if (minRowsPerFile > 0) minRowsPerFile else mean / 2
-    val smalls = led.filter(_.getAs[Long]("n_rows") < floor)
+    // fold targets: live-small files, plus mostly-dead files (mask
+    // covers >= half the physical rows) regardless of size
+    val smalls = led.filter(r => live(r) < floor ||
+        r.getAs[Long]("dv_rows") * 2 >= r.getAs[Long]("n_rows") &&
+          r.getAs[Long]("dv_rows") > 0)
       .map(_.getAs[String]("file"))
     if (smalls.length < 2)
       return AppendStats(0, 0, led.length, 0L, version = v)
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    withLease(spark, dir, claim, staleClaimMs) {
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
 
-    val rows = readFiles(spark, dir, smalls.toSeq)
+    val rows = readFilesDv(spark, dir, cur, smalls.toSeq)
     val n = rows.count()
     // size outputs at the HEALTHY files' mean (the overall mean is
     // dragged down by the very files being merged) but never below 2×
@@ -765,8 +900,7 @@ object ClusteredStore {
     // bounded by the rows ingested since the last one. Also always
     // emit strictly fewer files than were merged — compaction that
     // breaks even on file count is not compaction.
-    val healthy = led.filter(_.getAs[Long]("n_rows") >= floor)
-      .map(_.getAs[Long]("n_rows"))
+    val healthy = led.filter(live(_) >= floor).map(live)
     val target = math.max(
       if (healthy.nonEmpty) healthy.sum / healthy.length else mean,
       2 * floor)
@@ -793,6 +927,7 @@ object ClusteredStore {
     AppendStats(rewritten = smalls.length, created = newFiles.size,
       untouched = led.length - smalls.length, clamped = 0L,
       version = v + 1)
+    } // withLease
   }
 
   /** Re-freeze the rank model on the CURRENT snapshot's bounds and
@@ -818,6 +953,7 @@ object ClusteredStore {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"recluster before init under $dir"))
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    withLease(spark, dir, claim, staleClaimMs) {
     val old = loadModel(spark, dir, v)
     val cur = manifest(spark, dir, Some(v))
     val (priorWm, _) = versionConsts(cur)
@@ -845,6 +981,7 @@ object ClusteredStore {
     AppendStats(rewritten = oldFileCount,
       created = newFiles.size, untouched = 0, clamped = 0L,
       version = v + 1)
+    } // withLease
   }
 
   /** What one [[delete]] did: files rewritten (they contained matches),
@@ -908,8 +1045,9 @@ object ClusteredStore {
 
     // column-pruned match count per candidate file — only files with a
     // real hit are rewritten; a pruning false-positive costs one scan,
-    // never a rewrite
-    val hitRows = readFiles(spark, dir, candidates)
+    // never a rewrite. Deletion vectors apply first: an already-masked
+    // row can neither re-count as deleted nor force a rewrite
+    val hitRows = readFilesDv(spark, dir, cur, candidates)
       .withColumn("_f", input_file_name())
       .filter(predicate)
       .groupBy(col("_f")).agg(count(lit(1)).as("n"))
@@ -920,6 +1058,7 @@ object ClusteredStore {
       return DeleteStats(0, all.length, 0L, v)
 
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    withLease(spark, dir, claim, staleClaimMs) {
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
     val (priorWm, priorClamped) = versionConsts(cur)
@@ -927,7 +1066,7 @@ object ClusteredStore {
     // survivors = NOT deleted: rows where the predicate is FALSE or
     // NULL — a bare !predicate filter would silently drop null-eval
     // rows too (deleted + counted nowhere), the classic tri-state trap
-    val survivors = readFiles(spark, dir, hitFiles)
+    val survivors = readFilesDv(spark, dir, cur, hitFiles)
       .filter(!coalesce(predicate, lit(false)))
     val outCols = survivors.columns.map(col).toSeq
     val n = survivors.count()
@@ -957,6 +1096,7 @@ object ClusteredStore {
     DeleteStats(rewritten = hitFiles.length,
       untouched = all.length - hitFiles.length,
       deleted = nDeleted, version = v + 1)
+    } // withLease
   }
 
   /** Point-key takedown: delete rows whose `keyCol` is in `keys`, with
@@ -969,17 +1109,242 @@ object ClusteredStore {
     delete(spark, dir, col(keyCol).isin(keys: _*),
       keyIn = Some((keyCol, keys)), staleClaimMs = staleClaimMs)
 
+  // -------------------------------------------------------------------
+  // Deletion vectors (merge-on-read point takedowns)
+  // -------------------------------------------------------------------
+
+  /** Per-file deletion-vector manifest columns: `dv_col` (the key
+    * column the mask is keyed on), `dv_keys` (the masked key values —
+    * a key LIST, not a row bitmap: file paths are stable but row order
+    * inside a rewritten file is not, and a key list keeps the mask
+    * valid under the store's curve-sorted rewrites), `dv_rows` (how
+    * many PHYSICAL rows of this file the mask hides — the live-row
+    * accounting [[stats]] subtracts and [[compact]]'s fold policy
+    * reads). Null/absent = no mask. Masks are FILE-SCOPED: a later
+    * append of the same key value is a new row in a new file and
+    * survives — deletion is point-in-time, exactly like Delta/Iceberg
+    * DVs.
+    */
+  private val DvCols = Seq("dv_col", "dv_keys", "dv_rows")
+
+  private def baseName(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getName
+
+  /** Manifest rows with the DV columns present (null-typed when the
+    * manifest predates them), so downstream column logic is uniform.
+    */
+  private def ensureDvCols(man: DataFrame): DataFrame = {
+    val withCol =
+      if (man.columns.contains("dv_col")) man
+      else man.withColumn("dv_col", lit(null).cast("string"))
+    val withKeys =
+      if (withCol.columns.contains("dv_keys")) withCol
+      else withCol.withColumn("dv_keys", lit(null).cast("array<bigint>"))
+    if (withKeys.columns.contains("dv_rows")) withKeys
+    else withKeys.withColumn("dv_rows", lit(null).cast("bigint"))
+  }
+
+  /** (file basename, key column, masked keys) for every `files` entry
+    * carrying a non-empty deletion vector; empty when none do. Bounded
+    * by takedown volume — metadata-scale, safe to collect.
+    */
+  private def dvEntries(man: DataFrame, files: Seq[String])
+      : Seq[(String, String, Seq[Long])] =
+    if (!man.columns.contains("dv_keys")) Nil
+    else {
+      val names = files.map(baseName).toSet
+      man.filter(col("dv_keys").isNotNull && size(col("dv_keys")) > 0)
+        .select("file", "dv_col", "dv_keys")
+        .collect()
+        .filter(r => names.contains(baseName(r.getString(0))))
+        .map(r => (baseName(r.getString(0)), r.getString(1),
+          r.getSeq[Long](2)))
+        .toSeq
+    }
+
+  /** Open `files` with their deletion vectors applied — the
+    * merge-on-read path every answer-producing and every rewriting
+    * read goes through. Clean files open exactly as before (no
+    * `input_file_name` tax); masked files take one broadcast anti-join
+    * of (file basename, key) pairs per distinct DV key column
+    * (basenames are Spark part-file UUIDs — globally unique, so the
+    * per-file scoping is exact). Null keys never match a mask entry
+    * (null-safe: a takedown can only name concrete keys).
+    */
+  private def readFilesDv(spark: SparkSession, dir: String,
+      man: DataFrame, files: Seq[String]): DataFrame = {
+    val dvs = dvEntries(man, files)
+    if (dvs.isEmpty) readFiles(spark, dir, files)
+    else {
+      val maskedNames = dvs.map(_._1).toSet
+      val (masked, clean) =
+        files.partition(f => maskedNames.contains(baseName(f)))
+      import spark.implicits._
+      var m = readFiles(spark, dir, masked)
+        .withColumn("_dvf", element_at(split(input_file_name(), "/"), -1))
+      dvs.groupBy(_._2).foreach { case (kc, entries) =>
+        val pairs = entries
+          .flatMap { case (f, _, ks) => ks.map(k => (f, k)) }
+          .toDF("_dvf2", "_dvk")
+        m = m.join(broadcast(pairs),
+          m("_dvf") === pairs("_dvf2") &&
+            col(kc).cast("long") === pairs("_dvk"),
+          "left_anti")
+      }
+      val md = m.drop("_dvf")
+      if (clean.isEmpty) md
+      else readFiles(spark, dir, clean).unionByName(md)
+    }
+  }
+
+  /** Merge-on-read point takedown — [[deleteKeys]] without the
+    * rewrite: rows whose `keyCol` is in `keys` are masked by a per-file
+    * deletion vector committed IN THE MANIFEST ROW, and ZERO data files
+    * are rewritten. At the frequent-small-takedown regime a compliance
+    * pipeline actually runs, copy-on-write's cost is wrong by orders of
+    * magnitude — a 2-row takedown in a 1M-row file must not be a
+    * 1M-row rewrite. Cost here: one Bloom prune (manifest-only), one
+    * column-pruned scan of may-contain files to find true hits, one
+    * manifest commit.
+    *
+    * Every read path ([[read]] / [[readPruned]] / [[readPoint]]) and
+    * every rewriting maintainer ([[append]] / [[compact]] /
+    * [[recluster]] / [[delete]]) applies the mask via [[readFilesDv]],
+    * so answers are identical to the copy-on-write path; masks FOLD
+    * into clean files whenever their file is rewritten (the rewrite
+    * reads the file masked and the replacement manifest row carries no
+    * DV), and [[compact]] additionally folds mostly-dead files on its
+    * own. Repeated takedowns on one file merge their key lists; a
+    * takedown keyed on a DIFFERENT column than a file's existing mask
+    * is refused before any work (one mask column per file — fold first
+    * via [[compact]], or reuse the same key column). Masked rows stay
+    * visible to `read(asOf = <older>)` — the audit trail — and are
+    * physically disposed when a rewrite folds them and [[vacuum]]
+    * retires the old files.
+    */
+  def deleteKeysDV(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], staleClaimMs: Long = Long.MaxValue): DeleteStats = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"delete before init under $dir"))
+    val cur = manifest(spark, dir, Some(v))
+    val all = cur.select("file").collect().map(_.getString(0))
+    val candidates =
+      if (cur.columns.contains(s"bloom_$keyCol"))
+        pruneFilesPoint(spark, dir, keyCol, keys, Some(v))
+      else all.toSeq
+    if (candidates.isEmpty) return DeleteStats(0, all.length, 0L, v)
+
+    // one-mask-column-per-file contract, checked BEFORE any work
+    val conflicts = dvEntries(cur, candidates)
+      .filter(_._2 != keyCol).map(_._1)
+    require(conflicts.isEmpty,
+      s"deleteKeysDV($dir, $keyCol): files $conflicts already carry a " +
+        s"deletion vector on a different column — fold first (compact/" +
+        "recluster) or key the takedown on the same column")
+
+    // column-pruned LIVE hit count + exact per-file key sets (existing
+    // masks applied first: an already-masked key must not double-count)
+    val hits = readFilesDv(spark, dir, cur, candidates)
+      .withColumn("_f", element_at(split(input_file_name(), "/"), -1))
+      .filter(col(keyCol).cast("long").isin(keys: _*))
+      .groupBy(col("_f"))
+      .agg(count(lit(1)).as("n"),
+        collect_set(col(keyCol).cast("long")).as("ks"))
+      .collect()
+    if (hits.isEmpty) return DeleteStats(0, all.length, 0L, v)
+    val nDeleted = hits.map(_.getAs[Long]("n")).sum
+
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    withLease(spark, dir, claim, staleClaimMs) {
+      val (priorWm, priorClamped) = versionConsts(cur)
+      import spark.implicits._
+      val delta = hits.toSeq
+        .map(r => (r.getString(0), r.getSeq[Long](2), r.getAs[Long]("n")))
+        .toDF("_f", "_add_keys", "_add_n")
+      val man0 = ensureDvCols(cur)
+        .withColumn("_f", element_at(split(col("file"), "/"), -1))
+      val updated = man0
+        .join(broadcast(delta), Seq("_f"), "left")
+        .withColumn("dv_col",
+          when(col("_add_keys").isNotNull, lit(keyCol))
+            .otherwise(col("dv_col")))
+        .withColumn("dv_keys",
+          when(col("_add_keys").isNotNull,
+            array_union(
+              coalesce(col("dv_keys"),
+                expr("CAST(array() AS ARRAY<BIGINT>)")),
+              col("_add_keys")))
+            .otherwise(col("dv_keys")))
+        .withColumn("dv_rows",
+          when(col("_add_n").isNotNull,
+            coalesce(col("dv_rows"), lit(0L)) + col("_add_n"))
+            .otherwise(col("dv_rows")))
+        .drop("_f", "_add_keys", "_add_n")
+      commitManifest(stamp(updated, priorWm, priorClamped), dir, claim)
+      DeleteStats(rewritten = 0, untouched = all.length,
+        deleted = nDeleted, version = v + 1)
+    }
+  }
+
+  /** Delete the caller's OWN claim (token-verified) — the release path
+    * for claims that never commit a manifest ([[vacuum]]'s). A lost
+    * lease is left untouched: the slot belongs to the successor now.
+    * Sidecar first, claim last, so no window exists where a NEW
+    * claimant's heartbeat sidecar could be deleted by us.
+    */
+  private def releaseClaim(
+      spark: SparkSession, dir: String, claim: Claim): Unit =
+    try {
+      if (readClaim(spark, dir, claim.v).map(_._1).contains(claim.token)) {
+        Fs.delete(spark, hbPath(dir, claim.v))
+        Fs.delete(spark, claimPath(dir, claim.v))
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** Drop manifest versions past the newest `keepLast` and delete every
     * data file the KEPT versions don't reference — files exclusive to
     * dropped versions AND orphans from crashed maintenance attempts
     * (explicit commit lineage means orphans are never adopted, so
     * vacuum is the only thing that touches them). Also removes spent
-    * claims, stale claims/markerless dirs below the horizon, and model
-    * versions older than the kept window needs. Keeps at least the
-    * current version. Requires no maintenance in flight.
+    * claims, stale claims/markerless dirs, and model versions older
+    * than the kept window needs. Keeps at least the current version.
+    *
+    * Vacuum runs INSIDE the claim protocol (r10 verdict: the old
+    * "requires no maintenance in flight" footnote was the store's one
+    * unenforced contract): it takes the next-version claim exactly like
+    * every maintainer, re-lists the committed versions AFTER acquiring
+    * it, and releases the claim (no manifest commit) when done. While
+    * the claim is held no append/compact/recluster can commit — so the
+    * kept-file snapshot can never race a committing append into
+    * deleting files the winning manifest references — and conversely a
+    * LIVE maintainer's claim makes vacuum REFUSE
+    * ([[ConcurrentCommitException]]; pass `staleClaimMs` to break a
+    * dead one's, same lease rules as every writer). Internal cleanup
+    * honors the same staleness rules ([[recover]]'s), with vacuum's own
+    * claim exempt. A vacuum that crashes mid-run leaves its claim
+    * standing guard like any crashed maintainer — the next maintainer
+    * with `staleClaimMs` (or an explicit `recover`) clears it; data
+    * files it already deleted were unreferenced by every kept manifest,
+    * so the store stays consistent at every step.
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      staleClaimMs: Long = Long.MaxValue): Int = {
     require(keepLast >= 1, "must keep at least the current version")
+    currentVersion(spark, dir) match {
+      case None => 0
+      case Some(cur) =>
+        val claim = claimOrThrow(spark, dir, cur + 1, staleClaimMs)
+        try withLease(spark, dir, claim, staleClaimMs) {
+          vacuumLocked(spark, dir, keepLast, staleClaimMs, claim)
+        } finally releaseClaim(spark, dir, claim)
+    }
+  }
+
+  private def vacuumLocked(spark: SparkSession, dir: String,
+      keepLast: Int, staleClaimMs: Long, claim: Claim): Int = {
+    // committed set RE-LISTED under the claim: nothing can commit while
+    // we hold it, so keptPaths is stable for the whole delete scan
     val committed = Fs.list(spark, ledgerDir(dir))
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
@@ -1002,7 +1367,9 @@ object ClusteredStore {
       }
     }
     drop.foreach(n => Fs.delete(spark, versionDir(dir, n)))
-    removed += recover(spark, dir) // spent/stale claims, markerless dirs
+    // spent/stale claims, markerless dirs — our own claim exempt, live
+    // claims honored under the same lease rules as every breaker
+    removed += recoverImpl(spark, dir, staleClaimMs, exempt = Some(claim))
     // model versions: keep the newest <= each kept manifest needs; i.e.
     // drop any model version strictly below the oldest kept manifest's
     // governing model
@@ -1076,9 +1443,9 @@ object ClusteredStore {
     */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
-    val files = manifest(spark, dir, asOf)
-      .select("file").collect().map(_.getString(0))
-    if (files.nonEmpty) readFiles(spark, dir, files.toSeq)
+    val man = manifest(spark, dir, asOf)
+    val files = man.select("file").collect().map(_.getString(0))
+    if (files.nonEmpty) readFilesDv(spark, dir, man, files.toSeq)
     else if (Fs.nonEmptyDir(spark, schemaDir(dir)))
       // zero-row snapshot: serve a TYPED empty frame from the schema
       // anchor the store wrote at init — data/ may legally hold ZERO
@@ -1101,7 +1468,8 @@ object ClusteredStore {
       throw new IllegalStateException(s"no committed manifest under $dir"))
     val files = StatsLedger.pruneFiles(spark, versionDir(dir, v), boxes)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
-    else readFiles(spark, dir, files).filter(exact)
+    else readFilesDv(spark, dir, manifest(spark, dir, Some(v)), files)
+      .filter(exact)
   }
 
   /** Bloom-pruned exact point lookup (`keyCol IN keys`) — the probe box
@@ -1116,7 +1484,8 @@ object ClusteredStore {
       keys: Seq[Long], asOf: Option[Int] = None): DataFrame = {
     val files = pruneFilesPoint(spark, dir, keyCol, keys, asOf)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
-    else readFiles(spark, dir, files).filter(col(keyCol).isin(keys: _*))
+    else readFilesDv(spark, dir, manifest(spark, dir, asOf), files)
+      .filter(col(keyCol).isin(keys: _*))
   }
 
   /** Manifest files whose Bloom sketch may contain ANY of `keys`. */
@@ -1127,9 +1496,18 @@ object ClusteredStore {
     require(led.columns.contains(s"bloom_$keyCol"),
       s"store at $dir has no Bloom column for $keyCol — init with " +
         s"bloomCols = Seq(${'"'}$keyCol${'"'})")
-    val any = keys.map(key =>
-        call_function("bloom_contains", col(s"bloom_$keyCol"), lit(key)))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // balanced OR: a linear reduce builds a keys.size-deep expression
+    // tree and overflows the stack on bulk takedowns (first hit: a
+    // 2400-key deleteKeysDV); a balanced combine is log-depth
+    def orAll(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else {
+        val (l, r) = cs.splitAt(cs.size / 2)
+        orAll(l) || orAll(r)
+      }
+    val probes = keys.map(key =>
+      call_function("bloom_contains", col(s"bloom_$keyCol"), lit(key)))
+    val any = if (probes.isEmpty) lit(false) else orAll(probes)
     led.filter(any).select("file").collect().map(_.getString(0)).toSeq
   }
 
@@ -1140,9 +1518,12 @@ object ClusteredStore {
       asOf: Option[Int] = None): StoreStats = {
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $dir"))
-    val r = manifest(spark, dir, Some(v))
+    // n_rows is LIVE rows: physical minus deletion-vector-masked — the
+    // row count every read path actually serves
+    val r = ensureDvCols(manifest(spark, dir, Some(v)))
       .agg(count(lit(1)).as("nf"),
-        coalesce(sum(col("n_rows")), lit(0L)).as("nr"),
+        coalesce(sum(col("n_rows") - coalesce(col("dv_rows"), lit(0L))),
+          lit(0L)).as("nr"),
         coalesce(max(col("wm_batch")), lit(-1L)).as("wm"),
         coalesce(max(col("clamped_total")), lit(0L)).as("ct"))
       .head()
@@ -1225,7 +1606,8 @@ object ClusteredStore {
       .count(n => Fs.exists(spark,
         s"${versionDir(dir, n.stripPrefix("v=").toInt)}/_SUCCESS"))
     val vacuumed =
-      if (retained > maxVersions) vacuum(spark, dir, keepLast) else 0
+      if (retained > maxVersions) vacuum(spark, dir, keepLast, staleClaimMs)
+      else 0
     MaintainReport(compacted, reclustered, vacuumed,
       currentVersion(spark, dir).getOrElse(s0.version))
   }

@@ -14,6 +14,24 @@ import TextQueries.{duckMd5num, md5numSql}
   * cluster label (embedding) — so the expensive verify step runs only on
   * candidate pairs co-located by a shuffle on the blocking key. The
   * verification is exact, so results are deterministic and oracle-checkable.
+  *
+  * PAIR-RECALL CONTRACT under the skew guard: buckets larger than
+  * [[graft.ops.SkewGuard.DefaultCap]] are salted, and cross-salt pairs
+  * inside such a bucket are NOT emitted — pair recall inside an
+  * oversized bucket drops to ~1/salts while every within-salt pair
+  * survives. This binds ONLY on buckets past the cap (healthy LSH
+  * buckets are orders of magnitude smaller; sf0.1 max observed 237 vs
+  * cap 1024, so oracle results are bit-identical at every tested SF).
+  * What the trade costs is DEDUP RATE on mega-duplicate groups, never
+  * the integrity of what survives: each salt group's internal pairs are
+  * complete, so [[graft.ops.DedupClusters.connectedComponents]] resolves
+  * an oversized bucket into AT MOST `ceil(n/cap)` internally-complete
+  * clusters instead of one — a takedown/keep-one pass retains up to
+  * that many representatives of the group instead of exactly one, and
+  * no non-duplicate row is ever misjudged. Measured, not assumed, in
+  * `SkewGuardRecallSpec` at a cap-binding scale (within-salt pair
+  * completeness, pair recall ~1/salts, fragment bound). The loss is
+  * observable per run via the guard's `oversized_rows` metric.
   */
 object DedupQueries {
 

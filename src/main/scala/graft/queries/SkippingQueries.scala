@@ -516,6 +516,46 @@ object SkippingQueries {
               AND l_orderkey NOT IN (1, 3)
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Merge-on-read point takedown
+    * ([[graft.ops.ClusteredStore.deleteKeysDV]]), answer-invariant
+    * end-to-end with the FOLD path exercised: init on two-thirds of
+    * lineitem, DV-mask orderkeys 1–20 (zero files rewritten — asserted
+    * in DeletionVectorSpec; here the oracle pins the ANSWER), then
+    * append the remaining third — whose rows may share masked keys and
+    * whose rewrites fold masks on the files they touch — and compact.
+    * The read must equal DuckDB's point-in-time complement: init-half
+    * rows minus the masked keys, plus EVERY appended row (file-scoped
+    * masks never ban a key's future rows). Every read-path branch
+    * (clean files, masked files, folded files) is live in this plan.
+    */
+  val clusterDeleteDv = Q(
+    "q_cluster_delete_dv",
+    (s, dir) => {
+      val base = memo("cldeletedv", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        graft.ops.ClusteredStore.init(
+          li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0),
+          Seq("l_partkey", "l_suppkey"), 12, s"$b/store",
+          bloomCols = Seq("l_orderkey"))
+        graft.ops.ClusteredStore.deleteKeysDV(s, s"$b/store",
+          "l_orderkey", (1L to 20L))
+        graft.ops.ClusteredStore.append(s, s"$b/store",
+          li.filter(pmod(col("l_orderkey"), lit(3L)) === 0))
+        graft.ops.ClusteredStore.compact(s, s"$b/store")
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE NOT (l_orderkey % 3 <> 0 AND l_orderkey BETWEEN 1 AND 20)
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   /** Additive schema evolution
     * ([[graft.ops.ClusteredStore.append]]`(mergeSchema = true)`),
     * answer-invariant: init WITHOUT the `bonus` column, widen it in on
@@ -558,5 +598,6 @@ object SkippingQueries {
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
-      clusterHistory, clusterMaintain, clusterDelete, clusterEvolve)
+      clusterHistory, clusterMaintain, clusterDelete, clusterDeleteDv,
+      clusterEvolve)
 }

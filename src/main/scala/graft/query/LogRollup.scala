@@ -124,10 +124,18 @@ object LogRollup {
     * LogRollupSpec).
     */
   def read(spark: SparkSession, rollupDir: String,
-      grain: Seq[String] = Seq("date", "model")): DataFrame = {
+      grain: Seq[String] = Seq("date", "model"),
+      upToBatch: Option[Long] = None): DataFrame = {
     require(grain.nonEmpty && grain.forall(Set("date", "model")),
       s"rollup grain must be a non-empty subset of {date, model}: $grain")
-    partialTable(spark, rollupDir)
+    // upToBatch pins the merge to `src=batch-<k>` partials with
+    // k <= id — the rollup leg of LogStreamPipeline.readConsistent's
+    // cross-store snapshot (pipeline-maintained stores only; see
+    // ShreddedLog.readAsOf). Partition-value pruning, no extra I/O.
+    val base = partialTable(spark, rollupDir)
+    upToBatch.fold(base)(id => base.filter(
+        regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
+          .cast("long") <= id))
       .groupBy(grain.map(col): _*)
       .agg(
         sum(col("n_events")).cast("long").as("n_events"),

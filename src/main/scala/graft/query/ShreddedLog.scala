@@ -188,6 +188,23 @@ object ShreddedLog {
         LogSchema.schema)).drop("src")
     else spark.read.parquet(shredDir).drop("src")
 
+  /** The typed view PINNED at a streaming batch id: only rows from
+    * `src=batch-<k>` partitions with `k <= upToBatch` — the shred leg
+    * of [[graft.streaming.LogStreamPipeline.readConsistent]]'s
+    * cross-store snapshot. Defined for PIPELINE-maintained stores
+    * (every src a batch key); file-fingerprint partitions carry no
+    * batch order and are excluded by the filter itself. Partition-value
+    * pruning only — no data read outside the pinned batches.
+    */
+  def readAsOf(spark: SparkSession, shredDir: String,
+      upToBatch: Long): DataFrame =
+    if (processedSrcs(spark, shredDir).isEmpty) read(spark, shredDir)
+    else spark.read.parquet(shredDir)
+      .filter(org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("src"), "^batch-([0-9]+)$", 1)
+        .cast("long") <= upToBatch)
+      .drop("src")
+
   /** Has this store ever been maintained? One partition-dir listing —
     * the probe [[LogTable]]'s prefer-shredded builders route on.
     */

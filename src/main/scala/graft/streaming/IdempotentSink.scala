@@ -214,9 +214,25 @@ object IdempotentSink {
     val out = fs.create(tmpMarker, true)
     try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    markerCache.put(cacheKey(fs, destMarker), content)
-    fs.rename(tmpMarker, destMarker)
-    Some(dest.getName)
+    // The rename result must gate BOTH the cache priming and the return
+    // value (r10 advice): a failed rename (transient fs error, or a
+    // racing compactor already landed destMarker) with the cache primed
+    // anyway would make THIS JVM believe the commit exists while the
+    // filesystem disagrees. On failure, re-probe: an existing marker
+    // means a racing compactor of the same source set won — idempotent
+    // success, adopt it; truly absent means the commit did NOT happen —
+    // clean up and report nothing committed.
+    if (fs.rename(tmpMarker, destMarker)) {
+      markerCache.put(cacheKey(fs, destMarker), content)
+      Some(dest.getName)
+    } else if (fs.exists(destMarker)) {
+      fs.delete(tmpMarker, false)
+      Some(dest.getName) // same digest = same sources: their commit IS ours
+    } else {
+      markerCache.remove(cacheKey(fs, destMarker))
+      fs.delete(tmpMarker, false)
+      None
+    }
   }
 
   /** Physically delete superseded dirs (call after a grace period; see

@@ -1,0 +1,209 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Fs, LogEntry}
+import graft.query.{LogRollup, ShreddedLog}
+
+/** The landed log's `batch=` dirs no longer accumulate forever: every
+  * `compactEvery` ticks, [[LogStreamPipeline.compactLanded]] folds the
+  * no-longer-replayable batches into one compacted generation per date
+  * partition — inside the same batch-keyed exactly-once discipline as
+  * land/shred/rollup (r10 verdict item 3). Plus the cross-store pinned
+  * snapshot ([[LogStreamPipeline.readConsistent]], item 8): one batch
+  * id cuts all three stores consistently, before and after a crash
+  * replay.
+  */
+class LogStreamCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entry(i: Int, model: String, tok: Int) = LogEntry(
+    // two date partitions (i alternates days)
+    new Timestamp(1700000000000L + (i % 2) * 86400000L), s"run-$i", "",
+    s"c$i", "llm_end", "{}",
+    s"""{"event_type":"llm_end","data":{"model":"$model",""" +
+      s""""usage_metadata":{"input_tokens":$tok,"output_tokens":1,""" +
+      s""""total_tokens":${tok + 1}}}}""")
+
+  private def batchDf(b: Int): DataFrame =
+    Seq(entry(2 * b, s"m${b % 3}", 10 + b), entry(2 * b + 1, s"m${b % 3}", 20 + b))
+      .toDF()
+
+  private def batchDirs(logDir: String): Seq[String] =
+    Fs.list(spark, logDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .flatMap(d => Fs.list(spark, d.getPath.toString)
+        .map(_.getPath.getName).filter(_.startsWith("batch=")))
+
+  private def landedFiles(logDir: String): Int =
+    Fs.list(spark, logDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map(d => Fs.list(spark, d.getPath.toString)
+        .filter(_.isDirectory)
+        .map(b => Fs.list(spark, b.getPath.toString)
+          .count(f => f.getPath.getName.endsWith(".parquet"))).sum)
+      .sum
+
+  private def dashboard(rollupDir: String): Map[String, (Long, Long)] =
+    LogRollup.read(spark, rollupDir, Seq("model"))
+      .select("model", "n_events", "tot_tokens").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("100+ ticks with compactEvery=10: the landed dir count " +
+    "sawtooths instead of growing, totals stay exact, the dashboard " +
+    "contract holds, and a stale replay of a folded batch is a no-op") {
+    val logDir = Files.createTempDirectory("cmp_log").toString
+    val shredDir = Files.createTempDirectory("cmp_shred").toString
+    val rollupDir = Files.createTempDirectory("cmp_roll").toString
+    val ticks = 105
+    var maxDirs = 0
+    var sawtoothed = false
+    (0 until ticks).foreach { b =>
+      val before = batchDirs(logDir).size
+      LogStreamPipeline.tick(batchDf(b), b.toLong, logDir, shredDir,
+        rollupDir, compactEvery = 10)
+      val after = batchDirs(logDir).size
+      maxDirs = math.max(maxDirs, after)
+      if (after < before) sawtoothed = true
+    }
+    assert(sawtoothed, "compaction never reduced the landed dir count")
+    // bounded: at most compactEvery live batches + 1 generation per date
+    assert(maxDirs <= 2 * (10 + 1) + 2,
+      s"dir count grew unbounded: $maxDirs")
+    val finalDirs = batchDirs(logDir)
+    assert(finalDirs.size < ticks / 2,
+      s"${finalDirs.size} dirs after $ticks ticks — no folding happened")
+    assert(finalDirs.exists(_.endsWith("c")), "no compacted generation")
+    info(s"after $ticks ticks: ${finalDirs.size} batch dirs " +
+      s"(${landedFiles(logDir)} files), peak $maxDirs dirs")
+
+    // totals exact across every fold
+    assert(spark.read.parquet(logDir).count() === 2L * ticks)
+    assert(ShreddedLog.read(spark, shredDir).count() === 2L * ticks)
+    val want = (0 until ticks).groupBy(b => s"m${b % 3}").map {
+      case (m, bs) =>
+        m -> (2L * bs.size,
+          bs.map(b => (10 + b + 1).toLong + (20 + b + 1).toLong).sum)
+    }
+    assert(dashboard(rollupDir) === want)
+
+    // stale replay of a long-folded batch: skipped whole, nothing
+    // resurrects (land would otherwise re-create batch=3 next to the
+    // generation holding its rows — a permanent double count)
+    LogStreamPipeline.tick(batchDf(3), 3L, logDir, shredDir, rollupDir,
+      compactEvery = 10)
+    assert(batchDirs(logDir).sorted === finalDirs.sorted)
+    assert(spark.read.parquet(logDir).count() === 2L * ticks)
+    assert(dashboard(rollupDir) === want)
+  }
+
+  test("crash at the compaction boundary (generation committed, " +
+    "sources not yet deleted): the replay resumes the fold and " +
+    "converges to exact counts") {
+    val logDir = Files.createTempDirectory("cmpx_log").toString
+    val shredDir = Files.createTempDirectory("cmpx_shred").toString
+    val rollupDir = Files.createTempDirectory("cmpx_roll").toString
+    (0 until 10).foreach { b =>
+      LogStreamPipeline.tick(batchDf(b), b.toLong, logDir, shredDir,
+        rollupDir, compactEvery = 10)
+    }
+    val cleanTotal = 2L * 10
+
+    // tick 10 folds batches 0..9; crash right after the FIRST date
+    // partition's generation commit, before any source delete
+    LogStreamPipeline.onGenerationCommit =
+      () => throw new RuntimeException("injected crash after gen commit")
+    try {
+      intercept[RuntimeException](
+        LogStreamPipeline.tick(batchDf(10), 10L, logDir, shredDir,
+          rollupDir, compactEvery = 10))
+    } finally LogStreamPipeline.onGenerationCommit = () => ()
+
+    // torn window, observable exactly as documented: one date's
+    // generation AND its sources coexist → raw glob double-counts
+    val torn = spark.read.parquet(logDir).count()
+    assert(torn > cleanTotal + 2,
+      s"expected the documented torn double-count, got $torn")
+    assert(LogStreamPipeline.maxFolded(spark, logDir) === 9L)
+
+    // replay of tick 10: land/shred/rollup overwrite themselves, the
+    // fold RESUMES (generation already present → delete sources; the
+    // other date folds fresh) — counts exact, no duplicates
+    LogStreamPipeline.tick(batchDf(10), 10L, logDir, shredDir,
+      rollupDir, compactEvery = 10)
+    assert(spark.read.parquet(logDir).count() === cleanTotal + 2)
+    assert(ShreddedLog.read(spark, shredDir).count() === cleanTotal + 2)
+    val gens = batchDirs(logDir).filter(_.endsWith("c"))
+    assert(gens.nonEmpty)
+    assert(batchDirs(logDir).filterNot(_.endsWith("c")).toSet ===
+      Set("batch=10"), "only batch=10 may remain unfolded")
+    // no temp trash left behind
+    val trash = Fs.list(spark, logDir)
+      .filter(_.getPath.getName.startsWith("date="))
+      .flatMap(d => Fs.list(spark, d.getPath.toString))
+      .filter(_.getPath.getName.startsWith(".cmp-tmp-"))
+    assert(trash.isEmpty)
+  }
+
+  test("readConsistent pins one batch across log/shred/rollup: a " +
+    "mid-tick crash leaves the pinned snapshot IDENTICAL before and " +
+    "after the replay, and the rollup view agrees with a recompute " +
+    "over the pinned log") {
+    val logDir = Files.createTempDirectory("rc_log").toString
+    val shredDir = Files.createTempDirectory("rc_shred").toString
+    val rollupDir = Files.createTempDirectory("rc_roll").toString
+    (0 until 25).foreach { b =>
+      LogStreamPipeline.tick(batchDf(b), b.toLong, logDir, shredDir,
+        rollupDir, compactEvery = 10)
+    }
+
+    def snapshot(id: Long): (Seq[String], Long, Seq[(String, Long, Long)]) = {
+      val v = LogStreamPipeline.readConsistent(spark, id, logDir,
+        shredDir, rollupDir)
+      val logRows = v.log.select("run_id").collect()
+        .map(_.getString(0)).sorted.toSeq
+      val shredN = v.shred.count()
+      val roll = v.rollup.select("model", "n_events", "tot_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      (logRows, shredN, roll)
+    }
+
+    val pinned = snapshot(24L)
+    assert(pinned._1.size === 50 && pinned._2 === 50L)
+    // rollup view == recompute over the pinned log (oracle twin)
+    val recompute = LogStreamPipeline
+      .readConsistent(spark, 24L, logDir, shredDir, rollupDir).log
+      .select(get_json_object(col("payload"), "$.data.model").as("model"),
+        get_json_object(col("payload"),
+          "$.data.usage_metadata.total_tokens").cast("long").as("t"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(pinned._3 === recompute)
+
+    // mid-tick crash: batch 25 lands, shred/rollup never run
+    LogStreamPipeline.land(batchDf(25), 25L, logDir)
+    assert(snapshot(24L) === pinned,
+      "a mid-flight batch leaked into the pinned snapshot")
+    // replay completes the tick; the pinned snapshot is still identical
+    LogStreamPipeline.tick(batchDf(25), 25L, logDir, shredDir,
+      rollupDir, compactEvery = 10)
+    assert(snapshot(24L) === pinned)
+    // and the NEW boundary is complete and self-consistent
+    val next = snapshot(25L)
+    assert(next._1.size === 52 && next._2 === 52L)
+
+    // pinning below the fold horizon refuses loudly
+    val e = intercept[IllegalArgumentException](
+      LogStreamPipeline.readConsistent(spark, 5L, logDir, shredDir,
+        rollupDir))
+    assert(e.getMessage.contains("folded"))
+  }
+}
