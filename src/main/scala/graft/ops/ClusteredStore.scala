@@ -649,6 +649,7 @@ object ClusteredStore {
     // debris; clear everything except our own claim
     Fs.delete(spark, dataDir(dir))
     Fs.delete(spark, modelDir(dir))
+    Fs.delete(spark, schemaDir(dir))
     Fs.list(spark, ledgerDir(dir)).map(_.getPath)
       .filter(_.getName != s"claim-v=1")
       .foreach(p => Fs.delete(spark, p.toString))
@@ -657,18 +658,24 @@ object ClusteredStore {
     writeModel(spark, dir, 1, cols, curve, lo, hi, bloom)
     val m = Model(cols, curve, lo, hi, bloom)
     val key = curveKey(m)
-    df.withColumn("_z", key)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .select(df.columns.map(col).toSeq: _*)
+    // the store OWNS its schema, versioned and marker-gated — and every
+    // field gets a STABLE PARQUET FIELD ID (its init ordinal), stamped
+    // into every data file this store ever writes, so a later
+    // renameColumn/dropColumn is a metadata commit that id-resolved
+    // reads honor across pre- and post-evolution files. Vacuum keeps
+    // the newest committed anchor, so typed empty frames survive even
+    // after every data file of an empty store is legally reclaimed.
+    val anchorSt = org.apache.spark.sql.types.StructType(
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        withFieldId(f, i + 1L)
+      })
+    ensureFieldIdConfs(spark)
+    withIds(df.withColumn("_z", key)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .select(df.columns.map(col).toSeq: _*), Some(anchorSt))
       .write.mode("overwrite").parquet(dataDir(dir))
-    // the store OWNS its schema: a zero-row anchor parquet, exempt from
-    // vacuum (which touches only data/ledger/model), so the read paths
-    // can serve TYPED empty frames even after vacuum legally reclaims
-    // every data file of an empty store (inference from data/ would
-    // crash there — there is nothing left to infer from)
-    df.limit(0).coalesce(1).write.mode("overwrite")
-      .parquet(schemaDir(dir))
+    writeAnchor(spark, dir, anchorSt)
     commitManifest(
       stamp(ledgerRows(spark.read.parquet(dataDir(dir)), m, key,
         batchId = -1L), wm = -1L, clamped = 0L),
@@ -744,15 +751,27 @@ object ClusteredStore {
     val led = cur.select("file", "z_lo", "z_hi", "n_rows").collect()
     val (priorWm, priorClamped) = versionConsts(cur)
     val wm = math.max(priorWm, batchId)
-    // widen the anchor FIRST (claim held): a crash before the commit
-    // leaves an anchor with extra columns no file carries — harmless,
-    // every read just serves them as null
+    // widen the anchor FIRST (claim held): a NEW anchor version whose
+    // added fields get FRESH ids past the anchor's max (a re-added
+    // name never resurrects a dropped column's old bytes). A crash
+    // before the manifest commit leaves a committed anchor with extra
+    // columns no file carries — harmless, every read serves them as
+    // null; a crash before the anchor's own marker leaves a markerless
+    // dir the old anchor outranks.
     anchorSchema(spark, dir) match {
       case Some(st) if st.fieldNames.length != aligned.columns.length =>
-        aligned.limit(0).coalesce(1).write.mode("overwrite")
-          .parquet(schemaDir(dir))
+        val maxId = st.fields.flatMap(fieldId(_)).foldLeft(0L)(math.max)
+        val addedFields = aligned.schema.fields
+          .filterNot(f => st.fieldNames.contains(f.name))
+          .zipWithIndex.map { case (f, i) =>
+            if (maxId > 0) withFieldId(f, maxId + 1 + i) else f
+          }
+        writeAnchor(spark, dir,
+          org.apache.spark.sql.types.StructType(st.fields ++ addedFields))
       case _ => ()
     }
+    val anchorNow = anchorSchema(spark, dir)
+    ensureFieldIdConfs(spark)
     val inc = aligned.withColumn("_z", key).localCheckpoint()
 
     // drift: rows whose raw values clamped to an edge cell
@@ -803,11 +822,11 @@ object ClusteredStore {
     def staged(df: DataFrame, n: Long): Seq[String] =
       if (n == 0) Nil
       else Fs.stagedAppend(
-        df.withColumn("_z", key)
+        withIds(df.withColumn("_z", key)
           .repartitionByRange(math.max(1L, (n + target - 1) / target).toInt,
             col("_z"))
           .sortWithinPartitions("_z")
-          .select(outCols: _*),
+          .select(outCols: _*), anchorNow),
         None, dataDir(dir))
 
     val baseRows =
@@ -908,10 +927,10 @@ object ClusteredStore {
       math.max(1L, (n + target - 1) / target).toInt)
     val dropCols = rows.columns.toSeq
     val newFiles = Fs.stagedAppend(
-      rows.withColumn("_z", key)
+      withIds(rows.withColumn("_z", key)
         .repartitionByRange(nNew, col("_z"))
         .sortWithinPartitions("_z")
-        .select(dropCols.map(col): _*),
+        .select(dropCols.map(col): _*), anchorSchema(spark, dir)),
       None, dataDir(dir))
 
     val untouched = cur.filter(!col("file").isin(smalls.toSeq: _*))
@@ -964,10 +983,11 @@ object ClusteredStore {
     writeModel(spark, dir, v + 1, m.cols, m.curve, lo, hi, m.bloom)
     val key = curveKey(m)
     val newFiles = Fs.stagedAppend(
-      snapshot.withColumn("_z", key)
+      withIds(snapshot.withColumn("_z", key)
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .select(snapshot.columns.map(col).toSeq: _*),
+        anchorSchema(spark, dir)),
       None, dataDir(dir))
     heartbeat(spark, claim, dir)
     // an EMPTY snapshot stages no files (legal: recluster of a store
@@ -1077,11 +1097,11 @@ object ClusteredStore {
     val newFiles =
       if (n == 0) Nil
       else Fs.stagedAppend(
-        survivors.withColumn("_z", key)
+        withIds(survivors.withColumn("_z", key)
           .repartitionByRange(
             math.max(1L, (n + target - 1) / target).toInt, col("_z"))
           .sortWithinPartitions("_z")
-          .select(outCols: _*),
+          .select(outCols: _*), anchorSchema(spark, dir)),
         None, dataDir(dir))
     heartbeat(spark, claim, dir)
 
@@ -1381,6 +1401,20 @@ object ClusteredStore {
     models.filter(_ < governing).foreach { n =>
       Fs.delete(spark, modelVersionDir(dir, n)); removed += 1
     }
+    // anchor versions: reads only ever resolve the HIGHEST committed
+    // anchor, so everything below it — and any markerless dir from a
+    // crashed anchor write — is debris. (No in-flight anchor write can
+    // exist here: anchor writers hold the claim we hold.) The newest
+    // committed anchor is always kept: it is the empty-store serve path.
+    anchorVersion(spark, dir).foreach { latest =>
+      Fs.list(spark, schemaDir(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toInt)
+        .filter(_ != latest)
+        .foreach { n =>
+          Fs.delete(spark, s"${schemaDir(dir)}/v=$n"); removed += 1
+        }
+    }
     removed
   }
 
@@ -1410,15 +1444,180 @@ object ClusteredStore {
   private def normPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** The store-owned schema (the `schema/` anchor init writes and
-    * widening appends update); None on stores built before the anchor
-    * existed.
+  // -------------------------------------------------------------------
+  // Schema anchor (versioned) + stable field ids
+  // -------------------------------------------------------------------
+
+  private val FieldIdKey = "parquet.field.id"
+
+  private def fieldId(f: org.apache.spark.sql.types.StructField)
+      : Option[Long] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private def withFieldId(f: org.apache.spark.sql.types.StructField,
+      id: Long): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Parquet field-id resolution on both ends: writes stamp each
+    * column's stable id into the file footer, reads match
+    * anchor-schema columns to file columns BY ID — which is what makes
+    * [[renameColumn]] a metadata commit instead of a table rewrite.
+    * Both confs are inert where ids are absent (legacy stores match by
+    * name exactly as before).
+    */
+  private def ensureFieldIdConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  }
+
+  /** Re-attach the anchor's field-id metadata to `df`'s columns so the
+    * parquet writer stamps them (a batch arriving from outside carries
+    * no metadata). No-op for columns the anchor has no id for.
+    */
+  private def withIds(df: DataFrame,
+      anchor: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    anchor match {
+      case None => df
+      case Some(st) =>
+        df.select(df.columns.map { c =>
+          st.find(_.name == c).filter(f => fieldId(f).isDefined) match {
+            case Some(f) => col(c).as(c, f.metadata)
+            case None => col(c)
+          }
+        }.toSeq: _*)
+    }
+
+  /** Highest COMMITTED anchor version (marker-gated, like manifests);
+    * None on legacy flat anchors and pre-anchor stores.
+    */
+  private def anchorVersion(spark: SparkSession, dir: String): Option[Int] =
+    Fs.list(spark, schemaDir(dir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        Fs.exists(spark, s"$p/_SUCCESS"))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .sorted.lastOption
+
+  /** Publish a new anchor version: a zero-row typed parquet under
+    * `schema/v=N+1`, committed by its `_SUCCESS` marker. NEVER an
+    * overwrite (r10 advice: the old `mode("overwrite")` on the flat
+    * anchor was delete-then-rewrite — a reader in the window saw no
+    * anchor at all, and a crash mid-write silently reverted the store
+    * to legacy inference). Readers always resolve the highest COMMITTED
+    * version, so a crashed write leaves a markerless dir the old anchor
+    * simply outranks; vacuum sweeps it.
+    */
+  private def writeAnchor(spark: SparkSession, dir: String,
+      st: org.apache.spark.sql.types.StructType): Unit = {
+    ensureFieldIdConfs(spark)
+    val next = Fs.list(spark, schemaDir(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
+      .foldLeft(0)(math.max) + 1
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      .coalesce(1).write.parquet(s"${schemaDir(dir)}/v=$next")
+  }
+
+  /** The store-owned schema: the highest committed `schema/v=N` anchor
+    * (carrying stable parquet field ids since init), falling back to
+    * the legacy flat `schema/` anchor of older stores (names only),
+    * then None on stores that predate anchors entirely.
     */
   private def anchorSchema(spark: SparkSession, dir: String)
       : Option[org.apache.spark.sql.types.StructType] =
-    if (Fs.nonEmptyDir(spark, schemaDir(dir)))
-      Some(spark.read.parquet(schemaDir(dir)).schema)
-    else None
+    anchorVersion(spark, dir) match {
+      case Some(v) =>
+        Some(spark.read.parquet(s"${schemaDir(dir)}/v=$v").schema)
+      case None =>
+        val legacy = Fs.list(spark, schemaDir(dir))
+          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (legacy) Some(spark.read.parquet(schemaDir(dir)).schema)
+        else None
+    }
+
+  /** A typed ZERO-ROW frame under the anchor schema — the empty-store
+    * serve path (data/ may legally hold no files after a vacuum).
+    */
+  private def emptyFrame(spark: SparkSession,
+      st: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+
+  /** Rename a data column — a METADATA COMMIT: zero data files
+    * touched. Old files keep the old name in their footers; every read
+    * resolves anchor columns to file columns by the stable parquet
+    * field id the store has stamped since [[init]], so pre-rename and
+    * post-rename files serve ONE logical column (proven cross-engine by
+    * `q_cluster_rename`). Serialized through the claim like every
+    * maintainer; a crash leaves a markerless anchor dir the old name
+    * outranks. Refused for clustering and Bloom columns (manifest stat
+    * and sketch columns are name-keyed — recluster to re-key), for
+    * unknown/colliding names, and on legacy stores whose anchor carries
+    * no field ids (recluster once to migrate). Time travel follows the
+    * existing evolution contract: old snapshots serve under the LATEST
+    * schema, i.e. the new name.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String, staleClaimMs: Long = Long.MaxValue): Unit = {
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"rename before init under $dir"))
+    val st = anchorSchema(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"rename($dir): store has no schema anchor — rebuild via init"))
+    require(st.fields.forall(f => fieldId(f).isDefined),
+      s"rename($dir): anchor carries no field ids (pre-field-id " +
+        "store) — renames need id-resolved reads; recluster to migrate")
+    require(st.fieldNames.contains(from),
+      s"rename($dir): no column $from in ${st.fieldNames.toSeq}")
+    require(!st.fieldNames.contains(to),
+      s"rename($dir): column $to already exists — ambiguous evolution")
+    val m = loadModel(spark, dir, v)
+    require(!m.cols.contains(from),
+      s"rename($dir): $from is a clustering column (manifest min_/max_ " +
+        "stats are name-keyed) — recluster under new columns instead")
+    require(!m.bloom.exists(_._1 == from),
+      s"rename($dir): $from carries a manifest Bloom sketch column — " +
+        "re-init/recluster to re-key the sketch")
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    try writeAnchor(spark, dir, org.apache.spark.sql.types.StructType(
+      st.map(f => if (f.name == from) f.copy(name = to) else f)))
+    finally releaseClaim(spark, dir, claim)
+  }
+
+  /** Drop a data column — a metadata commit, a pure projection on
+    * every read: the anchor loses the field, so no read path requests
+    * it; the bytes remain in old files until rewrites retire them.
+    * A LATER additive re-add of the same name gets a FRESH field id,
+    * so the dropped column's old bytes never resurrect (id mismatch →
+    * nulls) — the semantics stable ids exist to pin. Same refusals and
+    * serialization as [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+      staleClaimMs: Long = Long.MaxValue): Unit = {
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"drop before init under $dir"))
+    val st = anchorSchema(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"drop($dir): store has no schema anchor — rebuild via init"))
+    require(st.fields.forall(f => fieldId(f).isDefined),
+      s"drop($dir): anchor carries no field ids (pre-field-id store) " +
+        "— recluster to migrate first")
+    require(st.fieldNames.contains(name),
+      s"drop($dir): no column $name in ${st.fieldNames.toSeq}")
+    require(st.fields.length > 1, s"drop($dir): cannot drop the last column")
+    val m = loadModel(spark, dir, v)
+    require(!m.cols.contains(name),
+      s"drop($dir): $name is a clustering column — recluster instead")
+    require(!m.bloom.exists(_._1 == name),
+      s"drop($dir): $name carries a manifest Bloom sketch — " +
+        "re-init/recluster instead")
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    try writeAnchor(spark, dir, org.apache.spark.sql.types.StructType(
+      st.filterNot(_.name == name)))
+    finally releaseClaim(spark, dir, claim)
+  }
 
   /** Open store data files UNDER THE ANCHOR SCHEMA when one exists:
     * files written before a widening append lack the added columns and
@@ -1429,7 +1628,9 @@ object ClusteredStore {
   private def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame =
     anchorSchema(spark, dir) match {
-      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case Some(st) =>
+        ensureFieldIdConfs(spark) // anchor ids resolve renamed columns
+        spark.read.schema(st).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
 
@@ -1446,14 +1647,15 @@ object ClusteredStore {
     val man = manifest(spark, dir, asOf)
     val files = man.select("file").collect().map(_.getString(0))
     if (files.nonEmpty) readFilesDv(spark, dir, man, files.toSeq)
-    else if (Fs.nonEmptyDir(spark, schemaDir(dir)))
+    else anchorSchema(spark, dir) match {
       // zero-row snapshot: serve a TYPED empty frame from the schema
       // anchor the store wrote at init — data/ may legally hold ZERO
       // files here (vacuum of an empty store reclaims them all), so
       // schema inference from data/ is not an option
-      spark.read.parquet(schemaDir(dir))
-    else // store built before the anchor existed: old inference fallback
-      spark.read.parquet(dataDir(dir)).where(lit(false))
+      case Some(st) => emptyFrame(spark, st)
+      case None => // pre-anchor store: old inference fallback
+        spark.read.parquet(dataDir(dir)).where(lit(false))
+    }
   }
 
   /** Ledger-pruned box read; predicate re-applied → full-scan answers. */

@@ -595,9 +595,48 @@ object SkippingQueries {
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Column rename via stable field ids
+    * ([[graft.ops.ClusteredStore.renameColumn]]), answer-invariant
+    * ACROSS generations: init on two-thirds of lineitem (files carry
+    * parquet column `l_quantity`), rename it to `qty` — a metadata
+    * commit, zero files rewritten (asserted in ColumnEvolutionSpec) —
+    * then append the remaining third under the NEW name. The aggregate
+    * reads BOTH file generations as one id-resolved column; the oracle
+    * recomputes over the whole table under the OLD name. A hash match
+    * proves the rename is lossless across pre/post files, not just
+    * non-crashing.
+    */
+  val clusterRename = Q(
+    "q_cluster_rename",
+    (s, dir) => {
+      val base = memo("clrename", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        graft.ops.ClusteredStore.init(
+          li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0),
+          Seq("l_partkey", "l_suppkey"), 12, s"$b/store")
+        graft.ops.ClusteredStore.renameColumn(s, s"$b/store",
+          "l_quantity", "qty")
+        graft.ops.ClusteredStore.append(s, s"$b/store",
+          li.filter(pmod(col("l_orderkey"), lit(3L)) === 0)
+            .withColumnRenamed("l_quantity", "qty"))
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("qty")).cast("double").as("qty_sum"),
+          count(col("qty")).as("n_qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS qty_sum,
+                   CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
       clusterHistory, clusterMaintain, clusterDelete, clusterDeleteDv,
-      clusterEvolve)
+      clusterEvolve, clusterRename)
 }

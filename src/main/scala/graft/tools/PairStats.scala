@@ -14,36 +14,40 @@ import org.apache.spark.sql.functions._
   * time >> candidates (an actual plan defect). The count itself is one
   * cheap aggregate over the banded frame — pairs are never materialized.
   *
+  * [[candidatePairs]] is the reusable core; [[ScaleCurve]] calls it per
+  * decade to normalize the pair legs' wall time to ns/candidate-pair,
+  * so an ENGINE regression can no longer hide inside corpus-constructed
+  * candidate growth (r10 verdict item 7).
+  *
   * Usage: runMain graft.tools.PairStats [sfDir...]
   */
 object PairStats {
-  def main(args: Array[String]): Unit = {
-    val sfDirs =
-      if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.GraftFunctions.ensureRegistered(spark)
 
-    def stats(banded: DataFrame, keys: Seq[String], idCol: String)
-        : (Long, Long, Long, Long) = {
-      val salted = graft.ops.SkewGuard.saltOversized(banded, keys, idCol)
-      val sizes = salted.groupBy((keys :+ "salt").map(col): _*)
-        .agg(count(lit(1)).as("n"))
-      val r = sizes.agg(
-        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pairs"),
-        coalesce(max(col("n")), lit(0L)).as("max_bucket"),
-        count(lit(1)).as("buckets"),
-        coalesce(sum(col("n")), lit(0L)).as("rows")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
+  final case class LegStats(
+      pairs: Long, maxBucket: Long, buckets: Long, rows: Long)
 
-    val legs = Seq[(String, String => (DataFrame, Seq[String], String))](
+  private def stats(banded: DataFrame, keys: Seq[String], idCol: String)
+      : LegStats = {
+    val salted = graft.ops.SkewGuard.saltOversized(banded, keys, idCol,
+      metricName = s"pair_stats_${System.nanoTime()}")
+    val sizes = salted.groupBy((keys :+ "salt").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val r = sizes.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pairs"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+      count(lit(1)).as("buckets"),
+      coalesce(sum(col("n")), lit(0L)).as("rows")).head()
+    LegStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** The banded frame of each pair-emitting dedup leg, mirroring the
+    * production queries' banding EXACTLY (same shingles, signatures,
+    * bands, and skew-guard keys), minus the verify step — so the pair
+    * counts are the true candidate workload of those queries.
+    */
+  private def legs(spark: SparkSession)
+      : Seq[(String, String => Option[(DataFrame, Seq[String], String)])] =
+    Seq(
       "simhash60" -> { dir =>
         val docs = graft.queries.tbl(spark, dir, "documents")
           .filter(col("text").isNotNull && col("lang").isNotNull)
@@ -53,7 +57,7 @@ object PairStats {
           posexplode(expr("transform(sequence(0, 5), b -> " +
             "(sh div cast(pow(2, b * 10) as bigint)) % 1024)")))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bbits")
-        (bands, Seq("band", "bbits", "lang"), "doc_id")
+        Some((bands, Seq("band", "bbits", "lang"), "doc_id"))
       },
       "minhash" -> { dir =>
         // mirrors q_dedup_minhash's banding exactly: 3-word shingles,
@@ -69,16 +73,74 @@ object PairStats {
           posexplode(expr(
             "transform(sequence(0, 3), b -> slice(sig, b * 4 + 1, 4))")))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bvals")
-        (bands, Seq("band", "bvals"), "doc_id")
+        Some((bands, Seq("band", "bvals"), "doc_id"))
+      },
+      "embedding_lsh" -> { dir =>
+        // mirrors q_dedup_embedding_lsh's random-hyperplane banding:
+        // id-arithmetic plane pairing, 8 tables × ≤4 planes,
+        // (table, signature, label) buckets
+        val e = graft.queries.tbl(spark, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val byId = e.filter(col("vec_id") < 64)
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        def planes(t: Int) = (0 until 4).flatMap { i =>
+          for (a <- byId.get(8L * t + i); b <- byId.get(8L * t + 4 + i))
+            yield (i, a.zip(b).map { case (x, y) => x - y })
+        }
+        val tables = (0 until 8).filter(t => planes(t).nonEmpty)
+        if (tables.isEmpty) None
+        else {
+          def sigCol(t: Int) = planes(t).map { case (i, p) =>
+            when(call_function("dot_product", col("v"), typedLit(p)) >= 0,
+              lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          val sigs = e.select(col("vec_id"), col("label"),
+            explode(array(tables.map(t =>
+              struct(lit(t.toLong).as("t"), sigCol(t).as("sig"))): _*))
+              .as("ts"))
+            .select(col("vec_id"), col("label"),
+              col("ts.t").as("t"), col("ts.sig").as("sig"))
+          Some((sigs, Seq("t", "sig", "label"), "vec_id"))
+        }
       })
 
+  /** Exact candidate-pair counts per leg for one sfDir — the pair-leg
+    * work normalizer ScaleCurve divides wall time by.
+    */
+  def candidatePairs(spark: SparkSession, dir: String): Map[String, Long] =
+    legStats(spark, dir).map { case (n, s) => n -> s.pairs }
+
+  def legStats(spark: SparkSession, dir: String): Map[String, LegStats] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    legs(spark).flatMap { case (name, mk) =>
+      mk(dir).map { case (banded, keys, id) =>
+        name -> stats(banded, keys, id)
+      }
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs =
+      if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
     val out = sfDirs.map { dir =>
-      val legJson = legs.map { case (name, mk) =>
-        val (banded, keys, id) = mk(dir)
-        val (pairs, maxB, buckets, rows) = stats(banded, keys, id)
-        s""""$name":{"candidate_pairs":$pairs,"max_salted_bucket":$maxB,""" +
-          s""""buckets":$buckets,"banded_rows":$rows}"""
-      }.mkString(",")
+      val legJson = legStats(spark, dir).toSeq.sortBy(_._1)
+        .map { case (name, s) =>
+          s""""$name":{"candidate_pairs":${s.pairs},""" +
+            s""""max_salted_bucket":${s.maxBucket},""" +
+            s""""buckets":${s.buckets},"banded_rows":${s.rows}}"""
+        }.mkString(",")
       s""""${dir.split('/').last}":{$legJson}"""
     }.mkString(",")
     println(s"""{"metric":"pair_stats","sf":{$out}}""")

@@ -105,6 +105,23 @@ object ScaleCurve {
       }
     }
 
+    // Engine-normalized metric for the pair-emitting dedup legs (r10
+    // verdict item 7): their raw exponents are dominated by corpus-
+    // constructed candidate growth (near-dup clusters grow with SF), so
+    // a true ENGINE regression could hide inside them. Dividing wall
+    // time by the exact candidate-pair count (PairStats — the legs'
+    // true work unit) yields ns/pair per decade; a decade where the
+    // per-pair cost RISES sharply while the raw time is above the noise
+    // floor is an engine regression regardless of what the corpus did.
+    val pairLegOf = Map(
+      "q_dedup_minhash" -> "minhash",
+      "q_dedup_simhash60" -> "simhash60",
+      "q_dedup_embedding_lsh" -> "embedding_lsh")
+    val needPairs = headline.map(_.name).exists(pairLegOf.contains)
+    val pairsBySf: Map[String, Map[String, Long]] =
+      if (!needPairs) Map.empty
+      else sfDirs.map(d => d -> PairStats.candidatePairs(spark, d)).toMap
+
     val rows = headline.map { q =>
       val tHi = times((q.name, hiDir))
       val tLo = times((q.name, loDir))
@@ -114,28 +131,61 @@ object ScaleCurve {
         .filter { case (_, t) => !t.isNaN && t >= floorSec }
       val fit = olsExponent(fitPts)
       val overhead = tHi < floorSec
+      // ns/candidate-pair per decade (pair legs only; NaN elsewhere)
+      val nsPerPair: Seq[Double] = pairLegOf.get(q.name) match {
+        case Some(leg) => sfDirs.map { d =>
+          val pairs = pairsBySf.getOrElse(d, Map.empty).getOrElse(leg, 0L)
+          if (pairs > 0) times((q.name, d)) * 1e9 / pairs else Double.NaN
+        }
+        case None => Seq.empty
+      }
+      // engine-regression gate: per-pair cost at the top decade rose
+      // >1.5x over the previous decade, with the top time above floor
+      val engineRegressed = nsPerPair.length >= 2 && !overhead && {
+        val top = nsPerPair.last
+        val prev = nsPerPair(nsPerPair.length - 2)
+        !top.isNaN && !prev.isNaN && top > 1.5 * prev
+      }
       val flag =
         if (overhead) "overhead"
-        else if (exp > 1.2 && (fit.isNaN || fit > 1.2)) "SUPERLINEAR"
+        else if (engineRegressed) "NS_PER_PAIR_RISING"
+        else if (exp > 1.2 && (fit.isNaN || fit > 1.2) &&
+          nsPerPair.isEmpty) "SUPERLINEAR"
+        else if (exp > 1.2 && nsPerPair.nonEmpty) "corpus-pairs"
         else "ok"
-      (q.name, sfDirs.map(d => times((q.name, d))), exp, fit, flag)
+      (q.name, sfDirs.map(d => times((q.name, d))), exp, fit, flag,
+        nsPerPair)
     }
-    val qjson = rows.map { case (n, ts, e, fit, f) =>
+    val qjson = rows.map { case (n, ts, e, fit, f, npp) =>
       "\"" + n + "\":{" +
         sfDirs.zip(ts).map { case (d, t) =>
           "\"" + d.split('/').last + f"""\":$t%.3f"""
         }.mkString(",") +
         f""","exponent":$e%.2f,""" +
         (if (fit.isNaN) "" else f""""fit":$fit%.2f,""") +
+        (if (npp.isEmpty) ""
+         else {
+           val legName = pairLegOf(n)
+           val pj = sfDirs.map(d =>
+             "\"" + d.split('/').last + "\":" +
+               pairsBySf.getOrElse(d, Map.empty).getOrElse(legName, 0L))
+             .mkString(",")
+           val nj = sfDirs.zip(npp).map { case (d, v) =>
+             "\"" + d.split('/').last +
+               (if (v.isNaN) "\":null" else f"""\":$v%.1f""")
+           }.mkString(",")
+           s""""pairs":{$pj},"ns_per_pair":{$nj},"""
+         }) +
         f""""flag":"$f"}"""
     }.mkString("{", ",", "}")
     val worst = rows.filterNot(_._5 == "overhead").map(_._3).max
     println(f"""{"metric":"scale_exponent_worst","value":$worst%.2f,"unit":"exponent","queries":$qjson}""")
 
-    val superlinear = rows.filter(_._5 == "SUPERLINEAR")
+    val superlinear = rows.filter(r =>
+      r._5 == "SUPERLINEAR" || r._5 == "NS_PER_PAIR_RISING")
     if (superlinear.nonEmpty)
-      System.err.println("SUPERLINEAR queries: " +
-        superlinear.map(_._1).mkString(", "))
+      System.err.println("SUPERLINEAR / engine-regressed queries: " +
+        superlinear.map(r => s"${r._1}(${r._5})").mkString(", "))
     if (failed.nonEmpty)
       System.err.println("queries with failed reps (times excluded): " +
         failed.toSeq.sorted.map { case (n, d) => s"$n@${d.split('/').last}" }
