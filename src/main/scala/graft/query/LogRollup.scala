@@ -98,6 +98,28 @@ object LogRollup {
       .partitionBy("date", "src")
       .parquet(rollupDir)
 
+  /** The fold algebra for [[graft.streaming.LogStreamPipeline]]'s
+    * `src=` generation fold: partial rows from many batch partitions of
+    * ONE date dir merge down to one partial per model — the same
+    * associative merges [[read]] applies at serve time (sums of
+    * counts/sums, min/max of extrema, HLL union kept as a SKETCH so the
+    * result stays a mergeable partial, not an estimate). Folding is
+    * therefore invisible to every reader: merge(merge(partials)) ==
+    * merge(partials).
+    */
+  private[graft] def mergePartials(partialRows: DataFrame): DataFrame =
+    partialRows.groupBy(col("model"))
+      .agg(
+        sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("n_llm_end")).cast("long").as("n_llm_end"),
+        sum(col("in_tokens")).cast("long").as("in_tokens"),
+        sum(col("out_tokens")).cast("long").as("out_tokens"),
+        sum(col("tot_tokens")).cast("long").as("tot_tokens"),
+        sum(col("n_errors")).cast("long").as("n_errors"),
+        min(col("min_us")).as("min_us"),
+        max(col("max_us")).as("max_us"),
+        hll_union_agg(col("custom_sketch")).as("custom_sketch"))
+
   /** Full (re)build: delete + roll up everything. */
   def build(spark: SparkSession, logDir: String, rollupDir: String): Unit = {
     Fs.delete(spark, rollupDir)
@@ -133,9 +155,12 @@ object LogRollup {
     // cross-store snapshot (pipeline-maintained stores only; see
     // ShreddedLog.readAsOf). Partition-value pruning, no extra I/O.
     val base = partialTable(spark, rollupDir)
+    // folded `gen-<N>c` generations hold only batches below the fold
+    // horizon, which readConsistent gates upToBatch against — pass whole
     upToBatch.fold(base)(id => base.filter(
-        regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
-          .cast("long") <= id))
+        col("src").startsWith("gen-") ||
+          regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
+            .cast("long") <= id))
       .groupBy(grain.map(col): _*)
       .agg(
         sum(col("n_events")).cast("long").as("n_events"),

@@ -197,13 +197,18 @@ object ShreddedLog {
     * pruning only — no data read outside the pinned batches.
     */
   def readAsOf(spark: SparkSession, shredDir: String,
-      upToBatch: Long): DataFrame =
+      upToBatch: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
     if (processedSrcs(spark, shredDir).isEmpty) read(spark, shredDir)
     else spark.read.parquet(shredDir)
-      .filter(org.apache.spark.sql.functions.regexp_extract(
-        org.apache.spark.sql.functions.col("src"), "^batch-([0-9]+)$", 1)
-        .cast("long") <= upToBatch)
+      // `gen-<N>c` generations hold only batches below the fold
+      // horizon; the pipeline's readConsistent gates upToBatch >= that
+      // horizon, so generations pass whole
+      .filter(col("src").startsWith("gen-") ||
+        regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
+          .cast("long") <= upToBatch)
       .drop("src")
+  }
 
   /** Has this store ever been maintained? One partition-dir listing —
     * the probe [[LogTable]]'s prefer-shredded builders route on.

@@ -167,12 +167,69 @@ object LogStreamPipeline {
       .option("compression", "snappy")
       .parquet(logDir)
 
+  private val SrcBatchRe = "^src=batch-([0-9]+)$".r
+  private val SrcGenRe = "^src=gen-([0-9]+)c$".r
+
+  /** The [[compactLanded]] discipline applied to a `date=/src=`
+    * batch-keyed store (shred, rollup): fold every `src=batch-<k>`
+    * partition with `k <= batchId − 1` — plus older `src=gen-<M>c`
+    * generations — into one new generation `src=gen-<batchId>c` per
+    * date partition. Without this, the downstream stores accumulate
+    * one partition per micro-batch forever — the exact critique the
+    * landed log's fold answered, one level down. `merge` is the
+    * store's fold algebra: identity for the full-fidelity shred rows;
+    * the partial-state merge for the rollup (so folding also COLLAPSES
+    * partial rows, not just files). Same crash discipline: temp write,
+    * atomic rename (generation absent-or-complete), replay that finds
+    * its generation resumes the source deletes.
+    */
+  private def foldSrcStore(spark: SparkSession, storeDir: String,
+      batchId: Long, targetFileBytes: Long,
+      merge: DataFrame => DataFrame): Unit = {
+    dateDirs(spark, storeDir).foreach { d =>
+      val dPath = d.getPath.toString
+      Fs.list(spark, dPath)
+        .filter(_.getPath.getName.startsWith(".fold-tmp-"))
+        .foreach(t => Fs.delete(spark, t.getPath.toString))
+      val sources = Fs.list(spark, dPath).map(_.getPath.getName).filter {
+        case SrcBatchRe(b) => b.toLong <= batchId - 1
+        case SrcGenRe(m) => m.toLong < batchId
+        case _ => false
+      }
+      val dest = s"$dPath/src=gen-${batchId}c"
+      if (Fs.exists(spark, dest)) {
+        sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
+      } else if (sources.nonEmpty &&
+          !(sources.size == 1 && SrcGenRe.matches(sources.head))) {
+        val bytes = sources.map(s0 =>
+          Fs.list(spark, s"$dPath/$s0").map(_.getLen).sum).sum
+        val n = math.max(1,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val tmp = s"$dPath/.fold-tmp-${java.util.UUID.randomUUID}"
+        merge(spark.read.parquet(sources.map(s0 => s"$dPath/$s0"): _*))
+          .coalesce(n)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(tmp)
+        val fs = Fs(spark, dPath)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(dest)),
+          s"fold commit rename failed: $tmp -> $dest")
+        sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
+      }
+    }
+  }
+
   /** One full ingest tick: land → shred → rollup, each stage
     * batch-keyed idempotent (see class doc), plus — every
     * `compactEvery` ticks (0 = off) — the landed-dir fold
-    * ([[compactLanded]]) inside the same replay discipline. Attach as
-    * the `foreachBatch` body of any envelope-schema stream, or use the
-    * [[StreamingLogPipeline]] wrapper.
+    * ([[compactLanded]]) AND the shred/rollup `src=` partition folds
+    * ([[foldSrcStore]]; the rollup fold also merges partial rows down
+    * to one per (date, model)), all inside the same replay discipline.
+    * The log fold runs FIRST, so the log's fold horizon is always at
+    * or ahead of the stores' — the single horizon [[readConsistent]]
+    * gates on. Attach as the `foreachBatch` body of any
+    * envelope-schema stream, or use the [[StreamingLogPipeline]]
+    * wrapper.
     *
     * Stale-replay guard: a batch id at or below [[maxFolded]] is a
     * late replay of a batch some generation already absorbed —
@@ -192,8 +249,12 @@ object LogStreamPipeline {
       ShreddedLog.appendBatch(b, batchId, shredDir)
       LogRollup.appendBatch(b, batchId, rollupDir)
     } finally { b.unpersist(); () }
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       compactLanded(spark, logDir, batchId, targetFileBytes)
+      foldSrcStore(spark, shredDir, batchId, targetFileBytes, identity)
+      foldSrcStore(spark, rollupDir, batchId, targetFileBytes,
+        LogRollup.mergePartials)
+    }
   }
 
   /** One pinned snapshot across all three stores: the landed log, the

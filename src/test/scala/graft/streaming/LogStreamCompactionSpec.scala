@@ -92,6 +92,28 @@ class LogStreamCompactionSpec extends SparkSpec {
     }
     assert(dashboard(rollupDir) === want)
 
+    // the downstream stores fold too: src= partitions stay bounded
+    // instead of one per batch, the rollup fold COLLAPSES partial rows
+    // (merge-of-merges == merge, so every reader is oblivious), and
+    // the HLL sketch survives the union re-merge
+    def srcParts(store: String): Seq[String] =
+      Fs.list(spark, store)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .flatMap(d => Fs.list(spark, d.getPath.toString)
+          .map(_.getPath.getName).filter(_.startsWith("src=")))
+    assert(srcParts(shredDir).size < ticks / 2,
+      s"shred partitions unbounded: ${srcParts(shredDir).size}")
+    assert(srcParts(shredDir).exists(_.startsWith("src=gen-")))
+    assert(srcParts(rollupDir).size < ticks / 2,
+      s"rollup partitions unbounded: ${srcParts(rollupDir).size}")
+    val partialRows = spark.read.parquet(rollupDir).count()
+    assert(partialRows < ticks,
+      s"rollup fold did not collapse partials: $partialRows rows")
+    val approx = LogRollup.read(spark, rollupDir, Seq("model"))
+      .agg(sum(col("n_custom_approx"))).head().getLong(0)
+    assert(approx > 180 && approx < 240,
+      s"HLL union lost under the fold: $approx (expect ~210)")
+
     // stale replay of a long-folded batch: skipped whole, nothing
     // resurrects (land would otherwise re-create batch=3 next to the
     // generation holding its rows — a permanent double count)
