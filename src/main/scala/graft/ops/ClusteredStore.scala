@@ -110,7 +110,7 @@ object ClusteredStore {
 
   final case class AppendStats(
       rewritten: Int, created: Int, untouched: Int, clamped: Long,
-      version: Int = 1)
+      version: Int = 1, replaced: Long = 0L)
 
   /** One committed version's health row: file/row counts, the streaming
     * replay watermark, and the accumulated drift (rows that clamped to
@@ -704,7 +704,8 @@ object ClusteredStore {
   def append(spark: SparkSession, dir: String, incoming: DataFrame,
       targetRowsPerFile: Long = 0L, batchId: Long = -1L,
       staleClaimMs: Long = Long.MaxValue,
-      mergeSchema: Boolean = false): AppendStats = {
+      mergeSchema: Boolean = false,
+      replaceKeys: Option[String] = None): AppendStats = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"append before init under $dir"))
@@ -743,11 +744,31 @@ object ClusteredStore {
         // stable widened order: store columns first, new ones after
         nullFilled.select((st.fieldNames.toSeq ++ added).map(col): _*)
     }
+    // Upsert prep, BEFORE the claim (a predictable refusal must not
+    // leave a dangling claim): the replace-key set is collected —
+    // takedown-scale by contract, like deleteKeysDV — and a store
+    // whose existing masks are keyed on a DIFFERENT column refuses
+    // (one mask column per store until a fold retires the old masks).
+    val cur = manifest(spark, dir, Some(v))
+    val upsertKeySet: Seq[Long] = replaceKeys match {
+      case None => Nil
+      case Some(kc) =>
+        require(aligned.columns.contains(kc),
+          s"upsert($dir): batch has no key column $kc")
+        val allFiles = cur.select("file").collect().map(_.getString(0))
+        val conflicts = dvEntries(cur, allFiles.toSeq)
+          .filter(_._2 != kc).map(_._1).distinct
+        require(conflicts.isEmpty,
+          s"upsert($dir, $kc): files $conflicts carry deletion vectors " +
+            "on a different column — fold first (compact/recluster) or " +
+            "key the upsert on the same column")
+        aligned.select(col(kc).cast("long")).filter(col(kc).isNotNull)
+          .distinct().collect().map(_.getLong(0)).toSeq
+    }
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     withLease(spark, dir, claim, staleClaimMs) {
     val m = loadModel(spark, dir, v)
     val key = curveKey(m)
-    val cur = manifest(spark, dir, Some(v))
     val led = cur.select("file", "z_lo", "z_hi", "n_rows").collect()
     val (priorWm, priorClamped) = versionConsts(cur)
     val wm = math.max(priorWm, batchId)
@@ -829,7 +850,7 @@ object ClusteredStore {
           .select(outCols: _*), anchorNow),
         None, dataDir(dir))
 
-    val baseRows =
+    val base0 =
       if (touchedFiles.isEmpty)
         inc.limit(0).select(outCols: _*)
       else readFilesDv(spark, dir, cur, touchedFiles.toSeq) // anchor
@@ -837,6 +858,19 @@ object ClusteredStore {
         // masked rows fold out of the rewrite (replacement rows carry
         // no mask — the manifest row for the merged file is clean)
         .select(outCols: _*)
+    // upsert: OLD rows carrying a replaced key drop out of the files
+    // the rewrite touches anyway (a free physical fold — no mask
+    // needed for them); untouched files get mask rows below
+    val baseRows = replaceKeys match {
+      case Some(kc) if upsertKeySet.nonEmpty =>
+        base0.filter(!coalesce(
+          col(kc).cast("long").isin(upsertKeySet: _*), lit(false)))
+      case _ => base0
+    }
+    val rewrittenReplaced =
+      if (replaceKeys.isEmpty || upsertKeySet.isEmpty ||
+        touchedFiles.isEmpty) 0L
+      else base0.count() - baseRows.count()
     val merged = baseRows.unionByName(insideRows.select(outCols: _*))
     // stage into the live data dir: new part-file names are unique,
     // ledger readers cannot see them yet, and the returned path lists
@@ -846,7 +880,35 @@ object ClusteredStore {
         staged(freshRows.select(outCols: _*), freshRows.count())
     heartbeat(spark, claim, dir) // staging was the long part
 
-    val untouched = cur.filter(!col("file").isin(touchedFiles.toSeq: _*))
+    val untouched0 = cur.filter(!col("file").isin(touchedFiles.toSeq: _*))
+    // upsert: mask the replaced keys' LIVE rows in untouched files —
+    // same Bloom-bounded scan + manifest mask rows as deleteKeysDV
+    val (untouched, maskedReplaced) = replaceKeys match {
+      case Some(kc) if upsertKeySet.nonEmpty =>
+        val untouchedFiles = led.map(_.getAs[String]("file"))
+          .filterNot(touchedFiles).toSeq
+        val candidates =
+          if (cur.columns.contains(s"bloom_$kc"))
+            pruneFilesPoint(spark, dir, kc, upsertKeySet, Some(v))
+              .filterNot(touchedFiles)
+          else untouchedFiles
+        if (candidates.isEmpty) (untouched0, 0L)
+        else {
+          val hits = readFilesDv(spark, dir, cur, candidates)
+            .withColumn("_f",
+              element_at(split(input_file_name(), "/"), -1))
+            .filter(col(kc).cast("long").isin(upsertKeySet: _*))
+            .groupBy(col("_f"))
+            .agg(count(lit(1)).as("n"),
+              collect_set(col(kc).cast("long")).as("ks"))
+            .collect()
+            .map(r => (r.getString(0), r.getAs[Long]("n"),
+              r.getSeq[Long](2))).toSeq
+          (maskManifest(spark, untouched0, kc, hits),
+            hits.map(_._2).sum)
+        }
+      case _ => (untouched0, 0L)
+    }
     val fresh =
       if (newFiles.isEmpty) untouched
       else untouched.unionByName(
@@ -857,9 +919,28 @@ object ClusteredStore {
 
     AppendStats(rewritten = touchedFiles.size, created = newFiles.size,
       untouched = led.length - touchedFiles.size, clamped = clamped,
-      version = v + 1)
+      version = v + 1, replaced = rewrittenReplaced + maskedReplaced)
     } // withLease
   }
+
+  /** Atomic replace-by-key — ONE claimed commit: every existing LIVE
+    * row whose `keyCol` value appears in `batch` is removed (masked by
+    * a deletion vector on untouched files; physically omitted from the
+    * files the batch's curve ranges rewrite anyway), and every batch
+    * row lands clustered — the "re-ingest these corrected documents"
+    * call. A delete+append pair costs two commits and exposes the
+    * in-between state (the keys gone, the replacements not yet there);
+    * this exposes only before/after. Batch keys are collected to the
+    * driver for the Bloom probe and mask rows — takedown-scale by
+    * contract, exactly like [[deleteKeysDV]]; null-keyed batch rows
+    * insert without replacing anything (no row "matches" a null key).
+    * Returns [[AppendStats]] with `replaced` = old live rows removed.
+    */
+  def upsertKeys(spark: SparkSession, dir: String, keyCol: String,
+      batch: DataFrame, targetRowsPerFile: Long = 0L,
+      staleClaimMs: Long = Long.MaxValue): AppendStats =
+    append(spark, dir, batch, targetRowsPerFile, batchId = -1L,
+      staleClaimMs, mergeSchema = false, replaceKeys = Some(keyCol))
 
   /** Small-file compaction: merge every manifest file under
     * `minRowsPerFile` (default: half the store's mean file size) into
@@ -1278,13 +1359,30 @@ object ClusteredStore {
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     withLease(spark, dir, claim, staleClaimMs) {
       val (priorWm, priorClamped) = versionConsts(cur)
+      val updated = maskManifest(spark, cur, keyCol,
+        hits.toSeq.map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getSeq[Long](2))))
+      commitManifest(stamp(updated, priorWm, priorClamped), dir, claim)
+      DeleteStats(rewritten = 0, untouched = all.length,
+        deleted = nDeleted, version = v + 1)
+    }
+  }
+
+  /** Manifest rows with `hits` — (file basename, masked-row count,
+    * masked keys) — merged into their deletion-vector columns: key
+    * lists union, masked-row counts add, `dv_col` set to `keyCol`.
+    * Rows without a hit pass through untouched. Shared by
+    * [[deleteKeysDV]] and the upsert path of [[append]].
+    */
+  private def maskManifest(spark: SparkSession, man: DataFrame,
+      keyCol: String, hits: Seq[(String, Long, Seq[Long])]): DataFrame =
+    if (hits.isEmpty) man
+    else {
       import spark.implicits._
-      val delta = hits.toSeq
-        .map(r => (r.getString(0), r.getSeq[Long](2), r.getAs[Long]("n")))
+      val delta = hits.map { case (f, n, ks) => (f, ks, n) }
         .toDF("_f", "_add_keys", "_add_n")
-      val man0 = ensureDvCols(cur)
+      ensureDvCols(man)
         .withColumn("_f", element_at(split(col("file"), "/"), -1))
-      val updated = man0
         .join(broadcast(delta), Seq("_f"), "left")
         .withColumn("dv_col",
           when(col("_add_keys").isNotNull, lit(keyCol))
@@ -1301,11 +1399,7 @@ object ClusteredStore {
             coalesce(col("dv_rows"), lit(0L)) + col("_add_n"))
             .otherwise(col("dv_rows")))
         .drop("_f", "_add_keys", "_add_n")
-      commitManifest(stamp(updated, priorWm, priorClamped), dir, claim)
-      DeleteStats(rewritten = 0, untouched = all.length,
-        deleted = nDeleted, version = v + 1)
     }
-  }
 
   /** Delete the caller's OWN claim (token-verified) — the release path
     * for claims that never commit a manifest ([[vacuum]]'s). A lost
@@ -1349,20 +1443,23 @@ object ClusteredStore {
     * so the store stays consistent at every step.
     */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
-      staleClaimMs: Long = Long.MaxValue): Int = {
+      staleClaimMs: Long = Long.MaxValue,
+      olderThanMs: Long = 0L): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     currentVersion(spark, dir) match {
       case None => 0
       case Some(cur) =>
         val claim = claimOrThrow(spark, dir, cur + 1, staleClaimMs)
         try withLease(spark, dir, claim, staleClaimMs) {
-          vacuumLocked(spark, dir, keepLast, staleClaimMs, claim)
+          vacuumLocked(spark, dir, keepLast, staleClaimMs, olderThanMs,
+            claim)
         } finally releaseClaim(spark, dir, claim)
     }
   }
 
   private def vacuumLocked(spark: SparkSession, dir: String,
-      keepLast: Int, staleClaimMs: Long, claim: Claim): Int = {
+      keepLast: Int, staleClaimMs: Long, olderThanMs: Long,
+      claim: Claim): Int = {
     // committed set RE-LISTED under the claim: nothing can commit while
     // we hold it, so keptPaths is stable for the whole delete scan
     val committed = Fs.list(spark, ledgerDir(dir))
@@ -1371,8 +1468,24 @@ object ClusteredStore {
       .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
       .sorted
     if (committed.isEmpty) return 0
-    val (drop, keep) =
+    // retention is the AND of both clocks: a version survives if it is
+    // within the newest keepLast OR its commit is younger than
+    // olderThanMs (time travel over the recent window stays available
+    // even when a version-count policy would drop it — the Delta
+    // retention-hours idea on top of keepLast). olderThanMs = 0 keeps
+    // the pure count policy.
+    def commitAgeMs(n: Int): Long =
+      try System.currentTimeMillis() -
+        Fs(spark, versionDir(dir, n)).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"${versionDir(dir, n)}/_SUCCESS"))
+          .getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val (dropCandidates, keepByCount) =
       committed.splitAt(math.max(0, committed.size - keepLast))
+    val (drop, keptYoung) =
+      if (olderThanMs <= 0L) (dropCandidates, Nil)
+      else dropCandidates.partition(n => commitAgeMs(n) >= olderThanMs)
+    val keep = (keptYoung ++ keepByCount).sorted
     def filesOf(vs: Seq[Int]): Set[String] = vs.flatMap(n =>
       spark.read.parquet(versionDir(dir, n))
         .select("file").collect().map(_.getString(0))).toSet

@@ -634,9 +634,49 @@ object SkippingQueries {
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Atomic replace-by-key ([[graft.ops.ClusteredStore.upsertKeys]]),
+    * answer-invariant end-to-end: init on the orderkeys not divisible
+    * by 3, then ONE upsert call re-ingests every row of the orderkeys
+    * divisible by 5 with doubled quantities — keys already in the
+    * store are replaced (DV-masked or physically folded, whichever the
+    * curve probe dictates), keys not yet in the store insert. The
+    * oracle is DuckDB's declarative one-shot: rows from either
+    * population, quantities doubled exactly where the upsert said so.
+    * Atomicity/accounting is asserted in ClusterUpsertSpec; this row
+    * pins the ANSWER across both replace mechanisms at once.
+    */
+  val clusterUpsert = Q(
+    "q_cluster_upsert",
+    (s, dir) => {
+      val base = memo("clupsert", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        graft.ops.ClusteredStore.init(
+          li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0),
+          Seq("l_partkey", "l_suppkey"), 12, s"$b/store",
+          bloomCols = Seq("l_orderkey"))
+        graft.ops.ClusteredStore.upsertKeys(s, s"$b/store", "l_orderkey",
+          li.filter(pmod(col("l_orderkey"), lit(5L)) === 0)
+            .withColumn("l_quantity", (col("l_quantity") * 2)
+              .cast(li.schema("l_quantity").dataType)))
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"), sum(col("l_quantity")).cast("double").as("qty"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN l_orderkey % 5 = 0
+                            THEN l_quantity * 2 ELSE l_quantity END)
+                        AS DOUBLE) AS qty,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            WHERE l_orderkey % 3 <> 0 OR l_orderkey % 5 = 0
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
       clusterHistory, clusterMaintain, clusterDelete, clusterDeleteDv,
-      clusterEvolve, clusterRename)
+      clusterEvolve, clusterRename, clusterUpsert)
 }
