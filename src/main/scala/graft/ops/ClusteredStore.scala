@@ -305,15 +305,32 @@ object ClusteredStore {
     * heartbeats every `staleMs / 3`, so a staging pass of ANY duration
     * stays visibly alive (r10 advice: without this, `staleClaimMs` had
     * to exceed the worst-case staging time). With takeover disabled
-    * there is no lease to defend; body runs bare.
+    * there is normally no lease to defend — body runs bare, which is
+    * load-bearing for the takeover feature itself: a maintainer parked
+    * on a dead executor must LOOK dead so a successor can break its
+    * claim (the parked one refuses cleanly at its own commit-point
+    * token check; nothing is lost).
+    *
+    * `alwaysDefend` opts out of that bargain for holders whose work is
+    * NOT safe to lose the lease over (r11 advice: [[vacuum]] DELETES
+    * under its claim — a successor that breaks a live vacuum's claim
+    * and commits can have its fresh files deleted by the vacuum's
+    * stale kept-file snapshot). Such holders run the keeper even at
+    * the default `staleClaimMs = Long.MaxValue`, at a fixed 500 ms
+    * beat, so a concurrent breaker with ANY sane finite window sees
+    * the claim fresh. Defense is best-effort (a breaker with a window
+    * under one beat still wins); the hard guarantee is the holder's
+    * token re-verify before each destructive step.
     */
   private def withLease[T](spark: SparkSession, dir: String, claim: Claim,
-      staleMs: Long)(body: => T): T =
-    if (staleMs == Long.MaxValue) body
+      staleMs: Long, alwaysDefend: Boolean = false)(body: => T): T =
+    if (staleMs == Long.MaxValue && !alwaysDefend) body
     else {
       val stop = new java.util.concurrent.CountDownLatch(1)
       val keeper = new Thread(() => {
-        val beat = math.max(50L, staleMs / 3)
+        val beat =
+          if (staleMs == Long.MaxValue) 500L
+          else math.max(50L, staleMs / 3)
         while (!stop.await(beat,
             java.util.concurrent.TimeUnit.MILLISECONDS) &&
           heartbeat(spark, claim, dir)) {}
@@ -368,18 +385,45 @@ object ClusteredStore {
         }
     }
 
+  /** Test hook: invoked just before each claim attempt — the window a
+    * concurrent maintainer can commit the same version into (the claim
+    * target is computed from a currentVersion read that may be stale by
+    * the time the claim lands). Production value is a no-op.
+    */
+  private[ops] var onPreClaim: () => Unit = () => ()
+
   private def claimOrThrow(spark: SparkSession, dir: String, v: Int,
       staleMs: Long = Long.MaxValue): Claim = {
+    onPreClaim()
     val token = newToken()
-    if (tryClaim(spark, dir, v, token)) Claim(v, token)
-    else if (staleMs != Long.MaxValue &&
-        breakStaleClaim(spark, dir, v, staleMs) &&
-        tryClaim(spark, dir, v, token)) Claim(v, token)
-    else throw new ConcurrentCommitException(
-      s"version $v of $dir is claimed by another maintainer — " +
-        "retry after its commit lands, run recover(dir) if it " +
-        "crashed (claim with no committed manifest), or pass " +
-        "staleClaimMs to let this maintainer break dead claims")
+    val claim =
+      if (tryClaim(spark, dir, v, token)) Claim(v, token)
+      else if (staleMs != Long.MaxValue &&
+          breakStaleClaim(spark, dir, v, staleMs) &&
+          tryClaim(spark, dir, v, token)) Claim(v, token)
+      else throw new ConcurrentCommitException(
+        s"version $v of $dir is claimed by another maintainer — " +
+          "retry after its commit lands, run recover(dir) if it " +
+          "crashed (claim with no committed manifest), or pass " +
+          "staleClaimMs to let this maintainer break dead claims")
+    // Stale-claim-on-a-committed-version guard (r11 advice): the claim
+    // target v was computed from a currentVersion read taken BEFORE any
+    // driver-side prep (upsert key collection, DV hit scans — long on
+    // purpose). If another maintainer committed v in that window and a
+    // vacuum/recover already swept its SPENT claim file, the claim
+    // create above succeeds on a version that is no longer free — and a
+    // later commitManifest would mode(overwrite) a COMMITTED manifest,
+    // silently losing the winner's update. Refuse here, releasing the
+    // claim: a committed manifest at or past v means this maintainer's
+    // entire view of "current" is stale and it must re-derive.
+    if (currentVersion(spark, dir).exists(_ >= v)) {
+      releaseClaim(spark, dir, claim)
+      throw new ConcurrentCommitException(
+        s"version $v of $dir committed while this maintainer prepared " +
+          "(its spent claim was already swept) — the update must be " +
+          "re-derived against the new current version")
+    }
+    claim
   }
 
   /** Remove maintenance debris: spent claims (their version committed)
@@ -609,6 +653,13 @@ object ClusteredStore {
         s"claim for version ${claim.v} of $dir was broken by a " +
           "stale-claim takeover while this maintainer worked — nothing " +
           "was committed; retry against the successor's version")
+    // never overwrite a COMMITTED manifest (second line of the r11
+    // stale-claim guard — claimOrThrow refuses at claim time, this
+    // closes the residual claim-to-commit window)
+    if (Fs.exists(spark, s"${versionDir(dir, claim.v)}/_SUCCESS"))
+      throw new ConcurrentCommitException(
+        s"version ${claim.v} of $dir is already committed — this " +
+          "maintainer's claim was stale; nothing was overwritten")
     rows.coalesce(1).write.mode("overwrite")
       .parquet(versionDir(dir, claim.v))
   }
@@ -1450,12 +1501,26 @@ object ClusteredStore {
       case None => 0
       case Some(cur) =>
         val claim = claimOrThrow(spark, dir, cur + 1, staleClaimMs)
-        try withLease(spark, dir, claim, staleClaimMs) {
+        // alwaysDefend (r11 advice): vacuum DELETES under its claim, so
+        // it keeps its lease fresh even at the default takeover-disabled
+        // staleClaimMs — otherwise a concurrent maintainer with a finite
+        // window could break the live claim mid-scan and commit while
+        // vacuum's stale kept-file snapshot deletes the winner's staged
+        // files. Defense is best-effort; the hard stop is the token
+        // re-verify before every delete batch inside vacuumLocked.
+        try withLease(spark, dir, claim, staleClaimMs,
+          alwaysDefend = true) {
           vacuumLocked(spark, dir, keepLast, staleClaimMs, olderThanMs,
             claim)
         } finally releaseClaim(spark, dir, claim)
     }
   }
+
+  /** Test hook: invoked after vacuum has computed its kept-file
+    * snapshot and before the first delete — the window where losing the
+    * claim must abort the scan. Production value is a no-op.
+    */
+  private[ops] var onVacuumScan: () => Unit = () => ()
 
   private def vacuumLocked(spark: SparkSession, dir: String,
       keepLast: Int, staleClaimMs: Long, olderThanMs: Long,
@@ -1490,15 +1555,37 @@ object ClusteredStore {
       spark.read.parquet(versionDir(dir, n))
         .select("file").collect().map(_.getString(0))).toSet
     val keptPaths = filesOf(keep).map(normPath)
+    onVacuumScan()
+    // Token re-verify before every delete batch (r11 advice): the
+    // kept-file snapshot is trustworthy only while OUR claim stands. A
+    // breaker that takes the slot mid-scan can stage and commit fresh
+    // files this snapshot has never seen — deleting them here would be
+    // silent data loss in a COMMITTED manifest. Losing the claim
+    // therefore aborts the scan; everything already deleted was
+    // unreferenced by every kept manifest while the claim held, so the
+    // store is consistent at every abort point.
+    var sinceVerify = 0
+    def verifyClaimOrAbort(): Unit = {
+      if (!readClaim(spark, dir, claim.v).map(_._1).contains(claim.token))
+        throw new ConcurrentCommitException(
+          s"vacuum($dir): claim on v=${claim.v} was broken mid-scan — " +
+            "aborting before further deletes (a successor may be " +
+            "staging files this vacuum's snapshot cannot see)")
+      sinceVerify = 0
+    }
+    verifyClaimOrAbort()
     var removed = 0
     // data files no kept version references: dropped-exclusive + orphans
     Fs.list(spark, dataDir(dir)).map(_.getPath).foreach { p =>
       val n = p.getName
       if (!n.startsWith("_") && !n.startsWith(".") &&
           !keptPaths.contains(normPath(p.toString))) {
+        if (sinceVerify >= 64) verifyClaimOrAbort()
+        sinceVerify += 1
         Fs.delete(spark, p.toString); removed += 1
       }
     }
+    verifyClaimOrAbort()
     drop.foreach(n => Fs.delete(spark, versionDir(dir, n)))
     // spent/stale claims, markerless dirs — our own claim exempt, live
     // claims honored under the same lease rules as every breaker
@@ -1658,6 +1745,33 @@ object ClusteredStore {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
 
+  /** Committed manifest versions still retained in the ledger. */
+  private def committedVersions(spark: SparkSession, dir: String): Seq[Int] =
+    Fs.list(spark, ledgerDir(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
+      .sorted
+
+  /** Retained versions whose manifests carry a live deletion-vector
+    * mask keyed on `colName`. DV masks are key LISTS bound to their
+    * column BY NAME (`dv_col` — unlike positional row bitmaps, which
+    * are rename-proof): after renaming or dropping the keyed column,
+    * [[readFilesDv]] would resolve `col(old-name)` against the new
+    * anchor and every read of a masked file — including the
+    * append/compact/recluster folds that are the only way to RETIRE a
+    * mask — throws AnalysisException. So evolution must refuse while
+    * any retained version still masks on the column (r11 advice).
+    */
+  private def dvKeyedVersions(spark: SparkSession, dir: String,
+      colName: String): Seq[Int] =
+    committedVersions(spark, dir).filter { n =>
+      val man = manifest(spark, dir, Some(n))
+      man.columns.contains("dv_col") &&
+        !man.filter(col("dv_col") === colName &&
+          col("dv_keys").isNotNull && size(col("dv_keys")) > 0).isEmpty
+    }
+
   /** Rename a data column — a METADATA COMMIT: zero data files
     * touched. Old files keep the old name in their footers; every read
     * resolves anchor columns to file columns by the stable parquet
@@ -1670,7 +1784,9 @@ object ClusteredStore {
     * unknown/colliding names, and on legacy stores whose anchor carries
     * no field ids (recluster once to migrate). Time travel follows the
     * existing evolution contract: old snapshots serve under the LATEST
-    * schema, i.e. the new name.
+    * schema, i.e. the new name. Also refused while any retained
+    * version carries a deletion-vector mask KEYED on the column
+    * ([[dvKeyedVersions]] — masks are name-bound).
     */
   def renameColumn(spark: SparkSession, dir: String, from: String,
       to: String, staleClaimMs: Long = Long.MaxValue): Unit = {
@@ -1693,6 +1809,13 @@ object ClusteredStore {
     require(!m.bloom.exists(_._1 == from),
       s"rename($dir): $from carries a manifest Bloom sketch column — " +
         "re-init/recluster to re-key the sketch")
+    val dvVs = dvKeyedVersions(spark, dir, from)
+    require(dvVs.isEmpty,
+      s"rename($dir): retained versions $dvVs carry deletion-vector " +
+        s"masks keyed on $from (masks bind to the column by NAME — " +
+        "every read of a masked file would break after the rename) — " +
+        "fold the masks first (compact/recluster), then vacuum the " +
+        "masked versions out of retention")
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     try writeAnchor(spark, dir, org.apache.spark.sql.types.StructType(
       st.map(f => if (f.name == from) f.copy(name = to) else f)))
@@ -1726,6 +1849,13 @@ object ClusteredStore {
     require(!m.bloom.exists(_._1 == name),
       s"drop($dir): $name carries a manifest Bloom sketch — " +
         "re-init/recluster instead")
+    val dvVs = dvKeyedVersions(spark, dir, name)
+    require(dvVs.isEmpty,
+      s"drop($dir): retained versions $dvVs carry deletion-vector " +
+        s"masks keyed on $name (masks bind to the column by NAME — " +
+        "every read of a masked file would break after the drop) — " +
+        "fold the masks first (compact/recluster), then vacuum the " +
+        "masked versions out of retention")
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     try writeAnchor(spark, dir, org.apache.spark.sql.types.StructType(
       st.filterNot(_.name == name)))

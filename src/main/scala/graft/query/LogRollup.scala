@@ -155,12 +155,19 @@ object LogRollup {
     // cross-store snapshot (pipeline-maintained stores only; see
     // ShreddedLog.readAsOf). Partition-value pruning, no extra I/O.
     val base = partialTable(spark, rollupDir)
-    // folded `gen-<N>c` generations hold only batches below the fold
-    // horizon, which readConsistent gates upToBatch against — pass whole
-    upToBatch.fold(base)(id => base.filter(
-        col("src").startsWith("gen-") ||
-          regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
-            .cast("long") <= id))
+    // COMMITTED `gen-<N>c` generations hold only batches below the fold
+    // horizon, which readConsistent gates upToBatch against — pass
+    // whole; a marker-less gen dir is a crashed fold attempt whose
+    // partial rows must not serve (its sources still do)
+    upToBatch.fold(base) { id =>
+      val committed =
+        ShreddedLog.committedGenSrcs(spark, rollupDir).toSeq
+      val genOk =
+        if (committed.isEmpty) lit(false) else col("src").isin(committed: _*)
+      base.filter(genOk ||
+        regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
+          .cast("long") <= id)
+    }
       .groupBy(grain.map(col): _*)
       .agg(
         sum(col("n_events")).cast("long").as("n_events"),

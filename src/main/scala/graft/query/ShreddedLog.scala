@@ -188,6 +188,32 @@ object ShreddedLog {
         LogSchema.schema)).drop("src")
     else spark.read.parquet(shredDir).drop("src")
 
+  /** `src=gen-<N>c` generation partition VALUES whose dirs carry the
+    * pipeline's `_FOLDED` commit marker — the only generations a
+    * consistency-promising reader may trust. A marker-less gen dir is
+    * a crashed fold attempt (possibly a torn object-store copy) whose
+    * partial rows must not serve; its sources are still intact and DO
+    * serve, so excluding it is exact, not lossy. One partition-dir
+    * walk, no data read.
+    */
+  private[graft] def committedGenSrcs(spark: SparkSession,
+      storeDir: String): Set[String] = {
+    val fs = Fs(spark, storeDir)
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(p)) return Set.empty
+    val out = Set.newBuilder[String]
+    fs.listStatus(p).foreach { d =>
+      if (d.isDirectory && d.getPath.getName.startsWith("date="))
+        fs.listStatus(d.getPath).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && n.startsWith("src=gen-") &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_FOLDED")))
+            out += n.stripPrefix("src=")
+        }
+    }
+    out.result()
+  }
+
   /** The typed view PINNED at a streaming batch id: only rows from
     * `src=batch-<k>` partitions with `k <= upToBatch` — the shred leg
     * of [[graft.streaming.LogStreamPipeline.readConsistent]]'s
@@ -198,16 +224,22 @@ object ShreddedLog {
     */
   def readAsOf(spark: SparkSession, shredDir: String,
       upToBatch: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
     if (processedSrcs(spark, shredDir).isEmpty) read(spark, shredDir)
-    else spark.read.parquet(shredDir)
-      // `gen-<N>c` generations hold only batches below the fold
-      // horizon; the pipeline's readConsistent gates upToBatch >= that
-      // horizon, so generations pass whole
-      .filter(col("src").startsWith("gen-") ||
-        regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
-          .cast("long") <= upToBatch)
-      .drop("src")
+    else {
+      // COMMITTED `gen-<N>c` generations hold only batches below the
+      // fold horizon (the pipeline's readConsistent gates upToBatch >=
+      // that horizon), so they pass whole; a marker-less gen is a
+      // crashed fold attempt and is excluded — its sources still serve
+      val committed = committedGenSrcs(spark, shredDir).toSeq
+      val genOk =
+        if (committed.isEmpty) lit(false) else col("src").isin(committed: _*)
+      spark.read.parquet(shredDir)
+        .filter(genOk ||
+          regexp_extract(col("src"), "^batch-([0-9]+)$", 1)
+            .cast("long") <= upToBatch)
+        .drop("src")
+    }
   }
 
   /** Has this store ever been maintained? One partition-dir listing —

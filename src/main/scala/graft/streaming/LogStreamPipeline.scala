@@ -43,15 +43,16 @@ import graft.query.{LogRollup, ShreddedLog}
   * Torn-read caveat (direct log readers): each stage commits via
   * Spark's job commit, not a directory-level transaction — between a
   * crashed attempt and its replay, a RAW reader of `logDir` (a
-  * `date=`/`batch=` wildcard glob that ignores job markers) can observe a
-  * partially-committed batch, and during a compaction fold it can
-  * briefly double-count a folded batch (new generation renamed in,
-  * source dirs not yet deleted). Both windows close on replay/resume;
-  * readers that must never see them should read through
+  * `date=`/`batch=` wildcard glob that ignores job and fold markers)
+  * can observe a partially-committed batch, and around a compaction
+  * fold it can briefly double-count a folded batch (generation data
+  * landed, source dirs not yet deleted) or partially count a crashed
+  * fold attempt's marker-less generation. All windows close on
+  * replay/resume; readers that must never see them should read through
   * [[readConsistent]] with `batchId` = the last COMPLETED tick, which
-  * excludes the in-flight batch by key. This is the same at-least-once
-  * visibility contract every marker-less object-store landing zone
-  * carries.
+  * excludes the in-flight batch by key and takes only `_FOLDED`-marked
+  * generations. This is the same at-least-once visibility contract
+  * every marker-less object-store landing zone carries.
   *
   * Scale shape: every stage is one map-side pass over the micro-batch
   * (the rollup's groupBy is partial-agg dominated at micro-batch size);
@@ -68,31 +69,86 @@ object LogStreamPipeline {
   private val BatchDirRe = "^batch=([0-9]+)$".r
   private val GenDirRe = "^batch=([0-9]+)c$".r
 
+  /** The generation-commit marker. A fold's data files land first
+    * (invisible to nothing — see the torn-window doc — but NEVER
+    * load-bearing); the generation EXISTS only once this marker does,
+    * and the marker is born in ONE atomic file create. This is
+    * [[IdempotentSink]]'s commit recipe applied to the folds (r11
+    * verdict): the previous protocol committed by directory rename,
+    * which is atomic on HDFS/local but copy-then-delete on S3-family
+    * stores — there, a crashed rename left a PARTIAL generation that
+    * the "dest exists → resume source deletes" rule then treated as
+    * complete, deleting sources whose rows the partial copy never
+    * received: data loss. Source deletes now key on the marker, which
+    * exists only after every data byte is in place, so a torn write or
+    * torn copy can never trigger them. Underscore-prefixed, so parquet
+    * globs never read it as data.
+    */
+  private val FoldMarker = "_FOLDED"
+
   private def dateDirs(spark: SparkSession, logDir: String) =
     Fs.list(spark, logDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
 
-  /** Highest batch id folded into a compacted generation, across all
-    * date partitions (−1 when none): a `batch=<N>c` generation holds
-    * every batch `<= N−1` that existed at fold time, so ids at or below
-    * this are NO LONGER individually addressable in the log — a replay
-    * of one would resurrect rows a generation already absorbed
-    * ([[tick]] guards on exactly this), and [[readConsistent]] cannot
-    * pin below it. Derived from the directory names alone — the
-    * evidence survives any crash point, unlike a separately-written
-    * watermark file that could lag the fold.
+  private def folded(spark: SparkSession, genDir: String): Boolean =
+    Fs.exists(spark, s"$genDir/$FoldMarker")
+
+  private def markFolded(spark: SparkSession, genDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/$FoldMarker")
+    Fs(spark, genDir).create(p, true).close()
+  }
+
+  /** Highest batch id folded into a COMMITTED compacted generation,
+    * across all date partitions (−1 when none): a `batch=<N>c`
+    * generation holds every batch `<= N−1` that existed at fold time,
+    * so ids at or below this are NO LONGER individually addressable in
+    * the log — a replay of one would resurrect rows a generation
+    * already absorbed ([[tick]] guards on exactly this), and
+    * [[readConsistent]] cannot pin below it. Derived from the
+    * directory names plus their `_FOLDED` markers — evidence that
+    * survives any crash point (a crashed attempt's marker-less dir is
+    * NOT a generation and never advances the horizon), unlike a
+    * separately-written watermark file that could lag the fold.
     */
   def maxFolded(spark: SparkSession, logDir: String): Long =
     dateDirs(spark, logDir)
-      .flatMap(d => Fs.list(spark, d.getPath.toString)
-        .map(_.getPath.getName).collect {
-          case GenDirRe(m) => m.toLong - 1
-        })
+      .flatMap { d =>
+        val dPath = d.getPath.toString
+        Fs.list(spark, dPath).map(_.getPath.getName).collect {
+          case n @ GenDirRe(m) if folded(spark, s"$dPath/$n") =>
+            m.toLong - 1
+        }
+      }
       .foldLeft(-1L)(math.max)
 
-  /** Test hook: invoked after a generation commits (rename) and before
-    * its sources are deleted — the crash point the resume path exists
-    * for. Production value is a no-op.
+  /** Stamp the `_FOLDED` marker onto every marker-less generation dir
+    * of a store written by a PRE-marker version of these folds (which
+    * committed by directory rename). Run ONCE per store, with no
+    * stream running, when upgrading: the old protocol was only correct
+    * where rename is atomic (HDFS/local), and exactly there a
+    * generation dir's existence proves its completeness — so the stamp
+    * is sound. Without it, marker-gated readers treat legacy
+    * generations as uncommitted debris. Returns how many dirs were
+    * stamped (log `batch=<N>c` and shred/rollup `src=gen-<N>c` layouts
+    * both accepted).
+    */
+  def markLegacyGenerations(spark: SparkSession, storeDir: String): Int = {
+    var n = 0
+    dateDirs(spark, storeDir).foreach { d =>
+      val dPath = d.getPath.toString
+      Fs.list(spark, dPath).map(_.getPath.getName).foreach { name =>
+        val isGen = GenDirRe.matches(name) || SrcGenRe.matches(name)
+        if (isGen && !folded(spark, s"$dPath/$name")) {
+          markFolded(spark, s"$dPath/$name"); n += 1
+        }
+      }
+    }
+    n
+  }
+
+  /** Test hook: invoked after a generation commits (marker created) and
+    * before its sources are deleted — the crash point the resume path
+    * exists for. Production value is a no-op.
     */
   private[streaming] var onGenerationCommit: () => Unit = () => ()
 
@@ -104,16 +160,25 @@ object LogStreamPipeline {
     * batch), so a fold never races a landing.
     *
     * Crash-safe by construction, keyed on the SAME batch id as every
-    * other stage: the new generation is written to a hidden temp dir
-    * and atomically renamed into place, so it is either absent or
-    * complete; a replay that finds its generation already present skips
-    * the rewrite and resumes the source deletes (their rows are
-    * guaranteed inside the committed generation — sources only shrink
-    * between attempts, and the replayed batch itself is never
-    * eligible). A crash before the rename leaves invisible temp trash,
-    * cleared at the next fold. Between the rename and the last source
-    * delete, RAW globs double-count the folded batches — the documented
-    * torn window; [[readConsistent]] readers never see it.
+    * other stage, committed by MARKER, not by rename (see
+    * [[FoldMarker]]): the generation's data is written into its own
+    * dir, then `_FOLDED` is created in one atomic file create — the
+    * commit point — and only then are sources deleted. Every crash
+    * window resolves on replay:
+    *  - before/during the data write (including a torn multi-file copy
+    *    on an object store): a marker-less dest is a crashed attempt;
+    *    the replay's `mode(overwrite)` clears and rewrites it. Sources
+    *    were never touched, so nothing is lost.
+    *  - after the marker, before the source deletes: the replay finds
+    *    the marker and resumes the deletes (every remaining source's
+    *    rows are inside the committed generation — sources only shrink
+    *    AFTER a marker, and the replayed batch itself is never
+    *    eligible).
+    * Between the data write landing and the source deletes finishing,
+    * RAW globs can double-count (and before the marker, partially
+    * count) the folded batches — the documented at-least-once torn
+    * window; [[readConsistent]] readers never see it (marker-gated
+    * dir list).
     */
   def compactLanded(spark: SparkSession, logDir: String, batchId: Long,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -123,12 +188,15 @@ object LogStreamPipeline {
         .filter(_.getPath.getName.startsWith(".cmp-tmp-"))
         .foreach(t => Fs.delete(spark, t.getPath.toString))
       val sources = Fs.list(spark, dPath).map(_.getPath.getName).filter {
+        case n @ GenDirRe(m) =>
+          // only COMMITTED older generations fold forward; a marker-
+          // less gen dir is crashed-attempt debris, not a source
+          m.toLong < batchId && folded(spark, s"$dPath/$n")
         case BatchDirRe(b) => b.toLong <= batchId - 1
-        case GenDirRe(m) => m.toLong < batchId
         case _ => false
       }
       val dest = s"$dPath/batch=${batchId}c"
-      if (Fs.exists(spark, dest)) {
+      if (folded(spark, dest)) {
         // a previous attempt committed this generation — resume the
         // source deletes; every remaining source's rows are inside it
         sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
@@ -138,15 +206,12 @@ object LogStreamPipeline {
           Fs.list(spark, s"$dPath/$s0").map(_.getLen).sum).sum
         val n = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        val tmp = s"$dPath/.cmp-tmp-${java.util.UUID.randomUUID}"
+        // mode(overwrite) clears a crashed attempt's marker-less dest
         spark.read.parquet(sources.map(s0 => s"$dPath/$s0"): _*)
           .coalesce(n)
           .write.mode("overwrite").option("compression", "snappy")
-          .parquet(tmp)
-        val fs = Fs(spark, dPath)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(dest)),
-          s"generation commit rename failed: $tmp -> $dest")
+          .parquet(dest)
+        markFolded(spark, dest) // the commit point
         onGenerationCommit()
         sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
       }
@@ -172,16 +237,19 @@ object LogStreamPipeline {
 
   /** The [[compactLanded]] discipline applied to a `date=/src=`
     * batch-keyed store (shred, rollup): fold every `src=batch-<k>`
-    * partition with `k <= batchId − 1` — plus older `src=gen-<M>c`
-    * generations — into one new generation `src=gen-<batchId>c` per
-    * date partition. Without this, the downstream stores accumulate
-    * one partition per micro-batch forever — the exact critique the
-    * landed log's fold answered, one level down. `merge` is the
-    * store's fold algebra: identity for the full-fidelity shred rows;
-    * the partial-state merge for the rollup (so folding also COLLAPSES
-    * partial rows, not just files). Same crash discipline: temp write,
-    * atomic rename (generation absent-or-complete), replay that finds
-    * its generation resumes the source deletes.
+    * partition with `k <= batchId − 1` — plus older COMMITTED
+    * `src=gen-<M>c` generations — into one new generation
+    * `src=gen-<batchId>c` per date partition. Without this, the
+    * downstream stores accumulate one partition per micro-batch
+    * forever — the exact critique the landed log's fold answered, one
+    * level down. `merge` is the store's fold algebra: identity for the
+    * full-fidelity shred rows; the partial-state merge for the rollup
+    * (so folding also COLLAPSES partial rows, not just files). Same
+    * crash discipline as [[compactLanded]]: data written into the
+    * generation dir, `_FOLDED` marker created atomically as THE commit
+    * point, source deletes only under the marker — so a torn
+    * object-store copy can never pass for a committed generation and
+    * trigger the deletes (r11 verdict).
     */
   private def foldSrcStore(spark: SparkSession, storeDir: String,
       batchId: Long, targetFileBytes: Long,
@@ -192,12 +260,13 @@ object LogStreamPipeline {
         .filter(_.getPath.getName.startsWith(".fold-tmp-"))
         .foreach(t => Fs.delete(spark, t.getPath.toString))
       val sources = Fs.list(spark, dPath).map(_.getPath.getName).filter {
+        case n @ SrcGenRe(m) =>
+          m.toLong < batchId && folded(spark, s"$dPath/$n")
         case SrcBatchRe(b) => b.toLong <= batchId - 1
-        case SrcGenRe(m) => m.toLong < batchId
         case _ => false
       }
       val dest = s"$dPath/src=gen-${batchId}c"
-      if (Fs.exists(spark, dest)) {
+      if (folded(spark, dest)) {
         sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
       } else if (sources.nonEmpty &&
           !(sources.size == 1 && SrcGenRe.matches(sources.head))) {
@@ -205,15 +274,11 @@ object LogStreamPipeline {
           Fs.list(spark, s"$dPath/$s0").map(_.getLen).sum).sum
         val n = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        val tmp = s"$dPath/.fold-tmp-${java.util.UUID.randomUUID}"
         merge(spark.read.parquet(sources.map(s0 => s"$dPath/$s0"): _*))
           .coalesce(n)
           .write.mode("overwrite").option("compression", "snappy")
-          .parquet(tmp)
-        val fs = Fs(spark, dPath)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(dest)),
-          s"fold commit rename failed: $tmp -> $dest")
+          .parquet(dest)
+        markFolded(spark, dest) // the commit point
         sources.foreach(s0 => Fs.delete(spark, s"$dPath/$s0"))
       }
     }
@@ -231,18 +296,40 @@ object LogStreamPipeline {
     * envelope-schema stream, or use the [[StreamingLogPipeline]]
     * wrapper.
     *
-    * Stale-replay guard: a batch id at or below [[maxFolded]] is a
+    * Stale-replay guard: a batch id at or below the fold horizon is a
     * late replay of a batch some generation already absorbed —
     * re-landing it would resurrect its `batch=` dirs NEXT TO the
     * generation holding its rows (permanent double count). The whole
     * tick is skipped: shred/rollup would only overwrite themselves
     * with identical content anyway.
+    *
+    * Horizon cost (r11 advice): the guard reads a PROCESS-CACHED
+    * horizon — one [[maxFolded]] listing at the first tick per logDir,
+    * refreshed only after this process folds — instead of an
+    * O(date-partitions) filesystem listing on every micro-batch (slow
+    * and billed per call on object stores). Sound under the pipeline's
+    * single-maintainer contract (one checkpointed stream owns the
+    * sink, so only this process ever advances the horizon), and
+    * fail-safe even outside it: the cache can only LAG the filesystem,
+    * and a lagging horizon never wrongly SKIPS a batch — it only
+    * forgoes the skip and re-runs idempotent stages.
     */
+  private val foldHorizon =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop the cached fold horizons (test hook for suites that reuse
+    * paths across simulated process restarts).
+    */
+  private[streaming] def invalidateHorizonCache(): Unit =
+    foldHorizon.clear()
+
   def tick(batch: DataFrame, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String, compactEvery: Int = 0,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= maxFolded(spark, logDir)) return
+    val horizon = foldHorizon.computeIfAbsent(logDir,
+      _ => Long.box(maxFolded(spark, logDir)))
+    if (batchId <= horizon) return
     val b = batch.persist()
     try {
       land(b, batchId, logDir)
@@ -254,6 +341,9 @@ object LogStreamPipeline {
       foldSrcStore(spark, shredDir, batchId, targetFileBytes, identity)
       foldSrcStore(spark, rollupDir, batchId, targetFileBytes,
         LogRollup.mergePartials)
+      // refresh AFTER the folds: one listing per fold cycle, and a
+      // crash mid-fold leaves the cache lagging — the safe direction
+      foldHorizon.put(logDir, Long.box(maxFolded(spark, logDir)))
     }
   }
 
@@ -275,13 +365,28 @@ object LogStreamPipeline {
   def readConsistent(spark: SparkSession, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String,
       grain: Seq[String] = Seq("model")): ConsistentView = {
-    val folded = maxFolded(spark, logDir)
-    require(batchId >= folded,
-      s"batches <= $folded are folded into compacted generations — " +
+    val horizon = maxFolded(spark, logDir)
+    require(batchId >= horizon,
+      s"batches <= $horizon are folded into compacted generations — " +
         s"the log cannot serve a snapshot at $batchId anymore")
-    val raw = spark.read.option("basePath", logDir).parquet(logDir)
-    // generation dirs read as non-numeric `batch` values; they hold
-    // only batches <= maxFolded <= batchId, so they pass whole
+    // MARKER-GATED dir list, not a raw glob: a crashed fold attempt
+    // leaves a marker-less `batch=<N>c` dir whose partial data a glob
+    // would read (its non-numeric batch value passes any id filter) —
+    // exactly the torn state this reader promises never to see. One
+    // listing, which the maxFolded call above already paid for.
+    val dirs = dateDirs(spark, logDir).flatMap { d =>
+      val dPath = d.getPath.toString
+      Fs.list(spark, dPath).map(_.getPath.getName).collect {
+        case n @ BatchDirRe(_) => s"$dPath/$n"
+        case n @ GenDirRe(_) if folded(spark, s"$dPath/$n") => s"$dPath/$n"
+      }
+    }
+    val raw =
+      if (dirs.isEmpty) spark.read.option("basePath", logDir).parquet(logDir)
+      else spark.read.option("basePath", logDir).parquet(dirs: _*)
+    // committed generation dirs read as non-numeric `batch` values;
+    // they hold only batches <= maxFolded <= batchId, so they pass
+    // whole
     val b = col("batch").cast("string")
     val log = raw.filter(!b.rlike("^[0-9]+$") ||
       b.cast("long") <= batchId)

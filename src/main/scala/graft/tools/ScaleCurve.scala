@@ -146,12 +146,18 @@ object ScaleCurve {
         val prev = nsPerPair(nsPerPair.length - 2)
         !top.isNaN && !prev.isNaN && top > 1.5 * prev
       }
+      // the benign corpus-pairs downgrade requires the engine-normalized
+      // EVIDENCE to exist: a pair leg whose top-decade ns/pair is NaN
+      // (candidate-pair count 0, or the leg skipped) has nothing to
+      // attribute its superlinear growth to, so it falls back to the
+      // failing SUPERLINEAR gate instead of being silently excused
+      // (r11 advice)
+      val pairEvidence = nsPerPair.nonEmpty && !nsPerPair.last.isNaN
       val flag =
         if (overhead) "overhead"
         else if (engineRegressed) "NS_PER_PAIR_RISING"
-        else if (exp > 1.2 && (fit.isNaN || fit > 1.2) &&
-          nsPerPair.isEmpty) "SUPERLINEAR"
-        else if (exp > 1.2 && nsPerPair.nonEmpty) "corpus-pairs"
+        else if (exp > 1.2 && pairEvidence) "corpus-pairs"
+        else if (exp > 1.2 && (fit.isNaN || fit > 1.2)) "SUPERLINEAR"
         else "ok"
       (q.name, sfDirs.map(d => times((q.name, d))), exp, fit, flag,
         nsPerPair)

@@ -118,6 +118,40 @@ class ColumnEvolutionSpec extends SparkSpec {
       Seq("a", "b", "id", "payload", "score"))
   }
 
+  test("a column keying LIVE deletion vectors refuses rename AND drop " +
+    "(masks are name-bound: every read of a masked file would throw " +
+    "after the evolution) until the masks are folded out of every " +
+    "retained version") {
+    val dir = java.nio.file.Files.createTempDirectory("colev5").toString
+    // mask on `id` but NO clustering/Bloom involvement for `id`: only
+    // the new DV refusal can be what blocks the evolution
+    ClusteredStore.init(mkDocs(0 until 2000), Seq("a", "b"), 3, dir)
+    val d = ClusteredStore.deleteKeysDV(spark, dir, "id", Seq(7L, 19L))
+    assert(d.deleted === 2L && d.rewritten === 0)
+
+    def refused(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    }
+    refused(ClusteredStore.renameColumn(spark, dir, "id", "doc_id"))
+    refused(ClusteredStore.dropColumn(spark, dir, "id"))
+    // refusals changed nothing: masked reads still serve
+    assert(ClusteredStore.read(spark, dir).count() === 1998L)
+
+    // recluster folds every mask into clean files — but the MASKED
+    // versions are still retained, and time travel reads them through
+    // readFilesDv(col("id")): the refusal must hold until vacuum
+    ClusteredStore.recluster(spark, dir, nFiles = 3)
+    refused(ClusteredStore.renameColumn(spark, dir, "id", "doc_id"))
+    ClusteredStore.vacuum(spark, dir, keepLast = 1)
+    ClusteredStore.renameColumn(spark, dir, "id", "doc_id")
+    val snap = ClusteredStore.read(spark, dir)
+    assert(snap.columns.contains("doc_id"))
+    assert(snap.count() === 1998L)
+    assert(snap.filter(col("doc_id").isin(7L, 19L)).count() === 0L,
+      "the folded takedown resurrected under the rename")
+  }
+
   test("evolution serializes through the claim, and every anchor write " +
     "is a NEW marker-gated version — a crashed write leaves the old " +
     "anchor governing, and vacuum keeps only the newest") {

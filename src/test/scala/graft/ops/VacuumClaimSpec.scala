@@ -207,6 +207,89 @@ class VacuumClaimSpec extends SparkSpec {
     assert(!Fs.exists(spark, s"$dir/ledger/claim-v=2"))
   }
 
+  test("a DEFAULT-staleClaimMs vacuum DEFENDS its lease mid-scan: a " +
+    "takeover-enabled maintainer arriving during the kept-file scan " +
+    "refuses instead of breaking the live claim (the r11 silent-data-" +
+    "loss window: break → commit → vacuum deletes the winner's files)") {
+    val dir = java.nio.file.Files.createTempDirectory("vacclaim5").toString
+    ClusteredStore.init(mkDocs(0 until 1200), Seq("a", "b"), 3, dir)
+    ClusteredStore.append(spark, dir, mkDocs(1200 until 1400))
+
+    // park vacuum mid-scan LONGER than the thief's whole lease window:
+    // without the always-on keeper, the claim mtime (frozen at create)
+    // would read stale and the thief would break it
+    val thiefWindow = 1500L
+    @volatile var thief: Option[Throwable] = None
+    ClusteredStore.onVacuumScan = () => {
+      Thread.sleep(2 * thiefWindow)
+      thief =
+        try {
+          ClusteredStore.append(spark, dir, mkDocs(9000 until 9010),
+            staleClaimMs = thiefWindow)
+          None
+        } catch { case t: Throwable => Some(t) }
+    }
+    try {
+      val reclaimed = ClusteredStore.vacuum(spark, dir, keepLast = 1)
+      assert(reclaimed > 0, "vacuum had no work — the race never raced")
+    } finally ClusteredStore.onVacuumScan = () => ()
+    assert(thief.exists(_.isInstanceOf[ConcurrentCommitException]),
+      s"the takeover attempt should have refused on a FRESH claim, " +
+        s"got: $thief")
+    // the defended vacuum finished its scan consistently
+    val listed = ClusteredStore.manifest(spark, dir).select("file")
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .toSet
+    val onDisk = Fs.list(spark, s"$dir/data").map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    assert(onDisk === listed)
+    assert(ClusteredStore.read(spark, dir).count() === 1400L)
+  }
+
+  test("a vacuum whose claim IS broken mid-scan aborts before " +
+    "deleting anything: the token re-verify is the hard stop behind " +
+    "the best-effort lease defense") {
+    val dir = java.nio.file.Files.createTempDirectory("vacclaim6").toString
+    ClusteredStore.init(mkDocs(0 until 1200), Seq("a", "b"), 3, dir)
+    ClusteredStore.append(spark, dir, mkDocs(1200 until 1400))
+    val dataBefore = Fs.list(spark, s"$dir/data")
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+    assert(ClusteredStore.history(spark, dir).count() === 2L)
+
+    // forge a successful takeover between the snapshot and the deletes:
+    // the claim file changes hands (new token) while vacuum scans
+    ClusteredStore.onVacuumScan = () => {
+      Fs.delete(spark, s"$dir/ledger/claim-v=3")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/ledger/claim-v=3"),
+        "successor-token".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+    try {
+      val e = intercept[ConcurrentCommitException](
+        ClusteredStore.vacuum(spark, dir, keepLast = 1))
+      assert(e.getMessage.contains("broken mid-scan"), e.getMessage)
+    } finally ClusteredStore.onVacuumScan = () => ()
+
+    // NOTHING was deleted: every data file and both manifest versions
+    // survive (files already deleted before an abort are provably
+    // unreferenced — here the abort fired before the first delete)
+    val dataAfter = Fs.list(spark, s"$dir/data")
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+    assert(dataAfter === dataBefore)
+    assert(ClusteredStore.history(spark, dir).count() === 2L)
+    assert(ClusteredStore.read(spark, dir, asOf = Some(1)).count() === 1200L)
+
+    // the forged successor's claim stands (not ours to release); the
+    // documented escape hatch clears it and vacuum then succeeds
+    assert(ClusteredStore.recover(spark, dir) > 0)
+    assert(ClusteredStore.vacuum(spark, dir, keepLast = 1) > 0)
+    assert(ClusteredStore.read(spark, dir).count() === 1400L)
+  }
+
   test("on a filesystem without setTimes, a SLOW LIVE maintainer " +
     "defends its lease through the heartbeat sidecar: a takeover " +
     "attempt refuses, and the slow maintainer commits") {
