@@ -51,17 +51,40 @@ object RunTree {
       idCol: String,
       parentCol: String,
       maxIters: Int = 40,
-      sep: String = "/"): DataFrame = {
+      sep: String = "/"): DataFrame =
+    resolveImpl(nodes, idCol, parentCol, maxIters, sep, withPath = true)
+
+  /** [[resolve]] without the `path` column — for callers that only need
+    * root/depth ([[rollup]]). The path strings are by far the widest
+    * state the loop carries (they grow toward full root→node id lists
+    * while root/depth stay constant-width), so a rollup that shuffles
+    * and checkpoints them through every pointer-jump round pays most of
+    * its bytes for a column it immediately discards.
+    */
+  def resolveNoPath(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxIters: Int = 40): DataFrame =
+    resolveImpl(nodes, idCol, parentCol, maxIters, "/", withPath = false)
+
+  private def resolveImpl(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxIters: Int,
+      sep: String,
+      withPath: Boolean): DataFrame = {
     val isRoot = col(parentCol).isNull || col(parentCol) === ""
-    var cur = nodes.select(
+    val initCols = Seq(
       col(idCol).cast("string").as("_id"),
       when(isRoot, lit(null).cast("string"))
         .otherwise(col(parentCol).cast("string")).as("_anc"),
       when(isRoot, lit(0L)).otherwise(lit(1L)).as("_depth"),
       when(isRoot, col(idCol).cast("string"))
-        .otherwise(lit(null).cast("string")).as("_root"),
-      col(idCol).cast("string").as("_path"))
-      .localCheckpoint()
+        .otherwise(lit(null).cast("string")).as("_root")) ++
+      (if (withPath) Seq(col(idCol).cast("string").as("_path")) else Nil)
+    var cur = nodes.select(initCols: _*).localCheckpoint()
 
     // Invariants kept by every round: _depth = edges from _anc to _id;
     // _path = ids from (just below _anc) to _id; _anc null ⇒ resolved,
@@ -73,32 +96,37 @@ object RunTree {
         throw new IllegalStateException(
           s"RunTree.resolve: unresolved chains after $maxIters rounds — " +
             "cycle in parent pointers?")
-      val anc = cur.select(
+      val ancCols = Seq(
         col("_id").as("_aid"), col("_anc").as("_aanc"),
-        col("_depth").as("_adepth"), col("_root").as("_aroot"),
-        col("_path").as("_apath"))
-      cur = cur.join(anc, cur("_anc") === anc("_aid"), "left")
-        .select(
-          col("_id"),
-          when(col("_anc").isNull || col("_aid").isNull,
-            lit(null).cast("string"))
-            .otherwise(col("_aanc")).as("_anc2"),
-          when(col("_anc").isNull || col("_aid").isNull, col("_depth"))
-            .otherwise(col("_depth") + col("_adepth")).as("_depth2"),
-          when(col("_anc").isNull, col("_root"))
-            .when(col("_aid").isNull, col("_anc")) // dangling parent
-            .otherwise(col("_aroot")).as("_root2"),
+        col("_depth").as("_adepth"), col("_root").as("_aroot")) ++
+        (if (withPath) Seq(col("_path").as("_apath")) else Nil)
+      val anc = cur.select(ancCols: _*)
+      val jumpCols = Seq(
+        col("_id"),
+        when(col("_anc").isNull || col("_aid").isNull,
+          lit(null).cast("string"))
+          .otherwise(col("_aanc")).as("_anc2"),
+        when(col("_anc").isNull || col("_aid").isNull, col("_depth"))
+          .otherwise(col("_depth") + col("_adepth")).as("_depth2"),
+        when(col("_anc").isNull, col("_root"))
+          .when(col("_aid").isNull, col("_anc")) // dangling parent
+          .otherwise(col("_aroot")).as("_root2")) ++
+        (if (withPath) Seq(
           when(col("_anc").isNull, col("_path"))
             .when(col("_aid").isNull,
               concat_ws(sep, col("_anc"), col("_path")))
             .otherwise(concat_ws(sep, col("_apath"), col("_path")))
-            .as("_path2"))
+            .as("_path2")) else Nil)
+      cur = cur.join(anc, cur("_anc") === anc("_aid"), "left")
+        .select(jumpCols: _*)
         .withColumnsRenamed(Map("_anc2" -> "_anc", "_depth2" -> "_depth",
           "_root2" -> "_root", "_path2" -> "_path"))
         .localCheckpoint()
     }
-    cur.select(col("_id").as(idCol), col("_root").as("root_id"),
-      col("_depth").as("depth"), col("_path").as("path"))
+    val outCols = Seq(col("_id").as(idCol), col("_root").as("root_id"),
+      col("_depth").as("depth")) ++
+      (if (withPath) Seq(col("_path").as("path")) else Nil)
+    cur.select(outCols: _*)
   }
 
   /** Per-root rollup of a resolved tree: tree size, max depth, and leaf
@@ -110,7 +138,7 @@ object RunTree {
       nodes: DataFrame,
       idCol: String,
       parentCol: String): DataFrame = {
-    val resolved = resolve(nodes, idCol, parentCol)
+    val resolved = resolveNoPath(nodes, idCol, parentCol)
     val parents = nodes
       .filter(col(parentCol).isNotNull && col(parentCol) =!= "")
       .select(col(parentCol).cast("string").as(idCol)).distinct()
