@@ -1862,6 +1862,66 @@ object ClusteredStore {
     finally releaseClaim(spark, dir, claim)
   }
 
+  /** Widen a data column's type — a METADATA COMMIT, zero data files
+    * touched, the third leg of schema evolution next to [[renameColumn]]
+    * and [[dropColumn]]. Exactly the two promotions Spark's vectorized
+    * parquet reader serves losslessly from old footers are accepted:
+    * `int` → `bigint` and `float` → `double`. The anchor field keeps its
+    * stable parquet field id with the new type; files written before
+    * the widening keep the narrow physical type and every read path
+    * up-converts them under the declared anchor schema, so pre- and
+    * post-widening files serve ONE logical column (proven cross-engine
+    * by `q_cluster_widen`). Files written afterwards carry the wide
+    * type; batches must arrive already widened ([[append]]'s schema
+    * contract refuses re-typed columns, directing the caller to cast).
+    *
+    * Interactions that stay valid WITHOUT a rewrite — both hash the
+    * value through `CAST(col AS BIGINT)`, which int → bigint preserves:
+    * manifest Bloom sketches keep answering [[readPoint]] probes, and
+    * deletion-vector key lists keep masking their rows. Refused for
+    * clustering columns (the frozen rank model and the per-version
+    * `min_`/`max_` manifest stats are typed at init — recluster
+    * instead), for narrowing or cross-family casts, for unknown
+    * columns, and on stores without field-id anchors. Serialized
+    * through the claim; time travel follows the evolution contract
+    * (old snapshots serve under the LATEST schema, i.e. widened).
+    */
+  def widenColumnType(spark: SparkSession, dir: String, name: String,
+      to: org.apache.spark.sql.types.DataType,
+      staleClaimMs: Long = Long.MaxValue): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"widen before init under $dir"))
+    val st = anchorSchema(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"widen($dir): store has no schema anchor — rebuild via init"))
+    require(st.fields.forall(f => fieldId(f).isDefined),
+      s"widen($dir): anchor carries no field ids (pre-field-id store) " +
+        "— recluster to migrate first")
+    require(st.fieldNames.contains(name),
+      s"widen($dir): no column $name in ${st.fieldNames.toSeq}")
+    val m = loadModel(spark, dir, v)
+    require(!m.cols.contains(name),
+      s"widen($dir): $name is a clustering column (the frozen rank " +
+        "model and manifest min_/max_ stats are typed at init) — " +
+        "recluster instead")
+    val from = st(name).dataType
+    val supported = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(supported,
+      s"widen($dir): ${from.simpleString} -> ${to.simpleString} is not " +
+        "a supported widening (int -> bigint and float -> double only " +
+        "— the promotions parquet readers serve losslessly from " +
+        "narrow footers)")
+    val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
+    try writeAnchor(spark, dir, org.apache.spark.sql.types.StructType(
+      st.map(f => if (f.name == name) f.copy(dataType = to) else f)))
+    finally releaseClaim(spark, dir, claim)
+  }
+
   /** Open store data files UNDER THE ANCHOR SCHEMA when one exists:
     * files written before a widening append lack the added columns and
     * read as nulls there — and no footer-merge inference job ever runs

@@ -634,6 +634,46 @@ object SkippingQueries {
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Type widening via the schema anchor
+    * ([[graft.ops.ClusteredStore.widenColumnType]]), answer-invariant
+    * ACROSS physical types: init on two-thirds of lineitem (files carry
+    * parquet INT32 `l_linenumber`), widen it to BIGINT — a metadata
+    * commit, zero files rewritten (asserted in ColumnEvolutionSpec) —
+    * then append the remaining third already-wide (INT64 files). The
+    * aggregate reads BOTH physical generations as one BIGINT column;
+    * the oracle recomputes over the whole table, where the column was
+    * int all along. A hash match proves the promotion is value-exact
+    * across mixed-width files, not just non-crashing.
+    */
+  val clusterWiden = Q(
+    "q_cluster_widen",
+    (s, dir) => {
+      val base = memo("clwiden", dir) { b =>
+        val li = tbl(s, dir, "lineitem")
+        graft.ops.ClusteredStore.init(
+          li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0),
+          Seq("l_partkey", "l_suppkey"), 12, s"$b/store")
+        graft.ops.ClusteredStore.widenColumnType(s, s"$b/store",
+          "l_linenumber", org.apache.spark.sql.types.LongType)
+        graft.ops.ClusteredStore.append(s, s"$b/store",
+          li.filter(pmod(col("l_orderkey"), lit(3L)) === 0)
+            .withColumn("l_linenumber", col("l_linenumber").cast("long")))
+      }
+      graft.ops.ClusteredStore.read(s, s"$base/store")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt("n_lines"),
+          sum(col("l_linenumber")).cast("long").as("line_sum"),
+          max(col("l_linenumber")).cast("long").as("line_max"),
+          sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_linenumber) AS BIGINT) AS line_sum,
+                   CAST(MAX(l_linenumber) AS BIGINT) AS line_max,
+                   CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
+
   /** Atomic replace-by-key ([[graft.ops.ClusteredStore.upsertKeys]]),
     * answer-invariant end-to-end: init on the orderkeys not divisible
     * by 3, then ONE upsert call re-ingests every row of the orderkeys
@@ -678,5 +718,5 @@ object SkippingQueries {
     Seq(statsPrune, zorderPrune, aggPushdown, bloomIndex, hilbertPrune,
       clusterAppend, clusterTimeTravel, clusterPoint, clusterRecluster,
       clusterHistory, clusterMaintain, clusterDelete, clusterDeleteDv,
-      clusterEvolve, clusterRename, clusterUpsert)
+      clusterEvolve, clusterRename, clusterWiden, clusterUpsert)
 }

@@ -152,6 +152,74 @@ class ColumnEvolutionSpec extends SparkSpec {
       "the folded takedown resurrected under the rename")
   }
 
+  test("type widening is a zero-rewrite metadata commit: int->bigint " +
+    "and float->double serve pre- and post-widening files as ONE " +
+    "column; Bloom probes and deletion-vector masks survive (both " +
+    "hash the BIGINT value); unsafe casts refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("colev6").toString
+    val docs = mkDocs(0 until 2000)
+      .withColumn("score32", col("score").cast("float"))
+      .drop("score")
+    ClusteredStore.init(docs, Seq("a", "b"), 3, dir,
+      bloomCols = Seq("id"))
+    // a live DV mask on the to-be-widened Bloom column: the mask's key
+    // list is CAST(id AS BIGINT) values, which the widening preserves
+    ClusteredStore.deleteKeysDV(spark, dir, "id", Seq(7L, 19L))
+    val filesBefore = Fs.list(spark, s"$dir/data")
+      .map(s => s.getPath.getName -> s.getLen).toMap
+
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    ClusteredStore.widenColumnType(spark, dir, "id", LongType)
+    ClusteredStore.widenColumnType(spark, dir, "score32", DoubleType)
+    assert(Fs.list(spark, s"$dir/data")
+      .map(s => s.getPath.getName -> s.getLen).toMap === filesBefore,
+      "widening must not touch a single data file")
+
+    // old (narrow) files serve under the widened schema, masks applied
+    val snap = ClusteredStore.read(spark, dir)
+    assert(snap.schema("id").dataType === LongType)
+    assert(snap.schema("score32").dataType === DoubleType)
+    assert(snap.count() === 1998L)
+    assert(snap.filter(col("id").isin(7L, 19L)).count() === 0L,
+      "the DV mask lost its rows under the widening")
+
+    // post-widening appends land WIDE; both file generations are one
+    // logical column in aggregates and Bloom-pruned point reads
+    val wide = mkDocs(2000 until 2500)
+      .withColumn("score32", col("score").cast("float").cast("double"))
+      .drop("score")
+      .withColumn("id", col("id").cast("long"))
+    ClusteredStore.append(spark, dir, wide)
+    val all = ClusteredStore.read(spark, dir)
+    assert(all.count() === 2498L)
+    val wantSum = (0L until 2500L).sum - 7L - 19L
+    assert(all.agg(sum(col("id"))).head().getLong(0) === wantSum)
+    val pt = ClusteredStore.readPoint(spark, dir, "id",
+      Seq(42L, 2400L)).select("id").collect().map(_.getLong(0)).sorted
+    assert(pt.toSeq === Seq(42L, 2400L),
+      "Bloom point lookup broke across the widening")
+
+    // narrow batches refuse loudly with cast guidance (append contract)
+    val e0 = intercept[IllegalArgumentException](
+      ClusteredStore.append(spark, dir, mkDocs(9000 until 9010)
+        .withColumn("score32", col("score").cast("float")).drop("score")))
+    assert(e0.getMessage.contains("re-types"), e0.getMessage)
+
+    // refusals: narrowing, cross-family, clustering, unknown
+    def refused(f: => Unit, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    refused(ClusteredStore.widenColumnType(spark, dir, "id",
+      org.apache.spark.sql.types.IntegerType), "not a supported widening")
+    refused(ClusteredStore.widenColumnType(spark, dir, "payload",
+      LongType), "not a supported widening")
+    refused(ClusteredStore.widenColumnType(spark, dir, "a", LongType),
+      "clustering")
+    refused(ClusteredStore.widenColumnType(spark, dir, "nope", LongType),
+      "no column")
+  }
+
   test("evolution serializes through the claim, and every anchor write " +
     "is a NEW marker-gated version — a crashed write leaves the old " +
     "anchor governing, and vacuum keeps only the newest") {
