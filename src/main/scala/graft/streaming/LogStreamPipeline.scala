@@ -152,6 +152,49 @@ object LogStreamPipeline {
     */
   private[streaming] var onGenerationCommit: () => Unit = () => ()
 
+  /** Retention for the DETAIL stores: drop every `date=<d>` partition
+    * with `d < before` (ISO date strings compare lexicographically)
+    * from the landed log and the shred store, while the ROLLUP keeps
+    * its partials — aggregates outlive detail, which is the retention
+    * shape a dashboard-backed log actually wants (the rollup is
+    * ~10,000× smaller than the log, so keeping it forever costs
+    * nothing while the 100 TB detail ages out). Returns (log, shred)
+    * partition counts dropped.
+    *
+    * Crash/order discipline: the SHRED store expires first, then the
+    * log — a crash in between leaves log detail whose shred rows are
+    * gone, which the derived store's next expiry completes; the
+    * reverse order would leave derived rows whose source is deleted, a
+    * state nothing can cross-check. Deletes are idempotent whole-dir
+    * removes, so a replayed expiry converges.
+    *
+    * Two horizon caveats, both the standard watermark trade:
+    *  - LATE DATA: a micro-batch can land rows for any date, so an
+    *    expiry cutoff inside the stream's lateness horizon can see the
+    *    expired date RE-CREATED by a late event. Size `before` beyond
+    *    the maximum accepted lateness.
+    *  - FOLD EVIDENCE: the stale-replay guard derives its horizon from
+    *    surviving generation dirs; expiring the dates that held the
+    *    newest generations lowers that evidence after a process
+    *    restart. Harmless under normal operation (Structured Streaming
+    *    never re-delivers committed batch ids) — just do not combine
+    *    expiry with checkpoint rollbacks.
+    */
+  def expireDetail(spark: SparkSession, logDir: String, shredDir: String,
+      before: String): (Int, Int) = {
+    require(before.matches("^\\d{4}-\\d{2}-\\d{2}$"),
+      s"expireDetail: before must be an ISO date (yyyy-MM-dd), got $before")
+    def expire(store: String): Int = {
+      val old = dateDirs(spark, store)
+        .filter(_.getPath.getName.stripPrefix("date=") < before)
+      old.foreach(d => Fs.delete(spark, d.getPath.toString))
+      old.size
+    }
+    val shredded = expire(shredDir)
+    val logged = expire(logDir)
+    (logged, shredded)
+  }
+
   /** Fold every landed `batch=B` dir with `B <= batchId − 1` — plus any
     * older compacted generation — into ONE new generation
     * `batch=<batchId>c` per date partition, then delete the folded

@@ -279,6 +279,43 @@ class LogStreamCompactionSpec extends SparkSpec {
     assert(leftover.isEmpty, s"unfolded sources remain: $leftover")
   }
 
+  test("expireDetail ages out date partitions from log + shred while " +
+    "the rollup's aggregates OUTLIVE the detail; idempotent, and the " +
+    "pinned reader keeps serving the surviving dates") {
+    val logDir = Files.createTempDirectory("exp_log").toString
+    val shredDir = Files.createTempDirectory("exp_shred").toString
+    val rollupDir = Files.createTempDirectory("exp_roll").toString
+    (0 until 20).foreach { b =>
+      LogStreamPipeline.tick(batchDf(b), b.toLong, logDir, shredDir,
+        rollupDir, compactEvery = 10)
+    }
+    val dates = Fs.list(spark, logDir).map(_.getPath.getName)
+      .filter(_.startsWith("date=")).map(_.stripPrefix("date=")).sorted
+    assert(dates.size === 2, s"fixture wants two dates, got $dates")
+    val dashBefore = dashboard(rollupDir)
+
+    val (logged, shredded) = LogStreamPipeline.expireDetail(
+      spark, logDir, shredDir, before = dates(1))
+    assert(logged === 1 && shredded === 1)
+    // detail gone: each batch had one row per date, so half the rows
+    assert(spark.read.parquet(logDir).count() === 20L)
+    assert(ShreddedLog.read(spark, shredDir).count() === 20L)
+    // aggregates OUTLIVE detail: the dashboard still totals everything
+    assert(dashboard(rollupDir) === dashBefore)
+
+    // idempotent replay; the pinned reader serves the surviving date
+    assert(LogStreamPipeline.expireDetail(spark, logDir, shredDir,
+      before = dates(1)) === ((0, 0)))
+    val v = LogStreamPipeline.readConsistent(spark, 19L, logDir,
+      shredDir, rollupDir)
+    assert(v.log.count() === 20L && v.shred.count() === 20L)
+    assert(v.rollup.select(sum(col("n_events"))).head().getLong(0) === 40L)
+
+    // malformed cutoffs refuse before touching anything
+    intercept[IllegalArgumentException](
+      LogStreamPipeline.expireDetail(spark, logDir, shredDir, "nope"))
+  }
+
   test("upgrade path: markLegacyGenerations stamps pre-marker " +
     "generation dirs so marker-gated readers serve them; the horizon " +
     "cache survives a simulated process restart") {
