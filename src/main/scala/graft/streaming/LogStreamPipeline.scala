@@ -230,10 +230,33 @@ object LogStreamPipeline {
       Fs.list(spark, dPath)
         .filter(_.getPath.getName.startsWith(".cmp-tmp-"))
         .foreach(t => Fs.delete(spark, t.getPath.toString))
+      // Sweep crashed-attempt generations: a marker-less gen dir below
+      // this fold's id whose would-be sources are STILL PRESENT is
+      // provably new-protocol trash (the protocol deletes sources only
+      // under a marker, so a crashed attempt always leaves them) — its
+      // rows duplicate those sources and would double-count for raw
+      // globs forever once they fold into the new generation. A
+      // marker-less gen with NO surviving sources is left alone: that
+      // is a pre-marker LEGACY generation (the old rename protocol
+      // deleted sources on commit) holding the only copy of its rows —
+      // [[markLegacyGenerations]] is its documented upgrade path.
+      val names = Fs.list(spark, dPath).map(_.getPath.getName)
+      names.foreach {
+        case n @ GenDirRe(m)
+            if m.toLong < batchId && !folded(spark, s"$dPath/$n") &&
+              names.exists {
+                case BatchDirRe(b) => b.toLong <= m.toLong - 1
+                case g @ GenDirRe(g0) => g0.toLong < m.toLong &&
+                  folded(spark, s"$dPath/$g")
+                case _ => false
+              } =>
+          Fs.delete(spark, s"$dPath/$n")
+        case _ => ()
+      }
       val sources = Fs.list(spark, dPath).map(_.getPath.getName).filter {
         case n @ GenDirRe(m) =>
-          // only COMMITTED older generations fold forward; a marker-
-          // less gen dir is crashed-attempt debris, not a source
+          // only COMMITTED older generations fold forward (the sweep
+          // above has already removed marker-less ones)
           m.toLong < batchId && folded(spark, s"$dPath/$n")
         case BatchDirRe(b) => b.toLong <= batchId - 1
         case _ => false
@@ -302,6 +325,23 @@ object LogStreamPipeline {
       Fs.list(spark, dPath)
         .filter(_.getPath.getName.startsWith(".fold-tmp-"))
         .foreach(t => Fs.delete(spark, t.getPath.toString))
+      // sweep marker-less crashed-attempt generations below this fold
+      // — only when their would-be sources survive, proving them
+      // new-protocol trash (same reasoning + legacy caveat as
+      // compactLanded's sweep)
+      val names = Fs.list(spark, dPath).map(_.getPath.getName)
+      names.foreach {
+        case n @ SrcGenRe(m)
+            if m.toLong < batchId && !folded(spark, s"$dPath/$n") &&
+              names.exists {
+                case SrcBatchRe(b) => b.toLong <= m.toLong - 1
+                case g @ SrcGenRe(g0) => g0.toLong < m.toLong &&
+                  folded(spark, s"$dPath/$g")
+                case _ => false
+              } =>
+          Fs.delete(spark, s"$dPath/$n")
+        case _ => ()
+      }
       val sources = Fs.list(spark, dPath).map(_.getPath.getName).filter {
         case n @ SrcGenRe(m) =>
           m.toLong < batchId && folded(spark, s"$dPath/$n")

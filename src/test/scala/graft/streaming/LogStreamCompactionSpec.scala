@@ -279,6 +279,51 @@ class LogStreamCompactionSpec extends SparkSpec {
     assert(leftover.isEmpty, s"unfolded sources remain: $leftover")
   }
 
+  test("the fold sweeps a crashed attempt's marker-less generation " +
+    "when its sources survive (provable new-protocol trash) but " +
+    "leaves a source-less legacy generation alone for the migration " +
+    "stamp") {
+    // --- trash case: unmarked partial gen + intact sources → swept
+    val logDir = Files.createTempDirectory("sweep_log").toString
+    (0 until 10).foreach(b =>
+      LogStreamPipeline.land(batchDf(b), b.toLong, logDir))
+    val dateDir = Fs.list(spark, logDir)
+      .filter(_.getPath.getName.startsWith("date=")).head.getPath.toString
+    val fs = Fs(spark, dateDir)
+    val trash = s"$dateDir/batch=5c"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(trash))
+    Fs.list(spark, s"$dateDir/batch=2")
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(trash, f.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration))
+    LogStreamPipeline.compactLanded(spark, logDir, 10L)
+    assert(!Fs.exists(spark, trash),
+      "the crashed attempt's duplicate trash survived the fold")
+    assert(spark.read.parquet(logDir).count() === 20L)
+
+    // --- legacy case: unmarked gen whose sources are GONE → untouched
+    val legDir = Files.createTempDirectory("sweep_leg").toString
+    (0 until 3).foreach(b =>
+      LogStreamPipeline.land(batchDf(b), b.toLong, legDir))
+    LogStreamPipeline.compactLanded(spark, legDir, 3L)
+    // strip the markers: this is now exactly a pre-marker-protocol
+    // store (complete generations, sources deleted)
+    Fs.list(spark, legDir).filter(_.getPath.getName.startsWith("date="))
+      .flatMap(d => Fs.list(spark, d.getPath.toString))
+      .filter(_.getPath.getName.endsWith("c"))
+      .foreach(g => Fs.delete(spark, s"${g.getPath.toString}/_FOLDED"))
+    (4 until 7).foreach(b =>
+      LogStreamPipeline.land(batchDf(b), b.toLong, legDir))
+    LogStreamPipeline.compactLanded(spark, legDir, 7L)
+    // the legacy generations hold the ONLY copy of batches 0..2: they
+    // must survive the fold untouched, and the raw count stays exact
+    assert(spark.read.parquet(legDir).count() === 2L * 6)
+    // the migration stamp then brings them under the marker protocol
+    assert(LogStreamPipeline.markLegacyGenerations(spark, legDir) > 0)
+    assert(LogStreamPipeline.maxFolded(spark, legDir) === 6L)
+  }
+
   test("expireDetail ages out date partitions from log + shred while " +
     "the rollup's aggregates OUTLIVE the detail; idempotent, and the " +
     "pinned reader keeps serving the surviving dates") {
