@@ -1573,10 +1573,19 @@ object ClusteredStore {
             "staging files this vacuum's snapshot cannot see)")
       sinceVerify = 0
     }
-    verifyClaimOrAbort()
     var removed = 0
-    // data files no kept version references: dropped-exclusive + orphans
-    Fs.list(spark, dataDir(dir)).map(_.getPath).foreach { p =>
+    // data files no kept version references: dropped-exclusive + orphans.
+    // ORDER IS THE PROOF: the listing is snapshotted FIRST, then the
+    // token is verified — a claim intact after the listing means no
+    // successor existed before it, so every file in the snapshot
+    // predates any possible takeover and a successor's freshly staged
+    // files (which are the only files a post-snapshot commit can
+    // reference outside keptPaths) can never be in the delete set. The
+    // per-batch re-verify below is defense-in-depth on top of that
+    // invariant, not its source.
+    val dataListing = Fs.list(spark, dataDir(dir)).map(_.getPath)
+    verifyClaimOrAbort()
+    dataListing.foreach { p =>
       val n = p.getName
       if (!n.startsWith("_") && !n.startsWith(".") &&
           !keptPaths.contains(normPath(p.toString))) {
