@@ -162,6 +162,16 @@ object LogRollup {
     upToBatch.fold(base) { id =>
       val committed =
         ShreddedLog.committedGenSrcs(spark, rollupDir).toSeq
+      // generations pass whole (their partials lost batch identity in
+      // the fold merge) — legal only at or above this store's own fold
+      // horizon, refused otherwise (standalone-safe, same bound
+      // readConsistent enforces from the log side)
+      val horizon = committed
+        .map(_.stripPrefix("gen-").stripSuffix("c").toLong - 1)
+        .foldLeft(-1L)(math.max)
+      require(id >= horizon,
+        s"batches <= $horizon are folded into generations that serve " +
+          s"only whole — this rollup cannot pin a snapshot at $id")
       val genOk =
         if (committed.isEmpty) lit(false) else col("src").isin(committed: _*)
       base.filter(genOk ||

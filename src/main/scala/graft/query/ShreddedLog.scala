@@ -227,11 +227,21 @@ object ShreddedLog {
     import org.apache.spark.sql.functions.{col, lit, regexp_extract}
     if (processedSrcs(spark, shredDir).isEmpty) read(spark, shredDir)
     else {
-      // COMMITTED `gen-<N>c` generations hold only batches below the
-      // fold horizon (the pipeline's readConsistent gates upToBatch >=
-      // that horizon), so they pass whole; a marker-less gen is a
-      // crashed fold attempt and is excluded — its sources still serve
+      // COMMITTED `gen-<N>c` generations hold only batches <= N-1 and
+      // their rows LOSE per-batch identity in the fold merge, so they
+      // can only pass WHOLE — legal exactly when the pin is at or
+      // above this store's own fold horizon (refused otherwise; the
+      // pipeline's readConsistent enforces the same bound from the log
+      // side, this makes the store API standalone-safe). A marker-less
+      // gen is a crashed fold attempt and is excluded — its sources
+      // still serve.
       val committed = committedGenSrcs(spark, shredDir).toSeq
+      val horizon = committed
+        .map(_.stripPrefix("gen-").stripSuffix("c").toLong - 1)
+        .foldLeft(-1L)(math.max)
+      require(upToBatch >= horizon,
+        s"batches <= $horizon are folded into generations that serve " +
+          s"only whole — this store cannot pin a snapshot at $upToBatch")
       val genOk =
         if (committed.isEmpty) lit(false) else col("src").isin(committed: _*)
       spark.read.parquet(shredDir)

@@ -222,11 +222,18 @@ class LogStreamCompactionSpec extends SparkSpec {
     val next = snapshot(25L)
     assert(next._1.size === 52 && next._2 === 52L)
 
-    // pinning below the fold horizon refuses loudly
+    // pinning below the fold horizon refuses loudly — through the
+    // pipeline AND directly on each store (generations pass only
+    // whole, so a below-horizon pin has no sound answer anywhere)
     val e = intercept[IllegalArgumentException](
       LogStreamPipeline.readConsistent(spark, 5L, logDir, shredDir,
         rollupDir))
     assert(e.getMessage.contains("folded"))
+    intercept[IllegalArgumentException](
+      ShreddedLog.readAsOf(spark, shredDir, 5L))
+    intercept[IllegalArgumentException](
+      LogRollup.read(spark, rollupDir, Seq("model"),
+        upToBatch = Some(5L)))
   }
 
   test("a torn fold attempt (partial generation dir, NO marker — the " +
