@@ -796,26 +796,36 @@ object ClusteredStore {
         nullFilled.select((st.fieldNames.toSeq ++ added).map(col): _*)
     }
     // Upsert prep, BEFORE the claim (a predictable refusal must not
-    // leave a dangling claim): the replace-key set is collected —
-    // takedown-scale by contract, like deleteKeysDV — and a store
-    // whose existing masks are keyed on a DIFFERENT column refuses
-    // (one mask column per store until a fold retires the old masks).
+    // leave a dangling claim): the replace-key set is collected — a
+    // driver transfer bounded by the batch's distinct keys (metadata
+    // next to the batch itself); past [[LiteralKeyMax]] the keys are
+    // USED as broadcast join frames, never literal expressions.
+    // Files already masked on a DIFFERENT column than the upsert key
+    // can't take a second mask — they are FORCED into the rewrite set
+    // below (their masks fold, the replaced keys drop physically),
+    // so multi-domain masking never needs a manual compact.
     val cur = manifest(spark, dir, Some(v))
-    val upsertKeySet: Seq[Long] = replaceKeys match {
-      case None => Nil
-      case Some(kc) =>
-        require(aligned.columns.contains(kc),
-          s"upsert($dir): batch has no key column $kc")
-        val allFiles = cur.select("file").collect().map(_.getString(0))
-        val conflicts = dvEntries(cur, allFiles.toSeq)
-          .filter(_._2 != kc).map(_._1).distinct
-        require(conflicts.isEmpty,
-          s"upsert($dir, $kc): files $conflicts carry deletion vectors " +
-            "on a different column — fold first (compact/recluster) or " +
-            "key the upsert on the same column")
-        aligned.select(col(kc).cast("long")).filter(col(kc).isNotNull)
-          .distinct().collect().map(_.getLong(0)).toSeq
-    }
+    val (upsertKeySet: Seq[Long], dvConflictFiles: Seq[String]) =
+      replaceKeys match {
+        case None => (Nil, Nil)
+        case Some(kc) =>
+          require(aligned.columns.contains(kc),
+            s"upsert($dir): batch has no key column $kc")
+          val ks = aligned.select(col(kc).cast("long"))
+            .filter(col(kc).isNotNull)
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val allFiles = cur.select("file").collect()
+            .map(_.getString(0)).toSeq
+          val conflictNames = dvMaskCols(cur, allFiles)
+            .filter(_._2 != kc).map(_._1).toSet
+          val mayContain =
+            if (conflictNames.isEmpty || ks.isEmpty) Set.empty[String]
+            else if (cur.columns.contains(s"bloom_$kc"))
+              pruneFilesPoint(spark, dir, kc, ks, Some(v)).toSet
+            else allFiles.toSet
+          (ks, allFiles.filter(f =>
+            conflictNames.contains(baseName(f)) && mayContain.contains(f)))
+      }
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     withLease(spark, dir, claim, staleClaimMs) {
     val m = loadModel(spark, dir, v)
@@ -863,7 +873,8 @@ object ClusteredStore {
       .join(broadcast(intervals),
         inc("_z") >= intervals("z_lo") && inc("_z") <= intervals("z_hi"),
         "inner")
-      .select("file").distinct().collect().map(_.getString(0)).toSet
+      .select("file").distinct().collect().map(_.getString(0)).toSet ++
+      dvConflictFiles // other-column-masked files fold in the rewrite
 
     val target =
       if (targetRowsPerFile > 0) targetRowsPerFile
@@ -914,8 +925,7 @@ object ClusteredStore {
     // needed for them); untouched files get mask rows below
     val baseRows = replaceKeys match {
       case Some(kc) if upsertKeySet.nonEmpty =>
-        base0.filter(!coalesce(
-          col(kc).cast("long").isin(upsertKeySet: _*), lit(false)))
+        filterKeys(base0, kc, upsertKeySet, negate = true)
       case _ => base0
     }
     val rewrittenReplaced =
@@ -945,17 +955,18 @@ object ClusteredStore {
           else untouchedFiles
         if (candidates.isEmpty) (untouched0, 0L)
         else {
-          val hits = readFilesDv(spark, dir, cur, candidates)
-            .withColumn("_f",
-              element_at(split(input_file_name(), "/"), -1))
-            .filter(col(kc).cast("long").isin(upsertKeySet: _*))
+          val hits = filterKeys(
+              readFilesDv(spark, dir, cur, candidates)
+                .withColumn("_f",
+                  element_at(split(input_file_name(), "/"), -1)),
+              kc, upsertKeySet, negate = false)
             .groupBy(col("_f"))
             .agg(count(lit(1)).as("n"),
               collect_set(col(kc).cast("long")).as("ks"))
             .collect()
             .map(r => (r.getString(0), r.getAs[Long]("n"),
               r.getSeq[Long](2))).toSeq
-          (maskManifest(spark, untouched0, kc, hits),
+          (maskManifest(spark, dir, untouched0, kc, hits),
             hits.map(_._2).sum)
         }
       case _ => (untouched0, 0L)
@@ -1272,12 +1283,39 @@ object ClusteredStore {
     * valid under the store's curve-sorted rewrites), `dv_rows` (how
     * many PHYSICAL rows of this file the mask hides — the live-row
     * accounting [[stats]] subtracts and [[compact]]'s fold policy
-    * reads). Null/absent = no mask. Masks are FILE-SCOPED: a later
-    * append of the same key value is a new row in a new file and
-    * survives — deletion is point-in-time, exactly like Delta/Iceberg
-    * DVs.
+    * reads), `dv_path` (set instead of `dv_keys` once a file's mask
+    * outgrows [[DvSpillKeys]]: the mask spills to an immutable SIDECAR
+    * parquet under `dir/dv/` and the manifest row carries only the
+    * pointer, so manifest reads stay metadata-sized no matter how
+    * heavy a single file's mask gets — the Delta DV-file idea).
+    * Null/absent = no mask. Masks are FILE-SCOPED: a later append of
+    * the same key value is a new row in a new file and survives —
+    * deletion is point-in-time, exactly like Delta/Iceberg DVs.
     */
-  private val DvCols = Seq("dv_col", "dv_keys", "dv_rows")
+  private val DvCols = Seq("dv_col", "dv_keys", "dv_rows", "dv_path")
+
+  /** Per-file masked-key count above which [[maskManifest]] spills the
+    * key list to a sidecar file instead of growing the in-row array: a
+    * manifest row must stay metadata-sized (a 100k-key array in a
+    * manifest row would ride along every manifest read forever), while
+    * a sidecar is read only when its file is actually opened.
+    */
+  val DvSpillKeys: Int = 4096
+
+  /** Above this many keys, the key-set operations ([[deleteKeysDV]],
+    * [[upsertKeys]], [[readPoint]], [[pruneFilesPoint]]) switch from
+    * literal `IN`-list expressions to broadcast key-frame joins. The
+    * literal path is codegen'd and cheapest for real takedowns
+    * (tens-to-thousands of keys); past this threshold a literal list
+    * stops being a plan and starts being a payload — a 10M-key replace
+    * batch would build a 100 MB expression tree and die in analysis,
+    * not execution. The join path broadcasts the keys as DATA instead,
+    * which is exactly what Spark is for. Answers are identical on both
+    * paths (spec-pinned).
+    */
+  val LiteralKeyMax: Int = 10000
+
+  private def dvSidecarDir(dir: String) = s"$dir/dv"
 
   private def baseName(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
@@ -1292,25 +1330,54 @@ object ClusteredStore {
     val withKeys =
       if (withCol.columns.contains("dv_keys")) withCol
       else withCol.withColumn("dv_keys", lit(null).cast("array<bigint>"))
-    if (withKeys.columns.contains("dv_rows")) withKeys
-    else withKeys.withColumn("dv_rows", lit(null).cast("bigint"))
+    val withRows =
+      if (withKeys.columns.contains("dv_rows")) withKeys
+      else withKeys.withColumn("dv_rows", lit(null).cast("bigint"))
+    if (withRows.columns.contains("dv_path")) withRows
+    else withRows.withColumn("dv_path", lit(null).cast("string"))
   }
 
-  /** (file basename, key column, masked keys) for every `files` entry
-    * carrying a non-empty deletion vector; empty when none do. Bounded
-    * by takedown volume — metadata-scale, safe to collect.
+  /** A manifest row's mask is LIVE when it carries inline keys or a
+    * sidecar pointer.
     */
-  private def dvEntries(man: DataFrame, files: Seq[String])
-      : Seq[(String, String, Seq[Long])] =
-    if (!man.columns.contains("dv_keys")) Nil
+  private def dvLive: Column =
+    (col("dv_keys").isNotNull && size(col("dv_keys")) > 0) ||
+      col("dv_path").isNotNull
+
+  /** (file basename, key column) for every `files` entry carrying a
+    * live deletion vector (inline or spilled) — the conflict probe for
+    * masks keyed on a different column. File-count bounded.
+    */
+  private def dvMaskCols(man: DataFrame, files: Seq[String])
+      : Seq[(String, String)] =
+    if (!man.columns.contains("dv_col")) Nil
     else {
       val names = files.map(baseName).toSet
-      man.filter(col("dv_keys").isNotNull && size(col("dv_keys")) > 0)
-        .select("file", "dv_col", "dv_keys")
+      ensureDvCols(man).filter(dvLive)
+        .select("file", "dv_col")
+        .collect()
+        .filter(r => names.contains(baseName(r.getString(0))))
+        .map(r => (baseName(r.getString(0)), r.getString(1)))
+        .toSeq
+    }
+
+  /** The live mask rows for `files`, collected: (basename, key column,
+    * inline keys if any, sidecar path if spilled). Bounded by FILE
+    * COUNT and [[DvSpillKeys]] — spilled masks contribute a pointer,
+    * never their key list.
+    */
+  private def dvMaskRows(man: DataFrame, files: Seq[String])
+      : Seq[(String, String, Option[Seq[Long]], Option[String])] =
+    if (!man.columns.contains("dv_col")) Nil
+    else {
+      val names = files.map(baseName).toSet
+      ensureDvCols(man).filter(dvLive)
+        .select("file", "dv_col", "dv_keys", "dv_path")
         .collect()
         .filter(r => names.contains(baseName(r.getString(0))))
         .map(r => (baseName(r.getString(0)), r.getString(1),
-          r.getSeq[Long](2)))
+          if (r.isNullAt(2)) None else Some(r.getSeq[Long](2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
         .toSeq
     }
 
@@ -1325,7 +1392,7 @@ object ClusteredStore {
     */
   private def readFilesDv(spark: SparkSession, dir: String,
       man: DataFrame, files: Seq[String]): DataFrame = {
-    val dvs = dvEntries(man, files)
+    val dvs = dvMaskRows(man, files)
     if (dvs.isEmpty) readFiles(spark, dir, files)
     else {
       val maskedNames = dvs.map(_._1).toSet
@@ -1335,9 +1402,30 @@ object ClusteredStore {
       var m = readFiles(spark, dir, masked)
         .withColumn("_dvf", element_at(split(input_file_name(), "/"), -1))
       dvs.groupBy(_._2).foreach { case (kc, entries) =>
-        val pairs = entries
-          .flatMap { case (f, _, ks) => ks.map(k => (f, k)) }
+        val inline = entries
+          .flatMap { case (f, _, ks, _) => ks.getOrElse(Nil).map(k => (f, k)) }
           .toDF("_dvf2", "_dvk")
+        // spilled masks join from their sidecars, read DISTRIBUTED and
+        // scoped to exactly the (file → its sidecar) bindings of THIS
+        // manifest. (A shared sidecar can carry a stale entry set for a
+        // file a LATER commit re-spilled — but per-basename masks only
+        // grow until the file itself is replaced, so a stale subset
+        // unioned with the current full list is just the full list.)
+        val sidecars = entries
+          .collect { case (f, _, _, Some(p)) => (p, f) }
+          .groupBy(_._1)
+          .map { case (p, fs) =>
+            spark.read.parquet(p)
+              .filter(col("_dvf").isin(fs.map(_._2): _*))
+              .select(col("_dvf").as("_dvf2"), col("_dvk"))
+          }
+        // localCheckpoint cuts the sidecars' file-source lineage out of
+        // the join plan: callers stack input_file_name() on OUR side,
+        // and Spark refuses plans where it could bind to two sources.
+        // Sidecar volume is mask-scale — the materialization is tiny.
+        val pairs =
+          if (sidecars.isEmpty) inline
+          else sidecars.foldLeft(inline)(_ unionByName _).localCheckpoint()
         m = m.join(broadcast(pairs),
           m("_dvf") === pairs("_dvf2") &&
             col(kc).cast("long") === pairs("_dvk"),
@@ -1348,6 +1436,27 @@ object ClusteredStore {
       else readFiles(spark, dir, clean).unionByName(md)
     }
   }
+
+  /** `df` filtered to rows whose `keyCol` IS (`negate = false`) or IS
+    * NOT (`negate = true`) in `keys`, null-keyed rows always surviving
+    * negation (no row "matches" a null key). Below [[LiteralKeyMax]]
+    * this is the codegen'd literal `IN`; above it, a broadcast
+    * key-frame semi/anti join — same answers, and the PLAN stays
+    * metadata-sized regardless of key volume (the keys travel as
+    * broadcast data, not as an expression tree).
+    */
+  private def filterKeys(df: DataFrame, keyCol: String, keys: Seq[Long],
+      negate: Boolean): DataFrame =
+    if (keys.size <= LiteralKeyMax) {
+      val in = df.col(keyCol).cast("long").isin(keys: _*)
+      if (negate) df.filter(!coalesce(in, lit(false))) else df.filter(in)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val kf = keys.toDF("_kf_k")
+      df.join(broadcast(kf), df.col(keyCol).cast("long") === kf("_kf_k"),
+        if (negate) "left_anti" else "left_semi")
+    }
 
   /** Merge-on-read point takedown — [[deleteKeys]] without the
     * rewrite: rows whose `keyCol` is in `keys` are masked by a per-file
@@ -1387,34 +1496,74 @@ object ClusteredStore {
       else all.toSeq
     if (candidates.isEmpty) return DeleteStats(0, all.length, 0L, v)
 
-    // one-mask-column-per-file contract, checked BEFORE any work
-    val conflicts = dvEntries(cur, candidates)
-      .filter(_._2 != keyCol).map(_._1)
-    require(conflicts.isEmpty,
-      s"deleteKeysDV($dir, $keyCol): files $conflicts already carry a " +
-        s"deletion vector on a different column — fold first (compact/" +
-        "recluster) or key the takedown on the same column")
-
     // column-pruned LIVE hit count + exact per-file key sets (existing
     // masks applied first: an already-masked key must not double-count)
-    val hits = readFilesDv(spark, dir, cur, candidates)
-      .withColumn("_f", element_at(split(input_file_name(), "/"), -1))
-      .filter(col(keyCol).cast("long").isin(keys: _*))
+    val hits = filterKeys(
+        readFilesDv(spark, dir, cur, candidates)
+          .withColumn("_f",
+            element_at(split(input_file_name(), "/"), -1)),
+        keyCol, keys, negate = false)
       .groupBy(col("_f"))
       .agg(count(lit(1)).as("n"),
         collect_set(col(keyCol).cast("long")).as("ks"))
       .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getSeq[Long](2)))
+      .toSeq
     if (hits.isEmpty) return DeleteStats(0, all.length, 0L, v)
-    val nDeleted = hits.map(_.getAs[Long]("n")).sum
+    val nDeleted = hits.map(_._2).sum
+
+    // Hit files already masked on a DIFFERENT column cannot take a
+    // second mask (one mask column per file keeps the read-side
+    // anti-join per-column and exact) — they get a TARGETED
+    // copy-on-write fold instead, inside this same commit: read
+    // DV-applied (old mask folds out), drop this takedown's keys
+    // physically, restage. Everything else masks as usual — so
+    // interleaved takedowns on two key domains never need a manual
+    // compact in between (multi-domain compliance pipelines are the
+    // norm, not the exception).
+    val conflictNames = dvMaskCols(cur, candidates)
+      .filter(_._2 != keyCol).map(_._1).toSet
+    val (foldHits, maskHits) = hits.partition(h =>
+      conflictNames.contains(h._1))
+    val foldFiles = candidates.filter(f =>
+      foldHits.exists(_._1 == baseName(f)))
 
     val claim = claimOrThrow(spark, dir, v + 1, staleClaimMs)
     withLease(spark, dir, claim, staleClaimMs) {
       val (priorWm, priorClamped) = versionConsts(cur)
-      val updated = maskManifest(spark, cur, keyCol,
-        hits.toSeq.map(r => (r.getString(0), r.getAs[Long]("n"),
-          r.getSeq[Long](2))))
+      val (masked, rewritten) =
+        if (foldFiles.isEmpty) (cur, Seq.empty[String])
+        else {
+          val m = loadModel(spark, dir, v)
+          val key = curveKey(m)
+          val survivors = filterKeys(
+            readFilesDv(spark, dir, cur, foldFiles),
+            keyCol, keys, negate = true)
+          val outCols = survivors.columns.map(col).toSeq
+          val n = survivors.count()
+          val newFiles =
+            if (n == 0) Nil
+            else Fs.stagedAppend(
+              withIds(survivors.withColumn("_z", key)
+                .repartitionByRange(math.max(1,
+                  math.min(foldFiles.size, 200)), col("_z"))
+                .sortWithinPartitions("_z")
+                .select(outCols: _*), anchorSchema(spark, dir)),
+              None, dataDir(dir))
+          val kept = cur.filter(!col("file").isin(foldFiles: _*))
+          val next =
+            if (newFiles.isEmpty) kept
+            else kept.unionByName(
+              ledgerRows(spark.read.parquet(newFiles: _*), m, key,
+                batchId = -1L),
+              allowMissingColumns = true)
+          (next, foldFiles)
+        }
+      heartbeat(spark, claim, dir)
+      val updated = maskManifest(spark, dir, masked, keyCol, maskHits)
       commitManifest(stamp(updated, priorWm, priorClamped), dir, claim)
-      DeleteStats(rewritten = 0, untouched = all.length,
+      DeleteStats(rewritten = rewritten.size,
+        untouched = all.length - rewritten.size,
         deleted = nDeleted, version = v + 1)
     }
   }
@@ -1424,32 +1573,89 @@ object ClusteredStore {
     * lists union, masked-row counts add, `dv_col` set to `keyCol`.
     * Rows without a hit pass through untouched. Shared by
     * [[deleteKeysDV]] and the upsert path of [[append]].
+    *
+    * SPILL (the manifest-size bound): a file whose merged mask would
+    * exceed [[DvSpillKeys]] keys — or that already spilled — gets its
+    * FULL merged key list written to one immutable sidecar parquet
+    * under `dir/dv/` (columns `_dvf`, `_dvk`; one sidecar per commit,
+    * shared by every file spilling in it), and its manifest row
+    * carries `dv_path` instead of `dv_keys`. The sidecar a re-spilled
+    * file previously pointed at stays on disk for the retained old
+    * versions that reference it; [[vacuum]] reclaims sidecars exactly
+    * like data files (kept-manifest reference scan). Must run under
+    * the caller's claim — the sidecar write is part of the commit.
     */
-  private def maskManifest(spark: SparkSession, man: DataFrame,
-      keyCol: String, hits: Seq[(String, Long, Seq[Long])]): DataFrame =
+  private def maskManifest(spark: SparkSession, dir: String,
+      man: DataFrame, keyCol: String,
+      hits: Seq[(String, Long, Seq[Long])]): DataFrame =
     if (hits.isEmpty) man
     else {
       import spark.implicits._
-      val delta = hits.map { case (f, n, ks) => (f, ks, n) }
-        .toDF("_f", "_add_keys", "_add_n")
+      val prior = dvMaskRows(man, hits.map(_._1))
+        .map { case (f, _, ks, p) => f -> (ks, p) }.toMap
+      val spillHits = hits.filter { case (f, _, ks) =>
+        prior.get(f) match {
+          case Some((_, Some(_))) => true // already spilled: stay spilled
+          case Some((Some(old), None)) => old.size + ks.size > DvSpillKeys
+          case _ => ks.size > DvSpillKeys
+        }
+      }
+      val spillNames = spillHits.map(_._1).toSet
+      val sidecar: Option[String] =
+        if (spillHits.isEmpty) None
+        else {
+          val p = s"${dvSidecarDir(dir)}/${newToken()}"
+          // inline-resident priors + the new keys travel from the
+          // driver (both bounded: <= DvSpillKeys and <= hit volume);
+          // already-spilled priors merge in DISTRIBUTED from their old
+          // sidecars — the driver never holds a spilled list
+          val fresh = spillHits.flatMap { case (f, _, ks) =>
+            (ks ++ prior.get(f).flatMap(_._1).getOrElse(Nil))
+              .distinct.map(k => (f, k))
+          }.toDF("_dvf", "_dvk")
+          val olds = spillHits
+            .flatMap { case (f, _, _) =>
+              prior.get(f).flatMap(_._2).map(sc => (sc, f)) }
+            .groupBy(_._1)
+            .map { case (sc, fs) =>
+              spark.read.parquet(sc)
+                .filter(col("_dvf").isin(fs.map(_._2): _*))
+                .select("_dvf", "_dvk")
+            }
+          olds.foldLeft(fresh)(_ unionByName _)
+            .distinct()
+            .coalesce(1)
+            .write.parquet(p)
+          Some(p)
+        }
+      val delta = hits.map { case (f, n, ks) =>
+        val spilled = spillNames.contains(f)
+        (f, if (spilled) null else ks, n, spilled)
+      }.toDF("_f", "_add_keys", "_add_n", "_spill")
       ensureDvCols(man)
         .withColumn("_f", element_at(split(col("file"), "/"), -1))
         .join(broadcast(delta), Seq("_f"), "left")
         .withColumn("dv_col",
-          when(col("_add_keys").isNotNull, lit(keyCol))
+          when(col("_add_n").isNotNull, lit(keyCol))
             .otherwise(col("dv_col")))
         .withColumn("dv_keys",
-          when(col("_add_keys").isNotNull,
-            array_union(
-              coalesce(col("dv_keys"),
-                expr("CAST(array() AS ARRAY<BIGINT>)")),
-              col("_add_keys")))
+          when(coalesce(col("_spill"), lit(false)), // spilled: inline out
+            lit(null).cast("array<bigint>"))
+            .when(col("_add_keys").isNotNull,
+              array_union(
+                coalesce(col("dv_keys"),
+                  expr("CAST(array() AS ARRAY<BIGINT>)")),
+                col("_add_keys")))
             .otherwise(col("dv_keys")))
+        .withColumn("dv_path",
+          when(coalesce(col("_spill"), lit(false)),
+            lit(sidecar.orNull).cast("string"))
+            .otherwise(col("dv_path")))
         .withColumn("dv_rows",
           when(col("_add_n").isNotNull,
             coalesce(col("dv_rows"), lit(0L)) + col("_add_n"))
             .otherwise(col("dv_rows")))
-        .drop("_f", "_add_keys", "_add_n")
+        .drop("_f", "_add_keys", "_add_n", "_spill")
     }
 
   /** Delete the caller's OWN claim (token-verified) — the release path
@@ -1472,26 +1678,42 @@ object ClusteredStore {
     * dropped versions AND orphans from crashed maintenance attempts
     * (explicit commit lineage means orphans are never adopted, so
     * vacuum is the only thing that touches them). Also removes spent
-    * claims, stale claims/markerless dirs, and model versions older
-    * than the kept window needs. Keeps at least the current version.
+    * claims, stale claims/markerless dirs, unreferenced deletion-vector
+    * sidecars, and model versions older than the kept window needs.
+    * Keeps at least the current version.
     *
-    * Vacuum runs INSIDE the claim protocol (r10 verdict: the old
-    * "requires no maintenance in flight" footnote was the store's one
-    * unenforced contract): it takes the next-version claim exactly like
-    * every maintainer, re-lists the committed versions AFTER acquiring
-    * it, and releases the claim (no manifest commit) when done. While
-    * the claim is held no append/compact/recluster can commit — so the
-    * kept-file snapshot can never race a committing append into
-    * deleting files the winning manifest references — and conversely a
-    * LIVE maintainer's claim makes vacuum REFUSE
+    * Vacuum runs INSIDE the claim protocol for its METADATA phase (r10
+    * verdict): it takes the next-version claim exactly like every
+    * maintainer, re-lists the committed versions AFTER acquiring it,
+    * snapshots the kept-file set and the data-dir listing, drops the
+    * expired manifest versions, and releases the claim (no manifest
+    * commit). The DATA-FILE DELETE SCAN then runs AFTER release (r11
+    * verdict #3: at 800k-file scale the scan is minutes, and holding
+    * the claim across it stalls every appender): the claim-hold time is
+    * O(manifest reads + one directory listing), and appends COMMIT
+    * concurrently with the deletes. Safe by lineage + snapshot order —
+    *
+    *  - every maintainer stages under its claim, so while vacuum held
+    *    the claim nothing was staging: every file in the snapshot
+    *    listing is either kept-referenced or unreferenced by ALL
+    *    retained manifests;
+    *  - manifests only ever reference their own staged files plus
+    *    prior-manifest rows, so a file unreferenced by every kept
+    *    manifest can NEVER become referenced again — deleting it later
+    *    is safe no matter what commits in between;
+    *  - files a post-release maintainer stages carry fresh unique
+    *    names that are NOT in the snapshot listing, so they can never
+    *    enter the delete set (the mtime guard below is defense in
+    *    depth for object-store listing anomalies, not the proof).
+    *
+    * A LIVE maintainer's claim makes vacuum REFUSE
     * ([[ConcurrentCommitException]]; pass `staleClaimMs` to break a
     * dead one's, same lease rules as every writer). Internal cleanup
     * honors the same staleness rules ([[recover]]'s), with vacuum's own
-    * claim exempt. A vacuum that crashes mid-run leaves its claim
-    * standing guard like any crashed maintainer — the next maintainer
-    * with `staleClaimMs` (or an explicit `recover`) clears it; data
-    * files it already deleted were unreferenced by every kept manifest,
-    * so the store stays consistent at every step.
+    * claim exempt. A vacuum that crashes mid-run leaves at most a
+    * stale claim (metadata phase) or undeleted garbage files (scan
+    * phase) — the next vacuum collects them; the store stays
+    * consistent at every step.
     */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       staleClaimMs: Long = Long.MaxValue,
@@ -1501,38 +1723,49 @@ object ClusteredStore {
       case None => 0
       case Some(cur) =>
         val claim = claimOrThrow(spark, dir, cur + 1, staleClaimMs)
-        // alwaysDefend (r11 advice): vacuum DELETES under its claim, so
-        // it keeps its lease fresh even at the default takeover-disabled
-        // staleClaimMs — otherwise a concurrent maintainer with a finite
-        // window could break the live claim mid-scan and commit while
-        // vacuum's stale kept-file snapshot deletes the winner's staged
-        // files. Defense is best-effort; the hard stop is the token
-        // re-verify before every delete batch inside vacuumLocked.
-        try withLease(spark, dir, claim, staleClaimMs,
-          alwaysDefend = true) {
-          vacuumLocked(spark, dir, keepLast, staleClaimMs, olderThanMs,
-            claim)
-        } finally releaseClaim(spark, dir, claim)
+        // alwaysDefend (r11 advice): vacuum's snapshot must be taken
+        // under an unbroken claim, so it keeps its lease fresh even at
+        // the default takeover-disabled staleClaimMs. Defense is
+        // best-effort; the hard stop is the token re-verify AFTER the
+        // listing snapshot inside vacuumLocked.
+        val (metaRemoved, deleteSet) =
+          try withLease(spark, dir, claim, staleClaimMs,
+            alwaysDefend = true) {
+            vacuumLocked(spark, dir, keepLast, staleClaimMs, olderThanMs,
+              claim)
+          } finally releaseClaim(spark, dir, claim)
+        // the slow part — claim already released, appenders commit freely
+        onVacuumDeletes()
+        var removed = metaRemoved
+        deleteSet.foreach { p => Fs.delete(spark, p); removed += 1 }
+        removed
     }
   }
 
   /** Test hook: invoked after vacuum has computed its kept-file
-    * snapshot and before the first delete — the window where losing the
-    * claim must abort the scan. Production value is a no-op.
+    * snapshot and before the listing snapshot — the window where losing
+    * the claim must abort the scan. Production value is a no-op.
     */
   private[ops] var onVacuumScan: () => Unit = () => ()
 
+  /** Test hook: invoked after vacuum has RELEASED its claim and before
+    * the first data-file delete — the window where concurrent appends
+    * must be able to commit. Production value is a no-op.
+    */
+  private[ops] var onVacuumDeletes: () => Unit = () => ()
+
   private def vacuumLocked(spark: SparkSession, dir: String,
       keepLast: Int, staleClaimMs: Long, olderThanMs: Long,
-      claim: Claim): Int = {
+      claim: Claim): (Int, Seq[String]) = {
+    val lockedAtMs = System.currentTimeMillis()
     // committed set RE-LISTED under the claim: nothing can commit while
-    // we hold it, so keptPaths is stable for the whole delete scan
+    // we hold it, so keptPaths is exact for this snapshot
     val committed = Fs.list(spark, ledgerDir(dir))
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
       .filter(n => Fs.exists(spark, s"${versionDir(dir, n)}/_SUCCESS"))
       .sorted
-    if (committed.isEmpty) return 0
+    if (committed.isEmpty) return (0, Nil)
     // retention is the AND of both clocks: a version survives if it is
     // within the newest keepLast OR its commit is younger than
     // olderThanMs (time travel over the recent window stays available
@@ -1551,50 +1784,47 @@ object ClusteredStore {
       if (olderThanMs <= 0L) (dropCandidates, Nil)
       else dropCandidates.partition(n => commitAgeMs(n) >= olderThanMs)
     val keep = (keptYoung ++ keepByCount).sorted
-    def filesOf(vs: Seq[Int]): Set[String] = vs.flatMap(n =>
-      spark.read.parquet(versionDir(dir, n))
-        .select("file").collect().map(_.getString(0))).toSet
-    val keptPaths = filesOf(keep).map(normPath)
+    val keptMans = keep.map(n => ensureDvCols(
+      spark.read.parquet(versionDir(dir, n))))
+    val keptPaths = keptMans.flatMap(
+      _.select("file").collect().map(r => normPath(r.getString(0)))).toSet
+    // deletion-vector sidecars the kept versions still reference
+    val keptDv = keptMans.flatMap(
+      _.filter(col("dv_path").isNotNull).select("dv_path")
+        .collect().map(r => normPath(r.getString(0)))).toSet
     onVacuumScan()
-    // Token re-verify before every delete batch (r11 advice): the
-    // kept-file snapshot is trustworthy only while OUR claim stands. A
-    // breaker that takes the slot mid-scan can stage and commit fresh
-    // files this snapshot has never seen — deleting them here would be
-    // silent data loss in a COMMITTED manifest. Losing the claim
-    // therefore aborts the scan; everything already deleted was
-    // unreferenced by every kept manifest while the claim held, so the
-    // store is consistent at every abort point.
-    var sinceVerify = 0
-    def verifyClaimOrAbort(): Unit = {
+    def verifyClaimOrAbort(): Unit =
       if (!readClaim(spark, dir, claim.v).map(_._1).contains(claim.token))
         throw new ConcurrentCommitException(
           s"vacuum($dir): claim on v=${claim.v} was broken mid-scan — " +
-            "aborting before further deletes (a successor may be " +
-            "staging files this vacuum's snapshot cannot see)")
-      sinceVerify = 0
-    }
+            "aborting before any delete (a successor may be staging " +
+            "files this vacuum's snapshot cannot see)")
+    // Snapshot the delete candidates. ORDER IS THE PROOF: the listing
+    // is snapshotted FIRST, then the token is verified — a claim intact
+    // after the listing means no successor existed before it, so every
+    // file in the snapshot predates any possible takeover, and a
+    // successor's freshly staged files (the only files a later commit
+    // can reference outside keptPaths) can never be in the delete set.
+    // The mtime guard additionally refuses anything younger than the
+    // claim (nothing legitimate can be: staging requires the claim we
+    // hold) — defense in depth for eventually-consistent listings.
+    val dataListing = Fs.list(spark, dataDir(dir))
+    val dvListing = Fs.list(spark, dvSidecarDir(dir))
+    verifyClaimOrAbort()
+    val deleteSet =
+      dataListing.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !keptPaths.contains(normPath(st.getPath.toString)) &&
+          st.getModificationTime < lockedAtMs
+      }.map(_.getPath.toString) ++
+      dvListing.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          !keptDv.contains(normPath(st.getPath.toString)) &&
+          st.getModificationTime < lockedAtMs
+      }.map(_.getPath.toString)
     var removed = 0
-    // data files no kept version references: dropped-exclusive + orphans.
-    // ORDER IS THE PROOF: the listing is snapshotted FIRST, then the
-    // token is verified — a claim intact after the listing means no
-    // successor existed before it, so every file in the snapshot
-    // predates any possible takeover and a successor's freshly staged
-    // files (which are the only files a post-snapshot commit can
-    // reference outside keptPaths) can never be in the delete set. The
-    // per-batch re-verify below is defense-in-depth on top of that
-    // invariant, not its source.
-    val dataListing = Fs.list(spark, dataDir(dir)).map(_.getPath)
-    verifyClaimOrAbort()
-    dataListing.foreach { p =>
-      val n = p.getName
-      if (!n.startsWith("_") && !n.startsWith(".") &&
-          !keptPaths.contains(normPath(p.toString))) {
-        if (sinceVerify >= 64) verifyClaimOrAbort()
-        sinceVerify += 1
-        Fs.delete(spark, p.toString); removed += 1
-      }
-    }
-    verifyClaimOrAbort()
     drop.foreach(n => Fs.delete(spark, versionDir(dir, n)))
     // spent/stale claims, markerless dirs — our own claim exempt, live
     // claims honored under the same lease rules as every breaker
@@ -1624,7 +1854,7 @@ object ClusteredStore {
           Fs.delete(spark, s"${schemaDir(dir)}/v=$n"); removed += 1
         }
     }
-    removed
+    (removed, deleteSet)
   }
 
   /** [[append]] as an exactly-once `foreachBatch` hook. Replay probe:
@@ -1777,8 +2007,8 @@ object ClusteredStore {
     committedVersions(spark, dir).filter { n =>
       val man = manifest(spark, dir, Some(n))
       man.columns.contains("dv_col") &&
-        !man.filter(col("dv_col") === colName &&
-          col("dv_keys").isNotNull && size(col("dv_keys")) > 0).isEmpty
+        !ensureDvCols(man)
+          .filter(col("dv_col") === colName && dvLive).isEmpty
     }
 
   /** Rename a data column — a METADATA COMMIT: zero data files
@@ -1998,11 +2228,23 @@ object ClusteredStore {
       keys: Seq[Long], asOf: Option[Int] = None): DataFrame = {
     val files = pruneFilesPoint(spark, dir, keyCol, keys, asOf)
     if (files.isEmpty) read(spark, dir, asOf).where(lit(false))
-    else readFilesDv(spark, dir, manifest(spark, dir, asOf), files)
-      .filter(col(keyCol).isin(keys: _*))
+    else if (keys.size <= LiteralKeyMax)
+      readFilesDv(spark, dir, manifest(spark, dir, asOf), files)
+        .filter(col(keyCol).isin(keys: _*))
+    else // bulk probe: keys join as broadcast data, never as a literal
+      filterKeys(readFilesDv(spark, dir, manifest(spark, dir, asOf),
+        files), keyCol, keys, negate = false)
   }
 
-  /** Manifest files whose Bloom sketch may contain ANY of `keys`. */
+  /** Manifest files whose Bloom sketch may contain ANY of `keys`.
+    * Below [[LiteralKeyMax]]: a balanced OR of codegen'd
+    * `bloom_contains` probes (a linear reduce would build a
+    * keys-deep expression tree and overflow the stack — first hit: a
+    * 2400-key deleteKeysDV). Above it: the manifest cross-probes a
+    * broadcast key frame — file-count × key-count bloom tests,
+    * DISTRIBUTED, with a plan that stays constant-sized however many
+    * keys a bulk replace carries.
+    */
   def pruneFilesPoint(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], asOf: Option[Int] = None): Seq[String] = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -2010,19 +2252,26 @@ object ClusteredStore {
     require(led.columns.contains(s"bloom_$keyCol"),
       s"store at $dir has no Bloom column for $keyCol — init with " +
         s"bloomCols = Seq(${'"'}$keyCol${'"'})")
-    // balanced OR: a linear reduce builds a keys.size-deep expression
-    // tree and overflows the stack on bulk takedowns (first hit: a
-    // 2400-key deleteKeysDV); a balanced combine is log-depth
-    def orAll(cs: Seq[Column]): Column =
-      if (cs.size == 1) cs.head
-      else {
-        val (l, r) = cs.splitAt(cs.size / 2)
-        orAll(l) || orAll(r)
-      }
-    val probes = keys.map(key =>
-      call_function("bloom_contains", col(s"bloom_$keyCol"), lit(key)))
-    val any = if (probes.isEmpty) lit(false) else orAll(probes)
-    led.filter(any).select("file").collect().map(_.getString(0)).toSeq
+    if (keys.size > LiteralKeyMax) {
+      import spark.implicits._
+      val kf = keys.toDF("_kf_k")
+      led.select("file", s"bloom_$keyCol")
+        .join(broadcast(kf),
+          call_function("bloom_contains", col(s"bloom_$keyCol"),
+            col("_kf_k")), "left_semi")
+        .select("file").collect().map(_.getString(0)).toSeq
+    } else {
+      def orAll(cs: Seq[Column]): Column =
+        if (cs.size == 1) cs.head
+        else {
+          val (l, r) = cs.splitAt(cs.size / 2)
+          orAll(l) || orAll(r)
+        }
+      val probes = keys.map(key =>
+        call_function("bloom_contains", col(s"bloom_$keyCol"), lit(key)))
+      val any = if (probes.isEmpty) lit(false) else orAll(probes)
+      led.filter(any).select("file").collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** Health of the snapshot at `asOf` (default current) — one manifest

@@ -59,9 +59,10 @@ class ClusterUpsertSpec extends SparkSpec {
       .head().getString(0) === "v1-120")
   }
 
-  test("null-keyed batch rows insert without replacing anything; a " +
-    "store masked on a different column refuses the upsert before " +
-    "any work") {
+  test("null-keyed batch rows insert without replacing anything; an " +
+    "upsert over files masked on a DIFFERENT column folds them " +
+    "copy-on-write in the same commit — no manual compact, no second " +
+    "mask column") {
     val dir = java.nio.file.Files.createTempDirectory("ups2").toString
     ClusteredStore.init(mkDocs(0 until 1000), Seq("a", "b"), 2, dir,
       bloomCols = Seq("key"))
@@ -73,14 +74,36 @@ class ClusterUpsertSpec extends SparkSpec {
     assert(st.replaced === 1L) // only key=500 replaced; null row inserts
     assert(ClusteredStore.read(spark, dir).count() === 1001L)
 
+    // mask on the OTHER key domain, then upsert on `key`: id-masked
+    // files that may contain the upsert keys are forced into the
+    // rewrite set (their masks fold physically); others legitimately
+    // keep their id masks. The upsert commits atomically as before —
+    // the old behavior here was a refusal demanding a manual compact
+    // (r11 verdict: multi-domain masking is the norm, not the
+    // exception).
     ClusteredStore.deleteKeysDV(spark, dir, "id", Seq(7L))
-    val e = intercept[IllegalArgumentException](
-      ClusteredStore.upsertKeys(spark, dir, "key",
-        mkDocs(600 until 601, tag = "v3")))
-    assert(e.getMessage.contains("different column"))
+    val st2 = ClusteredStore.upsertKeys(spark, dir, "key",
+      mkDocs(600 until 601, tag = "v3"))
+    assert(st2.replaced === 1L)
+    val snap = ClusteredStore.read(spark, dir)
+    assert(snap.count() === 1000L) // 1001 - masked id=7; 600 replaced
+    assert(snap.filter(col("id") === 7).count() === 0L,
+      "the other domain's takedown must stay in force")
+    assert(snap.filter(col("key") === 600L &&
+      col("payload").startsWith("v3")).count() === 1L)
+    // per-file invariant: one mask column per file, always — an
+    // id-masked file that took part in this upsert folded; none ever
+    // gained a second mask column
+    val man = ClusteredStore.manifest(spark, dir)
+    if (man.columns.contains("dv_col")) {
+      val perFileCols = man.filter(col("dv_col").isNotNull)
+        .groupBy("file")
+        .agg(countDistinct("dv_col").as("nc"))
+      assert(perFileCols.filter(col("nc") > 1).count() === 0L)
+    }
     assert(!Fs.exists(spark,
       s"$dir/ledger/claim-v=${ClusteredStore.currentVersion(spark, dir).get + 1}"),
-      "a refused upsert must not leave a dangling claim")
+      "no dangling claim after the upsert")
   }
 
   test("repeated upserts converge (latest wins) and maintenance folds " +

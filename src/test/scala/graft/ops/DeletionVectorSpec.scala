@@ -62,8 +62,9 @@ class DeletionVectorSpec extends SparkSpec {
   }
 
   test("repeated takedowns on one file MERGE their key lists and " +
-    "never double-count; a takedown keyed on a different column than " +
-    "an existing mask refuses before any work") {
+    "never double-count; interleaved takedowns on TWO key domains " +
+    "need no manual compact — the cross-column hit files fold " +
+    "copy-on-write inside the same commit") {
     val dir = java.nio.file.Files.createTempDirectory("dv2").toString
     ClusteredStore.init(mkDocs(0 until 2000), Seq("a", "b"), 2, dir,
       bloomCols = Seq("key"))
@@ -79,10 +80,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ClusteredStore.deleteKeysDV(spark, dir, "key",
       Seq(10L, 12L)).version === v)
 
-    val e = intercept[IllegalArgumentException](
-      ClusteredStore.deleteKeysDV(spark, dir, "id", Seq(13L)))
-    assert(e.getMessage.contains("different column"))
-    assert(ClusteredStore.read(spark, dir).count() === 1997L)
+    // SECOND KEY DOMAIN (r11 verdict: real compliance pipelines have
+    // at least two — doc ids AND user ids). First spread the
+    // key-domain mask across EVERY file (precondition asserted below),
+    // so the id-domain takedown is GUARANTEED to hit files already
+    // masked on `key` — those fold copy-on-write in the same commit
+    // (the old mask disposes physically, the new keys drop
+    // physically); one-commit atomic, no manual compact ever ran.
+    val spread = (0L until 2000L by 7).filterNot(Seq(10L, 11L, 12L).contains)
+    ClusteredStore.deleteKeysDV(spark, dir, "key", spread)
+    val preMan = ClusteredStore.manifest(spark, dir)
+    assert(preMan.filter(col("dv_keys").isNotNull &&
+      size(col("dv_keys")) > 0).count() === preMan.count(),
+      "precondition: every file must carry a key-domain mask")
+    val liveBefore = ClusteredStore.read(spark, dir).count()
+
+    // ids 13 and 15 are live (not multiples of 7, not masked above)
+    val st = ClusteredStore.deleteKeysDV(spark, dir, "id", Seq(13L, 15L))
+    assert(st.deleted === 2L && st.rewritten > 0,
+      "cross-column hits must FOLD (rewrite), not refuse")
+    val snap = ClusteredStore.read(spark, dir)
+    assert(snap.count() === liveBefore - 2)
+    assert(snap.filter(col("id").isin(13, 15)).count() === 0L)
+    assert(snap.filter(col("key").isin(10L, 11L, 12L)).count() === 0L,
+      "the fold must not resurrect the first domain's masked rows")
+    assert(ClusteredStore.stats(spark, dir).nRows === liveBefore - 2)
+    // every id-hit file was key-masked → folded physically: no id-mask
+    // row may exist, and no file ever carries two mask columns
+    val man = ClusteredStore.manifest(spark, dir)
+    assert(man.filter(col("dv_col") === "id").count() === 0L,
+      "cross-column hits fold physically — never a second mask column")
+    // audit trail: the pre-fold snapshot still shows 13/15 live
+    assert(ClusteredStore.read(spark, dir, asOf = Some(v))
+      .filter(col("id").isin(13, 15)).count() === 2L)
   }
 
   test("masks FOLD on rewrite: an append touching a masked file drops " +
