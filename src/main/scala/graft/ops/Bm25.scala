@@ -127,6 +127,9 @@ object Bm25 {
       textCol: String,
       path: String,
       nBuckets: Int = 16): Unit = {
+    // a REBUILD resets the forget ledger: it is fed from a corpus that
+    // already honors the takedown, so there is nothing left to mask
+    Tombstones.clear(docs.sparkSession, path)
     postings(docs, idCol, textCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
@@ -136,6 +139,39 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Forget documents in the SERVING index at takedown cost (r11
+    * verdict: the primary store forgets via deletion vectors, but this
+    * index kept surfacing banned ids until a rebuild). One
+    * column-pruned postings scan recovers each banned doc's length
+    * (needed to keep the corpus stats exact), then ONE staged ledger
+    * write records (id, dl) — no postings file is touched. From that
+    * commit on: [[probeIndex]] masks the ids out of every posting scan,
+    * [[readStats]] subtracts their document count and length from the
+    * corpus totals (so idf/avgdl behave exactly as if the index were
+    * rebuilt from the complement corpus — cross-engine proven by
+    * `q_bm25_after_takedown`), and [[appendToIndex]] drops them at
+    * ingest, so a re-appended banned doc never resurrects. Ids with no
+    * postings are still banned (future appends blocked) but contribute
+    * nothing to the stats correction. Physical disposal of the masked
+    * postings rides [[compactIndex]]'s rewrites or the next rebuild.
+    */
+  def takedownIndex(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      ids: Seq[Long]): Unit =
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      val kf = ids.distinct.toDF("_td_id")
+      val p = spark.read.parquet(s"$path/postings")
+      val dls = p.select(col(idCol).cast("long").as("_id"), col("dl"))
+        .join(broadcast(kf), col("_id") === col("_td_id"), "left_semi")
+        .distinct() // one (id, dl) row per doc
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Tombstones.add(spark, path, ids,
+        payload = dls, payloadCol = "_ts_dl")
+    }
+
   /** Aggregate the stats DELTA LEDGER to the one-row (n, sdl, avgdl,
     * n_buckets) frame the scorer consumes. The store keeps one delta row
     * per ingested batch instead of one mutable total: summing commutes,
@@ -143,12 +179,30 @@ object Bm25 {
     * old read-modify-overwrite row lost a delta whenever two appends
     * interleaved — last writer won).
     */
-  def readStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/stats")
+  def readStats(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/stats")
       .agg(sum("n").cast("long").as("n"), sum("sdl").cast("long").as("sdl"),
         max("n_buckets").cast("long").as("n_buckets"))
-      .withColumn("avgdl",
-        col("sdl").cast("double") / col("n").cast("double"))
+    // the forget ledger subtracts its banned docs from the corpus
+    // totals (one ledger row per banned doc carrying its recorded
+    // length; dl = 0 marks an id that never had postings — banned for
+    // the future, but never counted, so nothing to subtract). Stats
+    // then read exactly as if the index were rebuilt from the
+    // complement corpus.
+    val corrected = Tombstones.ledger(spark, path) match {
+      case None => base
+      case Some(t) =>
+        val d = t.agg(
+          coalesce(sum(when(col("_ts_dl") > 0, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("td_n"),
+          coalesce(sum("_ts_dl"), lit(0L)).cast("long").as("td_sdl"))
+        base.crossJoin(broadcast(d))
+          .select((col("n") - col("td_n")).as("n"),
+            (col("sdl") - col("td_sdl")).as("sdl"), col("n_buckets"))
+    }
+    corrected.withColumn("avgdl",
+      col("sdl").cast("double") / col("n").cast("double"))
+  }
 
   /** Concurrency-safe append into `destDir` — shared staged-write idiom,
     * see [[graft.core.Fs.stagedAppend]]. Readers list the destination, so
@@ -186,12 +240,18 @@ object Bm25 {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$path/stats")
       .agg(max("n_buckets")).as[Long].head()
+    // banned ids drop at INGEST (before postings and stats), so a
+    // re-appended taken-down document neither serves nor skews the
+    // corpus totals — takedowns are forever until a rebuild resets the
+    // ledger, the deliberate inverse of the primary store's
+    // point-in-time deletion vectors
+    val admitted = Tombstones.mask(spark, path, docs, idCol)
     stageInto(
-      postings(docs, idCol, textCol)
+      postings(admitted, idCol, textCol)
         .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets))),
       Some("tb"), s"$path/postings")
     stageInto(
-      corpusStats(docs, textCol).drop("avgdl")
+      corpusStats(admitted, textCol).drop("avgdl")
         .withColumn("n_buckets", lit(nBuckets)).coalesce(1),
       None, s"$path/stats")
   }
@@ -235,14 +295,32 @@ object Bm25 {
       b: String = "0.75",
       topK: Int = 20): DataFrame = {
     import spark.implicits._
+    // an index built from zero documents (bootstrap / empty partition)
+    // has a postings dir with no data files — schema inference would
+    // throw, so serve the typed empty answer instead
+    val hasPostings = graft.core.Fs.list(spark, s"$path/postings")
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+    if (!hasPostings) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, LongType), StructField("n_terms", LongType),
+          StructField("score_fp", LongType),
+          StructField("score", DoubleType))))
+    }
     val stats = readStats(spark, path)
     val nBuckets = stats.select(col("n_buckets")).as[Long].head()
     val buckets = spark.createDataset(terms)
       .select(pmod(xxhash64(col("value")), lit(nBuckets)))
       .as[Long].collect().distinct.toSeq
-    val p = spark.read.parquet(s"$path/postings")
-      .filter(col("tb").isin(buckets: _*))
-      .drop("tb")
+    // bucket prune first (partition filter), THEN the tombstone mask —
+    // the anti-join runs over only the probed terms' postings
+    val p = Tombstones.mask(spark, path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(buckets: _*))
+        .drop("tb"),
+      idCol)
     scorePostings(p, stats.drop("n_buckets"), idCol, terms, k1, b, topK)
   }
 }

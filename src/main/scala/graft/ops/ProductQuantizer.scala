@@ -142,11 +142,23 @@ object ProductQuantizer {
     * vector query builds.
     */
   def buildStore(e: DataFrame, vecCol: String, books: Seq[Codebook],
-      cents: Seq[Centroid], path: String): Unit =
+      cents: Seq[Centroid], path: String): Unit = {
+    // rebuild resets the forget ledger, like VectorIndex.buildIvf
+    Tombstones.clear(e.sparkSession, path)
     encodeDecode(e, vecCol, books)
       .withColumn("bucket", VectorIndex.assignBucket(cents, vecCol, "nrm"))
       .select(col("vec_id"), col("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Forget vectors in the IVF-PQ serving store at takedown cost: one
+    * staged ledger write; [[probeStore]] masks the ids, [[appendToStore]]
+    * drops them at ingest (no resurrection). Same forget-ledger contract
+    * as [[VectorIndex.takedownIvf]].
+    */
+  def takedownStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit =
+    Tombstones.add(spark, path, ids)
 
   /** Append a vector batch to a materialized IVF-PQ store — the 100 TB
     * shape is append-only ingestion, not nightly rebuilds. New rows are
@@ -164,7 +176,9 @@ object ProductQuantizer {
   def appendToStore(e: DataFrame, vecCol: String, books: Seq[Codebook],
       cents: Seq[Centroid], path: String): Unit =
     graft.core.Fs.stagedAppend(
-      encodeDecode(e, vecCol, books)
+      encodeDecode(
+          Tombstones.mask(e.sparkSession, path, e, "vec_id"),
+          vecCol, books)
         .withColumn("bucket", VectorIndex.assignBucket(cents, vecCol, "nrm"))
         .select(col("vec_id"), col("codes"), col("bucket")),
       Some("bucket"), path)
@@ -267,6 +281,11 @@ object ProductQuantizer {
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = decodeFromCodes(spark.read.parquet(path), books)
-    rankTopK(candidates(idx, probesOf(queries, cents, nProbe)), topK)
+    // forget-ledger mask above the bucket join (same placement rationale
+    // as VectorIndex.probe: answers = complement rebuild, pruning kept)
+    rankTopK(
+      Tombstones.mask(spark, path,
+        candidates(idx, probesOf(queries, cents, nProbe)), "vec_id"),
+      topK)
   }
 }

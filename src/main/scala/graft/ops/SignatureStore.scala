@@ -37,12 +37,39 @@ object SignatureStore {
       .select(col("doc_id"), col("s"), expr("minhash_sig(s)").as("sig"))
   }
 
-  def build(docs: DataFrame, path: String): Unit =
+  def build(docs: DataFrame, path: String): Unit = {
+    // rebuild resets the forget ledger (built from a corpus that
+    // already honors the takedown)
+    Tombstones.clear(docs.sparkSession, path)
     signatures(docs).write.mode("overwrite").parquet(path)
+  }
+
+  /** Forget documents in the signature store at takedown cost (r11
+    * verdict: a taken-down doc's MinHash signature kept pairing it into
+    * near-dup candidates until a rebuild). One staged ledger write;
+    * [[load]] masks the ids out of every signature read (so no
+    * incremental or streaming dedup run ever surfaces a banned id
+    * again), and [[appendSignatures]] drops them at ingest. Physical
+    * disposal rides the next [[build]] / [[buildBanded]] rebuild.
+    */
+  def takedown(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    Tombstones.add(spark, path, ids)
 
   def load(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    spark.read.parquet(path)
+    Tombstones.mask(spark, path, spark.read.parquet(path), "doc_id")
+  }
+
+  /** Append a document batch's signatures to the flat store — banned
+    * ids drop at ingest, so a re-appended taken-down document never
+    * resurrects into candidate pairs.
+    */
+  def appendSignatures(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    graft.core.Fs.stagedAppend(
+      signatures(Tombstones.mask(spark, path, docs, "doc_id")),
+      None, path)
+    ()
   }
 
   /** 4×4 LSH band explosion of a signature frame. */
@@ -122,13 +149,30 @@ object SignatureStore {
     * MinHash-LSH dedup pairs (same bands, same verify), which is how the
     * oracle query pins it against the q_dedup_minhash SQL.
     */
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).toString
+
+  /** Forget documents in the BANDED bucketed store: the ledger lives
+    * under the table's location (`_tombstones/`, invisible to the
+    * table's file index), and [[bucketedNearDups]] masks BOTH pair
+    * sides — a banned id appears in no candidate pair, fresh or stored.
+    */
+  def takedownBanded(
+      spark: SparkSession, table: String, ids: Seq[Long]): Unit =
+    Tombstones.add(spark, tableLocation(spark, table), ids)
+
   def bucketedNearDups(
       spark: SparkSession,
       table: String,
       freshDocs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    nearDupsAgainstBanded(spark.table(table), freshDocs, threshold)
+    val loc = tableLocation(spark, table)
+    nearDupsAgainstBanded(
+      Tombstones.mask(spark, loc, spark.table(table), "doc_id"),
+      Tombstones.mask(spark, loc, freshDocs, "doc_id"),
+      threshold)
   }
 
   /** The candidate join itself, against any banded frame (bucketed table

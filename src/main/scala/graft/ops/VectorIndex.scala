@@ -77,10 +77,68 @@ object VectorIndex {
     * nearest-centroid bucket.
     */
   def buildIvf(
-      corpus: DataFrame, cents: Seq[Centroid], path: String): Unit =
+      corpus: DataFrame, cents: Seq[Centroid], path: String): Unit = {
+    // a rebuild resets the forget ledger (the corpus it is built from
+    // already honors the takedown)
+    Tombstones.clear(corpus.sparkSession, path)
     corpus
       .withColumn("bucket", assignBucket(cents))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Forget vectors in the SERVING index at takedown cost (r11
+    * verdict: the primary store forgets a document, but its ANN
+    * neighbors kept surfacing from this index until a rebuild). ONE
+    * staged ledger write under `_tombstones/` — zero index files
+    * touched; [[probe]] masks the ids out of every probed bucket
+    * (answers identical to a complement-corpus rebuild, cross-engine
+    * proven by `q_ann_after_takedown`), and [[appendToIvf]] drops them
+    * at ingest so a re-appended banned vector never resurrects.
+    * Physical disposal: [[purgeIvf]] (bucket-pruned rewrite) or the
+    * next rebuild.
+    */
+  def takedownIvf(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit =
+    Tombstones.add(spark, path, ids)
+
+  /** Physically dispose of tombstoned rows — a BUCKET-PRUNED rewrite,
+    * never a rebuild: one column-pruned scan finds the buckets that
+    * still hold banned rows, and only those partitions are rewritten
+    * (staged write + old-file delete per bucket, the [[LogCompactor]]
+    * swap discipline). The ledger stays in force afterwards (appends
+    * must keep dropping banned ids); reads are already exact either
+    * way — this reclaims bytes, not correctness. Single-maintainer
+    * contract, like every compaction in this repo.
+    */
+  def purgeIvf(spark: SparkSession, path: String): Int =
+    Tombstones.ids(spark, path) match {
+      case None => 0
+      case Some(t) =>
+        val idx = spark.read.parquet(path)
+        val hitBuckets = idx
+          .join(broadcast(t), idx("vec_id") === t("_ts_id"), "left_semi")
+          .select("bucket").distinct().collect()
+          .filterNot(_.isNullAt(0)).map(_.getInt(0)).toSeq
+        hitBuckets.foreach { b =>
+          val pDir = s"$path/bucket=$b"
+          val old = graft.core.Fs.list(spark, pDir)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+          // vec_id is the store's key (one row per vector), so the
+          // dedup makes a crashed purge CONVERGE on re-run: a crash
+          // between landing the survivors and deleting the old files
+          // leaves both on disk, and the re-run folds the duplicates
+          // back to one row instead of compounding them
+          val rows = spark.read.parquet(pDir).dropDuplicates("vec_id")
+          Tombstones.mask(spark, path, rows, "vec_id")
+            .write.mode("overwrite").parquet(s"$pDir.purge")
+          graft.core.Fs.stagedAppend(
+            spark.read.parquet(s"$pDir.purge"), None, pDir)
+          old.foreach(f => graft.core.Fs.delete(spark, f))
+          graft.core.Fs.delete(spark, s"$pDir.purge")
+        }
+        hitBuckets.size
+    }
 
   /** Incremental maintenance: a 100 TB corpus APPENDS — rebuilding the
     * index per arriving batch would rewrite everything. New vectors are
@@ -101,9 +159,11 @@ object VectorIndex {
       batch: DataFrame, cents: Seq[Centroid], path: String): Unit =
     // staged unique-dir append (Fs.stagedAppend): plain mode("append")
     // shares `path/_temporary` between concurrent appenders, which can
-    // delete each other's in-flight task output
+    // delete each other's in-flight task output. Tombstoned ids drop
+    // at ingest — a re-appended taken-down vector never resurrects.
     graft.core.Fs.stagedAppend(
-      batch.withColumn("bucket", assignBucket(cents)),
+      Tombstones.mask(batch.sparkSession, path, batch, "vec_id")
+        .withColumn("bucket", assignBucket(cents)),
       Some("bucket"), path)
 
   /** Per-bucket small-file compaction of an appended index — delegates to
@@ -149,7 +209,15 @@ object VectorIndex {
         (-col("p.nc")).cast("int").as("bucket"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    idx.join(broadcast(probes), "bucket")
+    // forget-ledger mask ABOVE the bucket join: banned ids never
+    // surface (exactly as if the index were rebuilt from the
+    // complement corpus), while the dynamic partition pruning the
+    // bucket join feeds the scan stays intact — an anti-join under the
+    // scan would sit between the join and the partitioned relation and
+    // could defeat the pruning rule. Identity on stores that never saw
+    // a takedown.
+    Tombstones.mask(spark, path,
+        idx.join(broadcast(probes), "bucket"), "vec_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         call_function("dot_product", col("qv"), col("v"))

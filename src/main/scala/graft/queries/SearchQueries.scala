@@ -24,10 +24,16 @@ object SearchQueries {
   /** The BM25 scoring pipeline as reusable oracle CTEs ending in `bm25`
     * (doc_id, n_terms, score_fp) — the top-`topK` postings-scored docs.
     */
-  private val duckBm25Ctes = s"""
+  private val duckBm25Ctes = duckBm25CtesOver("")
+
+  /** The same CTE chain over a doc-filtered corpus — the takedown
+    * oracle recomputes BM25 over the COMPLEMENT corpus with `extra`
+    * appended to the base WHERE.
+    */
+  private def duckBm25CtesOver(extra: String) = s"""
             d AS (
               SELECT doc_id, string_split(text, ' ') AS w
-              FROM documents WHERE text IS NOT NULL),
+              FROM documents WHERE text IS NOT NULL$extra),
             stats AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(len(w)) AS BIGINT) AS sdl
@@ -252,5 +258,43 @@ object SearchQueries {
             ORDER BY query_id, mmr_rank"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank)
+  /** BM25 serving AFTER a takedown: build the materialized inverted
+    * index ([[graft.ops.Bm25.buildIndex]]), TAKE DOWN every document
+    * with `doc_id % 97 == 3` (one forget-ledger write recording each
+    * banned doc's length; zero postings files touched), then attempt to
+    * RE-APPEND exactly the banned documents — the ingest guard drops
+    * them, so the oracle also proves no resurrection. Probing then
+    * matches DuckDB recomputing BM25 over the COMPLEMENT corpus
+    * end-to-end: banned ids appear in no result, per-term df excludes
+    * them (df derives from the masked postings at query time), and the
+    * corpus totals n/avgdl shift exactly as a rebuild would (the ledger
+    * subtraction in [[graft.ops.Bm25.readStats]]) — so every surviving
+    * document's SCORE changes too, and the hash match pins all of it.
+    */
+  val bm25AfterTakedown = Q(
+    "q_bm25_after_takedown",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        s"spark-warehouse/graft_bm25_takedown_$tag").getAbsolutePath
+      graft.ops.Bm25.buildIndex(docs, "doc_id", "text", path)
+      val bannedPred = col("doc_id") % 97 === 3
+      val banned = docs.filter(bannedPred)
+        .select(col("doc_id").cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+      graft.ops.Bm25.takedownIndex(s, path, "doc_id", banned)
+      // resurrection attempt: re-append exactly the banned documents
+      graft.ops.Bm25.appendToIndex(docs.filter(bannedPred),
+        "doc_id", "text", path)
+      graft.ops.Bm25.probeIndex(s, path, "doc_id", terms, k1, b, topK)
+        .orderBy(col("score_fp").desc, col("doc_id"))
+    },
+    Some(s"""WITH ${duckBm25CtesOver(" AND doc_id % 97 <> 3")}
+            SELECT doc_id, n_terms, score_fp,
+                   ROUND(CAST(score_fp AS DOUBLE) / 1073741824.0, 6) AS score
+            FROM bm25
+            ORDER BY score_fp DESC, doc_id"""))
+
+  val all: Seq[Q] = Seq(bm25, hybridRrf, mmrRerank, bm25AfterTakedown)
 }

@@ -531,6 +531,80 @@ object SimilarityQueries {
               ON base.idx = hits.idx AND base.query_id = hits.query_id
             ORDER BY base.idx, base.query_id"""))
 
+  /** ANN serving AFTER a takedown (r11 verdict: the primary store
+    * forgets a document, but the serving indexes kept surfacing its id
+    * and neighbors until a rebuild): build the materialized IVF index,
+    * TAKE DOWN every vector with `vec_id % 53 == 7` past the centroid
+    * range (one forget-ledger write, zero index files touched), then
+    * attempt to RE-APPEND exactly the banned vectors — the ingest guard
+    * drops them, so the append is the resurrection attack and the
+    * oracle proves it failed. Probing then matches DuckDB recomputing
+    * IVF over the COMPLEMENT corpus: banned ids appear in no result and
+    * their absence reshapes each query's top-k exactly as a rebuild
+    * would. Centroids and queries stay on the full corpus (model state
+    * is frozen; banned ids are chosen outside both ranges).
+    */
+  val annAfterTakedown = Q(
+    "q_ann_after_takedown",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val cents = graft.ops.VectorIndex.centroidsFrom(e, nCentroids)
+      if (cents.isEmpty) emptyKnn(s) else {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        s"spark-warehouse/graft_ivf_takedown_$tag").getAbsolutePath
+      graft.ops.VectorIndex.buildIvf(e, cents, path)
+      val bannedPred = col("vec_id") % 53 === 7 &&
+        col("vec_id") >= nCentroids
+      val banned = e.filter(bannedPred)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.ops.VectorIndex.takedownIvf(s, path, banned)
+      // resurrection attempt: re-append exactly the banned vectors
+      graft.ops.VectorIndex.appendToIvf(e.filter(bannedPred), cents, path)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      graft.ops.VectorIndex.probe(s, path, q, cents, nProbe, topK)
+        .orderBy("query_id", "rnk")
+      }
+    },
+    Some(s"""WITH e AS ($duckCorpus),
+            cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                     WHERE vec_id < $nCentroids),
+            assigned AS (
+              SELECT vec_id, v, nrm, cid AS bucket FROM (
+                SELECT e.vec_id, e.v, e.nrm, cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${duckDot("e.v", "cent.cv")} / sqrt(e.nrm * cent.cn) DESC,
+                                  cent.cid) AS arn
+                FROM e CROSS JOIN cent)
+              WHERE arn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+                  WHERE vec_id < $nQueries),
+            probes AS (
+              SELECT query_id, qv, qn, cid AS bucket FROM (
+                SELECT q.query_id, q.qv, q.qn, cent.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY ${duckDot("q.qv", "cent.cv")} / sqrt(q.qn * cent.cn) DESC,
+                                  cent.cid) AS prn
+                FROM q CROSS JOIN cent)
+              WHERE prn <= $nProbe),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     ${duckDot("p.qv", "a.v")} / sqrt(p.qn * a.nrm) AS cos
+              FROM assigned a JOIN probes p ON a.bucket = p.bucket
+              WHERE a.vec_id <> p.query_id
+                AND NOT (a.vec_id % 53 = 7 AND a.vec_id >= $nCentroids)),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+              FROM scored)
+            SELECT query_id, rnk, vec_id AS neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rnk <= $topK
+            ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(knnBrute, knnIvf, knnLsh, knnLshMulti, knnIvfStore,
-    annRecall)
+    annRecall, annAfterTakedown)
 }
