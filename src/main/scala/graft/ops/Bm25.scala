@@ -256,6 +256,21 @@ object Bm25 {
       None, s"$path/stats")
   }
 
+  /** Physically dispose of tombstoned postings — a TERM-BUCKET-PRUNED
+    * rewrite, never a rebuild ([[Tombstones.purgePartitions]]): only
+    * the `tb=` partitions still holding a banned doc's postings are
+    * rewritten. Row identity for crash convergence is (doc, term) —
+    * [[postings]] emits one row per distinct document×term. The stats
+    * ledger is untouched (its totals were corrected at takedown time,
+    * and the correction stays valid when the masked rows go physical);
+    * the forget ledger stays in force so later appends keep dropping
+    * the ids. Returns partitions rewritten.
+    */
+  def purgeIndex(spark: SparkSession, path: String,
+      idCol: String): Int =
+    Tombstones.purgePartitions(spark, path, s"$path/postings", "tb",
+      idCol, Seq(idCol, "term"))
+
   /** Per-term-bucket small-file compaction of an appended index —
     * delegates to [[LogCompactor]] over the `tb=` layout. Answers are
     * unchanged; file counts drop to ⌈bytes/target⌉ per bucket.

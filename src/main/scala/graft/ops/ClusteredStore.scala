@@ -1362,24 +1362,35 @@ object ClusteredStore {
     }
 
   /** The live mask rows for `files`, collected: (basename, key column,
-    * inline keys if any, sidecar path if spilled). Bounded by FILE
-    * COUNT and [[DvSpillKeys]] — spilled masks contribute a pointer,
-    * never their key list.
+    * inline keys if any, sidecar path if spilled, masked-row count —
+    * the upper bound on the mask's key volume). Bounded by FILE COUNT
+    * and [[DvSpillKeys]] — spilled masks contribute a pointer, never
+    * their key list.
     */
   private def dvMaskRows(man: DataFrame, files: Seq[String])
-      : Seq[(String, String, Option[Seq[Long]], Option[String])] =
+      : Seq[(String, String, Option[Seq[Long]], Option[String], Long)] =
     if (!man.columns.contains("dv_col")) Nil
     else {
       val names = files.map(baseName).toSet
       ensureDvCols(man).filter(dvLive)
-        .select("file", "dv_col", "dv_keys", "dv_path")
+        .select("file", "dv_col", "dv_keys", "dv_path", "dv_rows")
         .collect()
         .filter(r => names.contains(baseName(r.getString(0))))
         .map(r => (baseName(r.getString(0)), r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getSeq[Long](2)),
-          if (r.isNullAt(3)) None else Some(r.getString(3))))
+          if (r.isNullAt(3)) None else Some(r.getString(3)),
+          if (r.isNullAt(4)) 0L else r.getLong(4)))
         .toSeq
     }
+
+  /** Mask-pair frames at or under this many keys join as BROADCAST
+    * anti-joins (one hash table, no shuffle of the data side); past it
+    * the hint is dropped and Spark plans a shuffle join — a mask that
+    * outgrew takedown scale (a giant replace batch still waiting for
+    * its compact fold) must not be forced through the driver and every
+    * executor's memory as a broadcast.
+    */
+  val DvBroadcastMaxKeys: Long = 1L << 20
 
   /** Open `files` with their deletion vectors applied — the
     * merge-on-read path every answer-producing and every rewriting
@@ -1403,7 +1414,8 @@ object ClusteredStore {
         .withColumn("_dvf", element_at(split(input_file_name(), "/"), -1))
       dvs.groupBy(_._2).foreach { case (kc, entries) =>
         val inline = entries
-          .flatMap { case (f, _, ks, _) => ks.getOrElse(Nil).map(k => (f, k)) }
+          .flatMap { case (f, _, ks, _, _) =>
+            ks.getOrElse(Nil).map(k => (f, k)) }
           .toDF("_dvf2", "_dvk")
         // spilled masks join from their sidecars, read DISTRIBUTED and
         // scoped to exactly the (file → its sidecar) bindings of THIS
@@ -1412,7 +1424,7 @@ object ClusteredStore {
         // grow until the file itself is replaced, so a stale subset
         // unioned with the current full list is just the full list.)
         val sidecars = entries
-          .collect { case (f, _, _, Some(p)) => (p, f) }
+          .collect { case (f, _, _, Some(p), _) => (p, f) }
           .groupBy(_._1)
           .map { case (p, fs) =>
             spark.read.parquet(p)
@@ -1426,9 +1438,14 @@ object ClusteredStore {
         val pairs =
           if (sidecars.isEmpty) inline
           else sidecars.foldLeft(inline)(_ unionByName _).localCheckpoint()
-        m = m.join(broadcast(pairs),
-          m("_dvf") === pairs("_dvf2") &&
-            col(kc).cast("long") === pairs("_dvk"),
+        // broadcast only while the scoped mask volume is broadcast-safe
+        // — a mask grown past takedown scale shuffles instead
+        val hinted =
+          if (entries.map(_._5).sum <= DvBroadcastMaxKeys) broadcast(pairs)
+          else pairs
+        m = m.join(hinted,
+          m("_dvf") === hinted("_dvf2") &&
+            col(kc).cast("long") === hinted("_dvk"),
           "left_anti")
       }
       val md = m.drop("_dvf")
@@ -1592,7 +1609,7 @@ object ClusteredStore {
     else {
       import spark.implicits._
       val prior = dvMaskRows(man, hits.map(_._1))
-        .map { case (f, _, ks, p) => f -> (ks, p) }.toMap
+        .map { case (f, _, ks, p, _) => f -> (ks, p) }.toMap
       val spillHits = hits.filter { case (f, _, ks) =>
         prior.get(f) match {
           case Some((_, Some(_))) => true // already spilled: stay spilled

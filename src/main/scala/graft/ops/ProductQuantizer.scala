@@ -160,6 +160,14 @@ object ProductQuantizer {
       path: String, ids: Seq[Long]): Unit =
     Tombstones.add(spark, path, ids)
 
+  /** Physical disposal of tombstoned codes — bucket-pruned rewrite,
+    * same recipe (and same row identity) as [[VectorIndex.purgeIvf]].
+    */
+  def purgeStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    Tombstones.purgePartitions(spark, path, path, "bucket", "vec_id",
+      Seq("vec_id"))
+
   /** Append a vector batch to a materialized IVF-PQ store — the 100 TB
     * shape is append-only ingestion, not nightly rebuilds. New rows are
     * bucket-assigned and encoded against the FROZEN models map-side

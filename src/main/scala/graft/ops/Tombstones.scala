@@ -94,4 +94,46 @@ object Tombstones {
     */
   def clear(spark: SparkSession, path: String): Unit =
     Fs.delete(spark, dir(path))
+
+  /** Physically dispose of tombstoned rows in a `partCol=`-partitioned
+    * store — a PARTITION-PRUNED rewrite, never a rebuild: one
+    * column-pruned scan finds the partitions still holding banned rows,
+    * and only those are rewritten (masked survivors staged in, old
+    * files deleted). `uniqueKey` is the store's row identity (IVF/PQ:
+    * vec_id; BM25 postings: doc×term) — deduping on it makes a CRASHED
+    * purge converge on re-run: a crash between landing the survivors
+    * and deleting the old files leaves both on disk, and the re-run
+    * folds the duplicates back to one row instead of compounding them.
+    * The ledger stays in force afterwards (appends must keep dropping
+    * banned ids); reads are already exact either way — this reclaims
+    * bytes, not correctness. Single-maintainer contract, like every
+    * compaction in this repo. Returns partitions rewritten.
+    */
+  def purgePartitions(spark: SparkSession, ledgerPath: String,
+      dataDir: String, partCol: String, idCol: String,
+      uniqueKey: Seq[String]): Int =
+    ids(spark, ledgerPath) match {
+      case None => 0
+      case Some(t) =>
+        val all = spark.read.parquet(dataDir)
+        val hitParts = all
+          .join(broadcast(t), all(idCol).cast("long") === t("_ts_id"),
+            "left_semi")
+          .select(partCol).distinct().collect()
+          .filterNot(_.isNullAt(0)).map(_.get(0).toString).toSeq
+        hitParts.foreach { p =>
+          val pDir = s"$dataDir/$partCol=$p"
+          val old = Fs.list(spark, pDir)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+          val rows = spark.read.parquet(pDir)
+            .dropDuplicates(uniqueKey)
+          mask(spark, ledgerPath, rows, idCol)
+            .write.mode("overwrite").parquet(s"$pDir.purge")
+          Fs.stagedAppend(spark.read.parquet(s"$pDir.purge"), None, pDir)
+          old.foreach(f => Fs.delete(spark, f))
+          Fs.delete(spark, s"$pDir.purge")
+        }
+        hitParts.size
+    }
 }

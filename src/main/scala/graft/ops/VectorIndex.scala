@@ -102,43 +102,14 @@ object VectorIndex {
     Tombstones.add(spark, path, ids)
 
   /** Physically dispose of tombstoned rows — a BUCKET-PRUNED rewrite,
-    * never a rebuild: one column-pruned scan finds the buckets that
-    * still hold banned rows, and only those partitions are rewritten
-    * (staged write + old-file delete per bucket, the [[LogCompactor]]
-    * swap discipline). The ledger stays in force afterwards (appends
-    * must keep dropping banned ids); reads are already exact either
-    * way — this reclaims bytes, not correctness. Single-maintainer
-    * contract, like every compaction in this repo.
+    * never a rebuild ([[Tombstones.purgePartitions]]; vec_id is the
+    * store's row identity, which makes a crashed purge converge on
+    * re-run). The ledger stays in force afterwards; reads are already
+    * exact either way — this reclaims bytes, not correctness.
     */
   def purgeIvf(spark: SparkSession, path: String): Int =
-    Tombstones.ids(spark, path) match {
-      case None => 0
-      case Some(t) =>
-        val idx = spark.read.parquet(path)
-        val hitBuckets = idx
-          .join(broadcast(t), idx("vec_id") === t("_ts_id"), "left_semi")
-          .select("bucket").distinct().collect()
-          .filterNot(_.isNullAt(0)).map(_.getInt(0)).toSeq
-        hitBuckets.foreach { b =>
-          val pDir = s"$path/bucket=$b"
-          val old = graft.core.Fs.list(spark, pDir)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath.toString)
-          // vec_id is the store's key (one row per vector), so the
-          // dedup makes a crashed purge CONVERGE on re-run: a crash
-          // between landing the survivors and deleting the old files
-          // leaves both on disk, and the re-run folds the duplicates
-          // back to one row instead of compounding them
-          val rows = spark.read.parquet(pDir).dropDuplicates("vec_id")
-          Tombstones.mask(spark, path, rows, "vec_id")
-            .write.mode("overwrite").parquet(s"$pDir.purge")
-          graft.core.Fs.stagedAppend(
-            spark.read.parquet(s"$pDir.purge"), None, pDir)
-          old.foreach(f => graft.core.Fs.delete(spark, f))
-          graft.core.Fs.delete(spark, s"$pDir.purge")
-        }
-        hitBuckets.size
-    }
+    Tombstones.purgePartitions(spark, path, path, "bucket", "vec_id",
+      Seq("vec_id"))
 
   /** Incremental maintenance: a 100 TB corpus APPENDS — rebuilding the
     * index per arriving batch would rewrite everything. New vectors are

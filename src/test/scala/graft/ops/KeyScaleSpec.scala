@@ -160,4 +160,27 @@ class KeyScaleSpec extends SparkSpec {
     assert(ClusteredStore.read(spark, dir).count() ===
       30000L - doomed.size - 2)
   }
+
+  test("a mask past DvBroadcastMaxKeys is joined WITHOUT the broadcast " +
+    "hint (shuffle join, never a forced megabroadcast) and answers " +
+    "stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ks4").toString
+    val n = 1300000
+    ClusteredStore.init(mkDocs(0 until n), Seq("a", "b"), 2, dir,
+      bloomCols = Seq("key"))
+    // ~1.08M masked keys — above the 2^20 broadcast bound
+    val doomed = (0L until n.toLong).filterNot(_ % 6 == 0)
+    assert(doomed.size > ClusteredStore.DvBroadcastMaxKeys)
+    ClusteredStore.deleteKeysDV(spark, dir, "key", doomed)
+
+    val snap = ClusteredStore.read(spark, dir)
+    val antiJoins = snap.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antiJoins.isEmpty,
+      "a >2^20-key mask must not be forced through a broadcast")
+    assert(snap.count() === (n.toLong + 5) / 6)
+    assert(snap.filter(col("key") % 6 =!= 0).count() === 0L)
+  }
 }

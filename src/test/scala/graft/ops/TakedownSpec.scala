@@ -153,6 +153,49 @@ class TakedownSpec extends SparkSpec {
     assert(statsKey(Bm25.readStats(spark, path)) === statsKey(complement))
   }
 
+  test("physical disposal: purgeIndex rewrites only the term buckets " +
+    "holding banned postings (raw files clean, probe and stats " +
+    "unchanged); purgeStore does the same for IVF-PQ codes") {
+    val d = docs(0 until 200)
+    val path = java.nio.file.Files.createTempDirectory("td_purge").toString
+    Bm25.buildIndex(d, "doc_id", "text", path)
+    val banned = Seq(11L, 42L)
+    Bm25.takedownIndex(spark, path, "doc_id", banned)
+    val before = Bm25.probeIndex(spark, path, "doc_id",
+      Seq("alpha", "w3"), topK = 200).collect().toSeq
+    val statsBefore = Bm25.readStats(spark, path)
+      .select("n", "sdl").head()
+
+    val purged = Bm25.purgeIndex(spark, path, "doc_id")
+    assert(purged > 0)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id").isin(banned: _*)).count() === 0L,
+      "purge must remove the banned postings physically")
+    assert(Bm25.probeIndex(spark, path, "doc_id",
+      Seq("alpha", "w3"), topK = 200).collect().toSeq === before)
+    assert(Bm25.readStats(spark, path).select("n", "sdl").head() ===
+      statsBefore,
+      "the takedown's stats correction stays valid after the purge")
+    // the ledger survives: a re-append is still dropped
+    Bm25.appendToIndex(d.filter(col("doc_id").isin(banned: _*)),
+      "doc_id", "text", path)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id").isin(banned: _*)).count() === 0L)
+
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = vecs(0 until 150)
+    val cents = VectorIndex.centroidsFrom(e, 4)
+    val books = ProductQuantizer.train(e, "v", d = 16, m = 4, k = 4,
+      iters = 1)
+    val pq = java.nio.file.Files.createTempDirectory("td_purge_pq")
+      .toString
+    ProductQuantizer.buildStore(e, "v", books, cents, pq)
+    ProductQuantizer.takedownStore(spark, pq, Seq(99L, 100L))
+    assert(ProductQuantizer.purgeStore(spark, pq) > 0)
+    assert(spark.read.parquet(pq)
+      .filter(col("vec_id").isin(99L, 100L)).count() === 0L)
+  }
+
   test("signature stores: a taken-down doc pairs with nothing — flat " +
     "store via load/appendSignatures, banded bucketed store via " +
     "takedownBanded — and no rebuild ever ran") {
