@@ -130,7 +130,11 @@ object Tombstones {
             .dropDuplicates(uniqueKey)
           mask(spark, ledgerPath, rows, idCol)
             .write.mode("overwrite").parquet(s"$pDir.purge")
-          Fs.stagedAppend(spark.read.parquet(s"$pDir.purge"), None, pDir)
+          // explicit schema: a fully-banned partition has ZERO
+          // survivors, and its empty .purge dir would fail inference
+          Fs.stagedAppend(
+            spark.read.schema(rows.schema).parquet(s"$pDir.purge"),
+            None, pDir)
           old.foreach(f => Fs.delete(spark, f))
           Fs.delete(spark, s"$pDir.purge")
         }

@@ -194,6 +194,21 @@ class TakedownSpec extends SparkSpec {
     assert(ProductQuantizer.purgeStore(spark, pq) > 0)
     assert(spark.read.parquet(pq)
       .filter(col("vec_id").isin(99L, 100L)).count() === 0L)
+
+    // a FULLY-banned bucket purges to zero survivors without choking
+    // on its own empty rewrite
+    val ivf = java.nio.file.Files.createTempDirectory("td_purge_all")
+      .toString
+    VectorIndex.buildIvf(e, cents, ivf)
+    val wholeBucket = spark.read.parquet(ivf)
+      .filter(col("bucket") === 1).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(wholeBucket.nonEmpty)
+    VectorIndex.takedownIvf(spark, ivf, wholeBucket)
+    assert(VectorIndex.purgeIvf(spark, ivf) > 0)
+    val left = spark.read.parquet(ivf)
+    assert(left.filter(col("bucket") === 1).count() === 0L)
+    assert(left.count() === 150L - wholeBucket.size)
   }
 
   test("signature stores: a taken-down doc pairs with nothing — flat " +
