@@ -213,7 +213,14 @@ object DedupQueries {
         .select(col("ai"), col("bi"), round(col("jac"), 6).as("jaccard"))
         .orderBy("ai", "bi")
     },
-    Some(s"""WITH sh AS ($duckShingled),
+    Some(minhashOracleOver(duckShingled)),
+    bench = true)
+
+  /** The MinHash-LSH oracle over any `sh`-shaped corpus CTE — the
+    * takedown row reuses it over the COMPLEMENT corpus.
+    */
+  private def minhashOracleOver(shSql: String): String =
+    s"""WITH sh AS ($shSql),
             based AS (
               SELECT doc_id, [${duckMd5num("x")} % $P for x in s] AS bases
               FROM sh),
@@ -237,8 +244,7 @@ object DedupQueries {
             FROM cands JOIN sh a ON a.doc_id = ai JOIN sh b ON b.doc_id = bi
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
-            ORDER BY ai, bi"""),
-    bench = true)
+            ORDER BY ai, bi"""
 
   /** Train/eval decontamination ([[graft.ops.Decontaminate]]): the corpus
     * (doc_id % 7 != 0) is scrubbed of near-matches to the eval slice
@@ -608,6 +614,35 @@ object DedupQueries {
     },
     minhashLsh.oracle)
 
+  /** MinHash dedup through the bucketed signature store AFTER A
+    * TAKEDOWN (r11 verdict: a taken-down doc's signature kept pairing
+    * it into near-dup candidates until a rebuild): every document with
+    * `doc_id % 41 == 5` is forgotten via the store's ledger
+    * ([[graft.ops.SignatureStore.takedownBanded]] — one staged write,
+    * zero store files touched), and the candidate join then masks BOTH
+    * pair sides, so the result hash-matches DuckDB recomputing the
+    * full MinHash-LSH dedup over the COMPLEMENT corpus — banned ids in
+    * no pair, and no surviving pair lost.
+    */
+  val storeAfterTakedown = Q(
+    "q_dedup_after_takedown",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val table = "graft_sig_td_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SignatureStore.buildBanded(docs, table, 8)
+      val banned = docs.filter(col("doc_id") % 41 === 5)
+        .select(col("doc_id").cast("long")).collect()
+        .map(_.getLong(0)).toSeq
+      graft.ops.SignatureStore.takedownBanded(s, table, banned)
+      graft.ops.SignatureStore
+        .bucketedNearDups(s, table, docs)
+        .select(col("ai"), col("bi"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("ai", "bi")
+    },
+    Some(minhashOracleOver(
+      s"SELECT * FROM ($duckShingled) WHERE doc_id % 41 <> 5")))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    simhash60, embeddingCosine, embeddingLsh, storeBucketed, decontaminate)
+    simhash60, embeddingCosine, embeddingLsh, storeBucketed,
+    storeAfterTakedown, decontaminate)
 }
