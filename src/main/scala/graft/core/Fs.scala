@@ -85,6 +85,30 @@ object Fs {
     moved
   }
 
+  /** Every DATA file under `dir`, recursively, skipping `_`/`.`-prefixed
+    * files and anything inside a `_`/`.`-prefixed directory — the same
+    * visibility rule Spark's own file listing applies, so this is "what
+    * a directory-scan reader would read". Qualified paths; empty when
+    * the directory is missing.
+    */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = apply(spark, dir)
+    val root = fs.makeQualified(new Path(dir))
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = root.toUri.relativize(st.getPath.toUri).getPath
+      val inHiddenDir = rel.split('/').init
+        .exists(d => d.startsWith("_") || d.startsWith("."))
+      if (!name.startsWith("_") && !name.startsWith(".") && !inHiddenDir)
+        out += st.getPath.toString
+    }
+    out.result()
+  }
+
   /** Move every DATA file under `srcDir` into `destDir`, preserving
     * relative subpaths (hive `c=v` partition dirs); `_SUCCESS`,
     * `_temporary` and dot-files are skipped. Each file lands via one

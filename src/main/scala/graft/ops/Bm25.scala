@@ -127,9 +127,6 @@ object Bm25 {
       textCol: String,
       path: String,
       nBuckets: Int = 16): Unit = {
-    // a REBUILD resets the forget ledger: it is fed from a corpus that
-    // already honors the takedown, so there is nothing left to mask
-    Tombstones.clear(docs.sparkSession, path)
     postings(docs, idCol, textCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
@@ -137,6 +134,14 @@ object Bm25 {
     corpusStats(docs, textCol).drop("avgdl")
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // a REBUILD resets the forget ledger: it is fed from a corpus that
+    // already honors the takedown, so there is nothing left to mask.
+    // Cleared AFTER the writes succeed (r12 advice): a clear-first
+    // would wipe the ban list while a crashed or failed rebuild leaves
+    // the OLD postings serving — banned docs would resurface. The
+    // other order's worst case is over-masking ids absent from the new
+    // index, which is an identity.
+    Tombstones.clear(docs.sparkSession, path)
   }
 
   /** Forget documents in the SERVING index at takedown cost (r11
@@ -163,13 +168,55 @@ object Bm25 {
     if (ids.nonEmpty) {
       import spark.implicits._
       val kf = ids.distinct.toDF("_td_id")
-      val p = spark.read.parquet(s"$path/postings")
+      val p = Tombstones.readStore(spark, s"$path/postings")
       val dls = p.select(col(idCol).cast("long").as("_id"), col("dl"))
         .join(broadcast(kf), col("_id") === col("_td_id"), "left_semi")
         .distinct() // one (id, dl) row per doc
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       Tombstones.add(spark, path, ids,
         payload = dls, payloadCol = "_ts_dl")
+      // an append can COMMIT a banned doc's postings between the dl
+      // recovery scan above and the ledger write (it read the ledger
+      // before the takedown landed, so the ingest guard let the doc
+      // through) — the id is masked at probe time either way, but its
+      // recorded dl would stay 0 and the corpus totals would keep
+      // counting it. One corrective re-scan AFTER the ledger commit
+      // closes that window for any append that finished before now;
+      // an append still in flight past this point is healed by the
+      // next reconcileStats (maintenance) or rebuild — takedowns and
+      // appends are otherwise single-writer-ordered, like every
+      // maintenance path here.
+      reconcileStats(spark, path, idCol)
+      ()
+    }
+
+  /** Re-derive the recorded length of banned ids whose ledger payload
+    * is 0 but whose postings EXIST — the footprint of an append that
+    * raced its takedown ([[takedownIndex]]'s residual window). Appends
+    * one corrective (id, dl) row per such id; [[readStats]]' per-id
+    * max-dedup makes the correction supersede the stale 0. Idempotent
+    * (a re-run finds nothing with payload 0 left to correct). Returns
+    * ids corrected.
+    */
+  def reconcileStats(spark: SparkSession, path: String,
+      idCol: String): Int =
+    Tombstones.ledger(spark, path) match {
+      case None => 0
+      case Some(t) =>
+        import spark.implicits._
+        val zeroDl = t.groupBy("_ts_id")
+          .agg(max("_ts_dl").as("_ts_dl"))
+          .filter(col("_ts_dl") === 0L)
+        val p = Tombstones.readStore(spark, s"$path/postings")
+        val found = p
+          .select(col(idCol).cast("long").as("_ts_id"), col("dl"))
+          .join(zeroDl.select("_ts_id"), Seq("_ts_id"), "left_semi")
+          .distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (found.nonEmpty)
+          Tombstones.appendLedgerRows(spark, path,
+            found.toDF("_ts_id", "_ts_dl"))
+        found.size
     }
 
   /** Aggregate the stats DELTA LEDGER to the one-row (n, sdl, avgdl,
@@ -191,7 +238,13 @@ object Bm25 {
     // complement corpus.
     val corrected = Tombstones.ledger(spark, path) match {
       case None => base
-      case Some(t) =>
+      case Some(t0) =>
+        // one row per banned id, MAX payload: the ledger tolerates
+        // duplicate id rows (two concurrent takedowns of one id both
+        // pass the add-side anti-join — r12 advice) and 0-payload rows
+        // shadowed by a reconcileStats correction; aggregating the raw
+        // rows would double-subtract and skew every idf/avgdl
+        val t = t0.groupBy("_ts_id").agg(max("_ts_dl").as("_ts_dl"))
         val d = t.agg(
           coalesce(sum(when(col("_ts_dl") > 0, 1L).otherwise(0L)), lit(0L))
             .cast("long").as("td_n"),
@@ -279,9 +332,13 @@ object Bm25 {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024)
-      : Seq[LogCompactor.CompactionReport] =
+      : Seq[LogCompactor.CompactionReport] = {
+    // complete any crashed purge first — compacting a half-swapped
+    // partition would adopt files a pending marker still governs
+    Tombstones.healPurges(spark, s"$path/postings")
     LogCompactor.compact(spark, s"$path/postings", targetFileBytes,
       partitionPrefix = "tb=")
+  }
 
   /** Fold the stats delta ledger's accumulated small files (one per
     * append) via [[LogCompactor.compactFlat]]. Rows are preserved
@@ -330,9 +387,12 @@ object Bm25 {
       .select(pmod(xxhash64(col("value")), lit(nBuckets)))
       .as[Long].collect().distinct.toSeq
     // bucket prune first (partition filter), THEN the tombstone mask —
-    // the anti-join runs over only the probed terms' postings
+    // the anti-join runs over only the probed terms' postings. The scan
+    // goes through the purge gate: identical plan when no purge marker
+    // exists; a pinned exact snapshot while one does (mid-purge or
+    // post-crash).
     val p = Tombstones.mask(spark, path,
-      spark.read.parquet(s"$path/postings")
+      Tombstones.readStore(spark, s"$path/postings")
         .filter(col("tb").isin(buckets: _*))
         .drop("tb"),
       idCol)

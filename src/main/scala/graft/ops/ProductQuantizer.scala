@@ -143,12 +143,15 @@ object ProductQuantizer {
     */
   def buildStore(e: DataFrame, vecCol: String, books: Seq[Codebook],
       cents: Seq[Centroid], path: String): Unit = {
-    // rebuild resets the forget ledger, like VectorIndex.buildIvf
-    Tombstones.clear(e.sparkSession, path)
     encodeDecode(e, vecCol, books)
       .withColumn("bucket", VectorIndex.assignBucket(cents, vecCol, "nrm"))
       .select(col("vec_id"), col("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // rebuild resets the forget ledger, like VectorIndex.buildIvf —
+    // cleared AFTER the write succeeds (r12 advice: a clear-first plus
+    // a failed rebuild would leave the old store serving with the ban
+    // list wiped)
+    Tombstones.clear(e.sparkSession, path)
   }
 
   /** Forget vectors in the IVF-PQ serving store at takedown cost: one
@@ -288,7 +291,9 @@ object ProductQuantizer {
       nProbe: Int,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val idx = decodeFromCodes(spark.read.parquet(path), books)
+    // purge gate: plain partitioned scan when no purge marker exists
+    // (the always case); pinned exact snapshot while one does
+    val idx = decodeFromCodes(Tombstones.readStore(spark, path), books)
     // forget-ledger mask above the bucket join (same placement rationale
     // as VectorIndex.probe: answers = complement rebuild, pruning kept)
     rankTopK(

@@ -38,10 +38,12 @@ object SignatureStore {
   }
 
   def build(docs: DataFrame, path: String): Unit = {
-    // rebuild resets the forget ledger (built from a corpus that
-    // already honors the takedown)
-    Tombstones.clear(docs.sparkSession, path)
     signatures(docs).write.mode("overwrite").parquet(path)
+    // rebuild resets the forget ledger (built from a corpus that
+    // already honors the takedown) — cleared AFTER the write succeeds
+    // (r12 advice: clear-first plus a failed rebuild would leave the
+    // old signatures serving with the ban list wiped)
+    Tombstones.clear(docs.sparkSession, path)
   }
 
   /** Forget documents in the signature store at takedown cost (r11

@@ -78,12 +78,18 @@ object VectorIndex {
     */
   def buildIvf(
       corpus: DataFrame, cents: Seq[Centroid], path: String): Unit = {
-    // a rebuild resets the forget ledger (the corpus it is built from
-    // already honors the takedown)
-    Tombstones.clear(corpus.sparkSession, path)
     corpus
       .withColumn("bucket", assignBucket(cents))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // a rebuild resets the forget ledger (the corpus it is built from
+    // already honors the takedown). Cleared AFTER the write (r12
+    // advice): a clear-first would wipe the ban list while a rebuild
+    // that failed before its overwrite began deleting leaves the OLD
+    // index serving — banned ids would resurface. (The overwrite
+    // itself removes `path/_tombstones` with the rest of the dir, so
+    // this trailing clear is usually a no-op — it exists for the
+    // failure path and for explicitness.)
+    Tombstones.clear(corpus.sparkSession, path)
   }
 
   /** Forget vectors in the SERVING index at takedown cost (r11
@@ -145,9 +151,13 @@ object VectorIndex {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024)
-      : Seq[LogCompactor.CompactionReport] =
+      : Seq[LogCompactor.CompactionReport] = {
+    // complete any crashed purge first — compacting a half-swapped
+    // partition would adopt files a pending marker still governs
+    Tombstones.healPurges(spark, path)
     LogCompactor.compact(spark, path, targetFileBytes,
       partitionPrefix = "bucket=")
+  }
 
   /** Exact top-k per query inside the probed buckets. `queries` must
     * carry (query_id, qv, qn). The probe frame (queries × nprobe rows) is
@@ -171,7 +181,10 @@ object VectorIndex {
           StructField("neighbor_id", LongType),
           StructField("cosine", DoubleType))))
     }
-    val idx = spark.read.parquet(path)
+    // the purge gate: the plain partitioned scan (partition discovery,
+    // DPP and all) when no purge marker exists — the always case — and
+    // a pinned exact snapshot while one does (mid-purge or post-crash)
+    val idx = Tombstones.readStore(spark, path)
     val probes = queries.select(col("query_id"), col("qv"), col("qn"),
       explode(slice(
         sort_array(centroidTerms(cents, "qv", "qn"), asc = false),
