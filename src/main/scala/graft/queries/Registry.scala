@@ -15,6 +15,7 @@ object Registry {
       AnnCostQuery.all ++ DedupCostQuery.all ++ BloomSuppressQuery.all ++
       SkippingQueries.all ++ JsonlQuery.all ++ SnapshotDiffQuery.all ++
       ResampleQuery.all ++ ShreddedQuery.all ++ RollupQuery.all ++
+      ForgetQueries.all ++
       Seq(LogRoundtripQuery.roundtrip, LogInteropQuery.interop,
         DedupClusterQuery.clusters, DedupClusterQuery.canonicalDocs)
 
