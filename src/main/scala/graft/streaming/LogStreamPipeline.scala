@@ -438,20 +438,52 @@ object LogStreamPipeline {
     * this view nails one boundary). Pure partition filtering on the
     * batch-keyed layouts; no extra state is written anywhere.
     *
-    * `batchId` must be at least [[maxFolded]] — older batches are
-    * folded into compacted generations and no longer individually
-    * addressable (the same horizon a vacuumed store's time travel has).
+    * A `batchId` below [[maxFolded]] is CLAMPED UP to the fold horizon
+    * — the oldest boundary a generation-folded log can still serve
+    * (batches at or below it are folded and no longer individually
+    * addressable, the same horizon a vacuumed store's time travel
+    * has) — and the view reports the pin actually served via
+    * `pinnedBatch`. Clamping, not refusing, is deliberate (r12
+    * verdict hygiene item): a dashboard that reads "last completed
+    * tick" and then pins it RACES any concurrent fold advancing the
+    * horizon between those two calls, and the caller cannot close
+    * that race itself — throwing would make the API unusable exactly
+    * while compaction is live. A caller that must detect a stale pin
+    * compares `pinnedBatch` to what it asked for. (The per-store
+    * readers `ShreddedLog.readAsOf` / `LogRollup.read` still REFUSE
+    * below-horizon pins: a direct single-store caller named a
+    * concrete boundary and should hear that it no longer exists.)
     */
   final case class ConsistentView(
-      log: DataFrame, shred: DataFrame, rollup: DataFrame)
+      log: DataFrame, shred: DataFrame, rollup: DataFrame,
+      pinnedBatch: Long)
 
   def readConsistent(spark: SparkSession, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String,
       grain: Seq[String] = Seq("model")): ConsistentView = {
+    // bounded internal retry: the clamp is computed from the LOG's
+    // horizon, but a fold can advance the shred/rollup horizons between
+    // that listing and their own readers' checks — their refusal then
+    // means "the horizon moved again", so recompute and re-pin. Each
+    // retry strictly raises the pin, and horizons only advance at fold
+    // cadence, so one retry is the realistic worst case.
+    var lastRefusal: IllegalArgumentException = null
+    (0 until 5).foreach { _ =>
+      try return pinView(spark, batchId, logDir, shredDir, rollupDir, grain)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("folded") =>
+          lastRefusal = e
+      }
+    }
+    throw lastRefusal
+  }
+
+  private def pinView(spark: SparkSession, batchId: Long, logDir: String,
+      shredDir: String, rollupDir: String,
+      grain: Seq[String]): ConsistentView = {
     val horizon = maxFolded(spark, logDir)
-    require(batchId >= horizon,
-      s"batches <= $horizon are folded into compacted generations — " +
-        s"the log cannot serve a snapshot at $batchId anymore")
+    val pin = math.max(batchId, horizon)
     // MARKER-GATED dir list, not a raw glob: a crashed fold attempt
     // leaves a marker-less `batch=<N>c` dir whose partial data a glob
     // would read (its non-numeric batch value passes any id filter) —
@@ -468,15 +500,15 @@ object LogStreamPipeline {
       if (dirs.isEmpty) spark.read.option("basePath", logDir).parquet(logDir)
       else spark.read.option("basePath", logDir).parquet(dirs: _*)
     // committed generation dirs read as non-numeric `batch` values;
-    // they hold only batches <= maxFolded <= batchId, so they pass
-    // whole
+    // they hold only batches <= maxFolded <= pin, so they pass whole
     val b = col("batch").cast("string")
     val log = raw.filter(!b.rlike("^[0-9]+$") ||
-      b.cast("long") <= batchId)
+      b.cast("long") <= pin)
     ConsistentView(
       log,
-      ShreddedLog.readAsOf(spark, shredDir, batchId),
-      LogRollup.read(spark, rollupDir, grain, upToBatch = Some(batchId)))
+      ShreddedLog.readAsOf(spark, shredDir, pin),
+      LogRollup.read(spark, rollupDir, grain, upToBatch = Some(pin)),
+      pin)
   }
 }
 

@@ -114,6 +114,48 @@ class TombstoneLedgerSpec extends SparkSpec {
     assert(Tombstones.ids(spark, store).get.count() === 6L)
   }
 
+  test("a FAILED rebuild leaves the forget ledger in force — the old " +
+    "index keeps masking banned ids (clear-after-write ordering)") {
+    val d = (0 until 80).toDF("id")
+      .select(col("id").cast("long").as("doc_id"))
+      .withColumn("text", concat_ws(" ", lit("alpha beta"),
+        concat(lit("x"), col("doc_id"))))
+    val path = java.nio.file.Files.createTempDirectory("tl5").toString
+    Bm25.buildIndex(d, "doc_id", "text", path)
+    Bm25.takedownIndex(spark, path, "doc_id", Seq(13L))
+
+    // (a) a rebuild that fails BEFORE its write starts (bad corpus
+    // schema, caught at analysis): the clear-first ordering wiped the
+    // ban list here while the OLD index kept serving whole — the exact
+    // compliance hole of the r12 advice
+    intercept[Exception] {
+      Bm25.buildIndex(d.drop("text"), "doc_id", "text", path)
+    }
+    assert(Tombstones.exists(spark, path),
+      "the ban list must survive a failed-before-write rebuild")
+    val served = Bm25.probeIndex(spark, path, "doc_id", Seq("alpha"),
+      topK = 80)
+    assert(served.filter(col("doc_id") === 13L).count() === 0L,
+      "the old index keeps masking the banned id")
+    assert(served.count() === 79L,
+      "every surviving doc still serves from the intact old index")
+
+    // (b) a rebuild whose WRITE fails mid-execution (every task
+    // throws): the store may be left partial — a documented rebuild
+    // gap — but the ban list still survives, so banned ids can never
+    // surface from whatever remains or gets appended later
+    val poison = d.withColumn("text",
+      when(col("doc_id") >= 0, expr("raise_error('rebuild write failed')"))
+        .otherwise(col("text")))
+    intercept[Exception] {
+      Bm25.buildIndex(poison, "doc_id", "text", path)
+    }
+    assert(Tombstones.exists(spark, path),
+      "the ban list must survive a failed-mid-write rebuild")
+    assert(Bm25.probeIndex(spark, path, "doc_id", Seq("alpha"),
+      topK = 80).filter(col("doc_id") === 13L).count() === 0L)
+  }
+
   test("duplicate ledger rows for one banned doc subtract ONCE from " +
     "the BM25 corpus stats (concurrent takedowns commute)") {
     val d = (0 until 120).toDF("id")

@@ -222,13 +222,31 @@ class LogStreamCompactionSpec extends SparkSpec {
     val next = snapshot(25L)
     assert(next._1.size === 52 && next._2 === 52L)
 
-    // pinning below the fold horizon refuses loudly — through the
-    // pipeline AND directly on each store (generations pass only
-    // whole, so a below-horizon pin has no sound answer anywhere)
-    val e = intercept[IllegalArgumentException](
-      LogStreamPipeline.readConsistent(spark, 5L, logDir, shredDir,
-        rollupDir))
-    assert(e.getMessage.contains("folded"))
+    // a below-horizon pin through the PIPELINE is the dashboard race
+    // (a fold advanced the horizon between "read last completed tick"
+    // and the pin — the caller cannot close that race): readConsistent
+    // CLAMPS to the fold horizon, reports the pin it served, and the
+    // snapshot equals the one an at-horizon pin gets. The direct
+    // per-store readers still refuse — there the caller NAMED a
+    // boundary that no longer exists.
+    val horizon = LogStreamPipeline.maxFolded(spark, logDir)
+    assert(horizon > 5L, "precondition: folds ran past the stale pin")
+    val clamped = LogStreamPipeline.readConsistent(spark, 5L, logDir,
+      shredDir, rollupDir)
+    assert(clamped.pinnedBatch === horizon,
+      "the view must report the pin it actually served")
+    assert(clamped.log.select("run_id").collect()
+        .map(_.getString(0)).sorted.toSeq ===
+      LogStreamPipeline.readConsistent(spark, horizon, logDir, shredDir,
+        rollupDir).log.select("run_id").collect()
+        .map(_.getString(0)).sorted.toSeq,
+      "the clamped snapshot is the at-horizon snapshot, not an error")
+    assert(clamped.shred.count() ===
+      LogStreamPipeline.readConsistent(spark, horizon, logDir, shredDir,
+        rollupDir).shred.count())
+    // an at-or-above-horizon pin reports itself unchanged
+    assert(LogStreamPipeline.readConsistent(spark, 24L, logDir,
+      shredDir, rollupDir).pinnedBatch === 24L)
     intercept[IllegalArgumentException](
       ShreddedLog.readAsOf(spark, shredDir, 5L))
     intercept[IllegalArgumentException](
