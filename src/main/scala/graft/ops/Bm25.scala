@@ -336,6 +336,9 @@ object Bm25 {
     // complete any crashed purge first — compacting a half-swapped
     // partition would adopt files a pending marker still governs
     Tombstones.healPurges(spark, s"$path/postings")
+    // ride the same maintenance tick to fold the forget ledger's
+    // accumulated takedown files into one deduped generation
+    Tombstones.compact(spark, path)
     LogCompactor.compact(spark, s"$path/postings", targetFileBytes,
       partitionPrefix = "tb=")
   }
@@ -368,10 +371,13 @@ object Bm25 {
       topK: Int = 20): DataFrame = {
     import spark.implicits._
     // an index built from zero documents (bootstrap / empty partition)
-    // has a postings dir with no data files — schema inference would
-    // throw, so serve the typed empty answer instead
-    val hasPostings = graft.core.Fs.list(spark, s"$path/postings")
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+    // — or purged down to zero surviving postings in every bucket —
+    // has a postings layout with no data files: schema inference would
+    // throw, so serve the typed empty answer instead (one recursive
+    // listing; bucket counts are small)
+    val hasPostings = graft.core.Fs
+      .listDataFiles(spark, s"$path/postings")
+      .exists(_.contains("/tb="))
     if (!hasPostings) {
       import org.apache.spark.sql.types._
       return spark.createDataFrame(

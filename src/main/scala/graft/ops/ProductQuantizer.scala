@@ -291,6 +291,20 @@ object ProductQuantizer {
       nProbe: Int,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // a store purged down to zero surviving codes in every bucket has
+    // an empty layout whose schema inference would throw — serve the
+    // typed empty answer instead
+    if (!graft.core.Fs.listDataFiles(spark, path)
+        .exists(_.contains("/bucket="))) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType),
+          StructField("rnk", IntegerType),
+          StructField("neighbor_id", LongType),
+          StructField("approx_cos", DoubleType))))
+    }
     // purge gate: plain partitioned scan when no purge marker exists
     // (the always case); pinned exact snapshot while one does
     val idx = decodeFromCodes(Tombstones.readStore(spark, path), books)

@@ -155,6 +155,9 @@ object VectorIndex {
     // complete any crashed purge first — compacting a half-swapped
     // partition would adopt files a pending marker still governs
     Tombstones.healPurges(spark, path)
+    // ride the same maintenance tick to fold the forget ledger's
+    // accumulated takedown files into one deduped generation
+    Tombstones.compact(spark, path)
     LogCompactor.compact(spark, path, targetFileBytes,
       partitionPrefix = "bucket=")
   }
@@ -172,7 +175,12 @@ object VectorIndex {
       nProbe: Int,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    if (cents.isEmpty) {
+    // no model (bootstrap) — or a store purged down to zero surviving
+    // rows in every bucket, whose empty layout would fail schema
+    // inference — serves the typed empty answer
+    if (cents.isEmpty ||
+        !graft.core.Fs.listDataFiles(spark, path)
+          .exists(_.contains("/bucket="))) {
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -217,6 +217,44 @@ class PurgeCommitSpec extends SparkSpec {
     assert(rows.select("vec_id").distinct().count() === rows.count())
   }
 
+  test("a TOTAL takedown (every row banned) purges every bucket empty " +
+    "and probes serve typed-empty answers, not inference crashes") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = vecs(0 until 60)
+    val cents = VectorIndex.centroidsFrom(e, 4)
+    val ivf = java.nio.file.Files.createTempDirectory("pc5").toString
+    VectorIndex.buildIvf(e, cents, ivf)
+    VectorIndex.takedownIvf(spark, ivf, (0L until 60L).toSeq)
+    assert(VectorIndex.purgeIvf(spark, ivf) > 0)
+    val q = vecs(500 until 502)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val knn = VectorIndex.probe(spark, ivf, q, cents, 2, 5)
+    assert(knn.count() === 0L)
+    assert(knn.columns.toSeq ===
+      Seq("query_id", "rnk", "neighbor_id", "cosine"))
+
+    val d = (0 until 40).toDF("id")
+      .select(col("id").cast("long").as("doc_id"))
+      .withColumn("text", concat_ws(" ", lit("alpha"),
+        concat(lit("x"), col("doc_id"))))
+    val bm = java.nio.file.Files.createTempDirectory("pc6").toString
+    Bm25.buildIndex(d, "doc_id", "text", bm)
+    Bm25.takedownIndex(spark, bm, "doc_id", (0L until 40L).toSeq)
+    assert(Bm25.purgeIndex(spark, bm, "doc_id") > 0)
+    assert(Bm25.probeIndex(spark, bm, "doc_id", Seq("alpha"),
+      topK = 10).count() === 0L)
+
+    val books = ProductQuantizer.train(e, "v", d = 16, m = 4, k = 4,
+      iters = 1)
+    val pq = java.nio.file.Files.createTempDirectory("pc7").toString
+    ProductQuantizer.buildStore(e, "v", books, cents, pq)
+    ProductQuantizer.takedownStore(spark, pq, (0L until 60L).toSeq)
+    assert(ProductQuantizer.purgeStore(spark, pq) > 0)
+    assert(ProductQuantizer.probeStore(spark, pq, q, books, cents,
+      nProbe = 2, topK = 5).count() === 0L)
+  }
+
   test("BM25 probe and stats stay exact over a crashed postings purge " +
     "and heal on the next compactIndex") {
     val d = (0 until 240).toDF("id")
