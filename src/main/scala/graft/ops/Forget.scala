@@ -166,6 +166,17 @@ object Forget {
         pendingReqs.size
     }
 
+  /** Fold the ack ledger's accumulated small files (one per request
+    * row / ack row) into bounded generations via
+    * [[LogCompactor.compactFlat]] — rows preserved EXACTLY (request
+    * and ack rows are all load-bearing; dedup happens at read time),
+    * so a decade of takedown requests stays a handful of files.
+    */
+  def compactLedger(spark: SparkSession, ledgerDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Option[LogCompactor.CompactionReport] =
+    LogCompactor.compactFlat(spark, ledgerDir, targetFileBytes)
+
   /** The ack matrix as a frame: one row per (request, registered
     * store), `acked` false where a crash (or an in-flight run) left the
     * store unpropagated — the artifact that says which half ran.

@@ -59,8 +59,28 @@ object SignatureStore {
 
   def load(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    Tombstones.mask(spark, path, spark.read.parquet(path), "doc_id")
+    // a store purged down to zero surviving signatures has no data
+    // files left — schema inference would throw, so serve the same
+    // typed empty frame the signature pipeline itself produces
+    if (graft.core.Fs.listDataFiles(spark, path).isEmpty) {
+      import spark.implicits._
+      return signatures(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    // purge gate: plain scan when no purge marker exists (the always
+    // case); pinned exact snapshot while one does
+    Tombstones.mask(spark, path, Tombstones.readStore(spark, path),
+      "doc_id")
   }
+
+  /** Physically dispose of tombstoned signatures — the flat store's
+    * marker-committed rewrite ([[Tombstones.purgeFlat]]; one row per
+    * doc, so doc_id is the row identity). Readers stay exact
+    * throughout and across a crash at any step via [[load]]'s gate;
+    * the ledger stays in force afterwards.
+    */
+  def purge(spark: SparkSession, path: String): Int =
+    Tombstones.purgeFlat(spark, path, path, "doc_id", Seq("doc_id"))
 
   /** Append a document batch's signatures to the flat store — banned
     * ids drop at ingest, so a re-appended taken-down document never

@@ -242,8 +242,10 @@ object Tombstones {
       .filter(f => f.isFile && f.getPath.getName.startsWith(MarkerPrefix))
       .flatMap { m =>
         val rest = m.getPath.getName.stripPrefix(MarkerPrefix)
-        // format: <36-char uuid> '.' <partDirName>
-        if (rest.length <= TokenLen + 1) None
+        // format: <36-char uuid> '.' <partDirName>; the partDirName is
+        // EMPTY for a flat (unpartitioned) store's purge — the "one
+        // partition" is the store root itself
+        if (rest.length < TokenLen + 1) None
         else {
           val token = rest.substring(0, TokenLen)
           val part = rest.substring(TokenLen + 1)
@@ -290,10 +292,18 @@ object Tombstones {
     * commute; whichever healer deletes the marker has necessarily seen
     * every old file already deleted by someone.
     */
+  /** The partition dir a pending purge rewrites — the store root
+    * itself for a flat store's empty partDirName.
+    */
+  private def pDirOf(dataDir: String, p: PendingPurge): String =
+    if (p.partDirName.isEmpty) dataDir else s"$dataDir/${p.partDirName}"
+
   private def completePurge(spark: SparkSession, dataDir: String,
       p: PendingPurge): Unit = {
-    val pDir = s"$dataDir/${p.partDirName}"
-    val stagePDir = s"$dataDir/$StagePrefix${p.token}/${p.partDirName}"
+    val pDir = pDirOf(dataDir, p)
+    val stagePDir =
+      if (p.partDirName.isEmpty) s"$dataDir/$StagePrefix${p.token}"
+      else s"$dataDir/$StagePrefix${p.token}/${p.partDirName}"
     if (Fs.exists(spark, stagePDir))
       Fs.moveDataFiles(spark, stagePDir, pDir)
     p.oldNames.foreach(n => Fs.delete(spark, s"$pDir/$n"))
@@ -357,8 +367,8 @@ object Tombstones {
       else Some(spark.read.option("basePath", stRoot).parquet(files: _*))
     }
     val excluded: Set[String] = pending.flatMap { p =>
-      p.oldNames.map(n => fs.makeQualified(
-        new Path(s"$dataDir/${p.partDirName}/$n")).toString)
+      p.oldNames.map(n =>
+        fs.makeQualified(new Path(s"${pDirOf(dataDir, p)}/$n")).toString)
     }.toSet
     val visible = Fs.listDataFiles(spark, dataDir).filterNot(excluded)
     val mainLeg =
@@ -397,25 +407,63 @@ object Tombstones {
           .join(t, all(idCol).cast("long") === t("_ts_id"), "left_semi")
           .select(partCol).distinct().collect()
           .filterNot(_.isNullAt(0)).map(_.get(0).toString).toSeq
-        hitParts.foreach { p =>
-          val token = java.util.UUID.randomUUID.toString
-          val partDirName = s"$partCol=$p"
-          val pDir = s"$dataDir/$partDirName"
-          val old = Fs.list(spark, pDir)
-            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-            .map(_.getPath)
-          val survivors = spark.read.parquet(old.map(_.toString): _*)
-            .dropDuplicates(uniqueKey)
-          mask(spark, ledgerPath, survivors, idCol)
-            .write.mode("overwrite")
-            .parquet(s"$dataDir/$StagePrefix$token/$partDirName")
-          writeMarker(spark, dataDir, token, partDirName,
-            old.map(_.getName))
-          completePurge(spark, dataDir,
-            PendingPurge(token, partDirName, old.map(_.getName)))
-        }
+        hitParts.foreach(p =>
+          purgeOne(spark, ledgerPath, dataDir, s"$partCol=$p", idCol,
+            uniqueKey))
         hitParts.size
     }
+  }
+
+  /** Physically dispose of tombstoned rows in a FLAT (unpartitioned)
+    * store — the [[purgePartitions]] protocol with the store root as
+    * the single "partition" (empty partDirName in the marker). Same
+    * commit point, same gate, same healing. Returns 1 when the store
+    * held banned rows and was rewritten, 0 otherwise.
+    */
+  def purgeFlat(spark: SparkSession, ledgerPath: String,
+      dataDir: String, idCol: String, uniqueKey: Seq[String]): Int = {
+    healPurges(spark, dataDir)
+    sweepUncommitted(spark, dataDir)
+    ids(spark, ledgerPath) match {
+      case None => 0
+      case Some(_) =>
+        val all = spark.read.parquet(dataDir)
+        val t = boundedIds(spark, ledgerPath, MaskBroadcastMaxBytes).get
+        val hit = all
+          .join(t, all(idCol).cast("long") === t("_ts_id"), "left_semi")
+          .limit(1).count() > 0
+        if (!hit) 0
+        else {
+          purgeOne(spark, ledgerPath, dataDir, "", idCol, uniqueKey)
+          1
+        }
+    }
+  }
+
+  /** One partition's (or a flat store root's) committed rewrite:
+    * survivors pinned to the LISTED old files (concurrent appends
+    * commute), staged invisibly, marker-committed, rolled forward.
+    */
+  private def purgeOne(spark: SparkSession, ledgerPath: String,
+      dataDir: String, partDirName: String, idCol: String,
+      uniqueKey: Seq[String]): Unit = {
+    val token = java.util.UUID.randomUUID.toString
+    val pDir =
+      if (partDirName.isEmpty) dataDir else s"$dataDir/$partDirName"
+    val old = Fs.list(spark, pDir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (old.isEmpty) return
+    val survivors = spark.read.parquet(old.map(_.toString): _*)
+      .dropDuplicates(uniqueKey)
+    val stagePDir =
+      if (partDirName.isEmpty) s"$dataDir/$StagePrefix$token"
+      else s"$dataDir/$StagePrefix$token/$partDirName"
+    mask(spark, ledgerPath, survivors, idCol)
+      .write.mode("overwrite").parquet(stagePDir)
+    writeMarker(spark, dataDir, token, partDirName, old.map(_.getName))
+    completePurge(spark, dataDir,
+      PendingPurge(token, partDirName, old.map(_.getName)))
   }
 }

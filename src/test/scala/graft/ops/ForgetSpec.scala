@@ -82,5 +82,15 @@ class ForgetSpec extends SparkSpec {
       "r2 is pending only for b")
     assert(runs === mutable.Map("a" -> 2, "b" -> 2))
     assert(got("b") === Seq(9L))
+
+    // ledger compaction: the per-row files fold, the ack matrix and
+    // replay behavior are unchanged
+    val before = Forget.status(spark, ledger, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(Forget.compactLedger(spark, ledger).nonEmpty)
+    assert(Forget.status(spark, ledger, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq === before)
+    assert(Forget.replay(spark, ledger, Seq(a, b)) === 0)
   }
 }

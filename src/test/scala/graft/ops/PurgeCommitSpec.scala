@@ -255,6 +255,68 @@ class PurgeCommitSpec extends SparkSpec {
       nProbe = 2, topK = 5).count() === 0L)
   }
 
+  test("flat signature store: marker-committed purge (store root as " +
+    "the single partition) — load exact mid-crash, heal converges, " +
+    "ledger stays in force, total purge serves typed-empty") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val base = (0 until 60).toDF("id")
+      .select(col("id").cast("long").as("doc_id"))
+      .withColumn("text", concat_ws(" ", lit("the quick brown fox"),
+        concat(lit("tail"), col("doc_id"))))
+    val path = java.nio.file.Files.createTempDirectory("pcf1").toString
+    SignatureStore.build(base, path)
+    val banned = Seq(4L, 5L)
+    SignatureStore.takedown(spark, path, banned)
+    def key() = SignatureStore.load(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = key()
+    assert(expected.size === 58 && !expected.contains(4L))
+
+    // crash a purge after its commit point: survivors staged, marker
+    // written with an EMPTY partDirName (the flat layout), olds intact
+    val old = Fs.list(spark, path)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    val token = java.util.UUID.randomUUID.toString
+    Tombstones.mask(spark, path,
+        spark.read.parquet(old.map(_.toString): _*)
+          .dropDuplicates("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$path/.purge.$token")
+    val fs = Fs(spark, path)
+    val out = fs.create(new Path(path, s"_PURGE.$token."), false)
+    try out.write(old.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+
+    assert(key() === expected,
+      "load over the crashed flat purge — exactly-once, no re-run")
+    assert(Tombstones.healPurges(spark, path) === 1)
+    assert(key() === expected)
+    assert(spark.read.parquet(path)
+      .filter(col("doc_id").isin(banned: _*)).count() === 0L,
+      "banned signatures physically gone after healing")
+    // ledger in force: a re-append is still dropped
+    SignatureStore.appendSignatures(
+      base.filter(col("doc_id").isin(banned: _*)), path)
+    assert(key() === expected)
+
+    // end-to-end purge on a fresh store, then a TOTAL takedown
+    val p2 = java.nio.file.Files.createTempDirectory("pcf2").toString
+    SignatureStore.build(base, p2)
+    SignatureStore.takedown(spark, p2, Seq(7L))
+    assert(SignatureStore.purge(spark, p2) === 1)
+    assert(spark.read.parquet(p2).filter(col("doc_id") === 7L)
+      .count() === 0L)
+    assert(SignatureStore.purge(spark, p2) === 0,
+      "nothing left to purge — the probe finds no banned rows")
+    SignatureStore.takedown(spark, p2, (0L until 60L).toSeq)
+    assert(SignatureStore.purge(spark, p2) === 1)
+    val emptied = SignatureStore.load(spark, p2)
+    assert(emptied.count() === 0L)
+    assert(emptied.columns.toSeq === Seq("doc_id", "s", "sig"),
+      "a fully-purged store serves the typed empty signature frame")
+  }
+
   test("BM25 probe and stats stay exact over a crashed postings purge " +
     "and heal on the next compactIndex") {
     val d = (0 until 240).toDF("id")
