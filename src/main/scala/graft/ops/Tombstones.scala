@@ -284,6 +284,12 @@ object Tombstones {
     ()
   }
 
+  /** The partition dir a pending purge rewrites — the store root
+    * itself for a flat store's empty partDirName.
+    */
+  private def pDirOf(dataDir: String, p: PendingPurge): String =
+    if (p.partDirName.isEmpty) dataDir else s"$dataDir/${p.partDirName}"
+
   /** Complete one committed purge: staged survivors in, old files out,
     * marker removed LAST (so the gate keeps serving the pinned snapshot
     * until the directory state is fully clean). Idempotent, and safe
@@ -292,12 +298,6 @@ object Tombstones {
     * commute; whichever healer deletes the marker has necessarily seen
     * every old file already deleted by someone.
     */
-  /** The partition dir a pending purge rewrites — the store root
-    * itself for a flat store's empty partDirName.
-    */
-  private def pDirOf(dataDir: String, p: PendingPurge): String =
-    if (p.partDirName.isEmpty) dataDir else s"$dataDir/${p.partDirName}"
-
   private def completePurge(spark: SparkSession, dataDir: String,
       p: PendingPurge): Unit = {
     val pDir = pDirOf(dataDir, p)

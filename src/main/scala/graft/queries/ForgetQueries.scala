@@ -86,6 +86,10 @@ object ForgetQueries {
           .write.mode("overwrite").parquet(s"$b/before")
         // replay with the REAL targets converges every store
         Forget.replay(s, ledger, Seq(primaryT, bm25T, sigsT))
+        // physical disposal on the flat store through the
+        // marker-committed purge (r13) — answer-invariant
+        SignatureStore.purge(s, s"$b/sigs")
+        ()
       }
       val primary = leg("primary", ClusteredStore.read(s, s"$base/primary"))
       val hasPostings = graft.core.Fs.list(s, s"$base/bm25/postings")

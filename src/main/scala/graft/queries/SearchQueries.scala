@@ -287,6 +287,9 @@ object SearchQueries {
       // resurrection attempt: re-append exactly the banned documents
       graft.ops.Bm25.appendToIndex(docs.filter(bannedPred),
         "doc_id", "text", path)
+      // physical disposal through the marker-committed purge (r13):
+      // postings rewrite + stats correction must stay answer-invariant
+      graft.ops.Bm25.purgeIndex(s, path, "doc_id")
       graft.ops.Bm25.probeIndex(s, path, "doc_id", terms, k1, b, topK)
         .orderBy(col("score_fp").desc, col("doc_id"))
     },

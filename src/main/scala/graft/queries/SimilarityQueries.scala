@@ -561,6 +561,10 @@ object SimilarityQueries {
       graft.ops.VectorIndex.takedownIvf(s, path, banned)
       // resurrection attempt: re-append exactly the banned vectors
       graft.ops.VectorIndex.appendToIvf(e.filter(bannedPred), cents, path)
+      // physical disposal through the marker-committed purge (r13):
+      // the rewrite must be answer-invariant — the oracle still
+      // recomputes over the complement corpus
+      graft.ops.VectorIndex.purgeIvf(s, path)
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
