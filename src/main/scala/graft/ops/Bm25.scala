@@ -167,28 +167,50 @@ object Bm25 {
       ids: Seq[Long]): Unit =
     if (ids.nonEmpty) {
       import spark.implicits._
-      val kf = ids.distinct.toDF("_td_id")
-      val p = Tombstones.readStore(spark, s"$path/postings")
-      val dls = p.select(col(idCol).cast("long").as("_id"), col("dl"))
-        .join(broadcast(kf), col("_id") === col("_td_id"), "left_semi")
-        .distinct() // one (id, dl) row per doc
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      Tombstones.add(spark, path, ids,
-        payload = dls, payloadCol = "_ts_dl")
-      // an append can COMMIT a banned doc's postings between the dl
-      // recovery scan above and the ledger write (it read the ledger
-      // before the takedown landed, so the ingest guard let the doc
-      // through) — the id is masked at probe time either way, but its
-      // recorded dl would stay 0 and the corpus totals would keep
-      // counting it. One corrective re-scan AFTER the ledger commit
-      // closes that window for any append that finished before now;
-      // an append still in flight past this point is healed by the
-      // next reconcileStats (maintenance) or rebuild — takedowns and
-      // appends are otherwise single-writer-ordered, like every
-      // maintenance path here.
-      reconcileStats(spark, path, idCol)
-      ()
+      takedownIndexFrame(spark, path, idCol, ids.distinct.toDF("_ts_id"))
     }
+
+  /** Frame-based [[takedownIndex]] — the id set arrives as a DataFrame
+    * (one bigint column `_ts_id`) and NOTHING materializes on the
+    * driver: the banned docs' lengths are recovered by a distributed
+    * join against the postings (a left join, so ids with no postings
+    * still land with dl = 0 — banned for the future, nothing to
+    * subtract) and the ledger write rides
+    * [[Tombstones.addFrame]]'s anti-join. This is the
+    * [[Forget]] orchestrator's scale path for court-order-sized id
+    * sets; the Seq overload above delegates here.
+    */
+  def takedownIndexFrame(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      idsDf: DataFrame): Unit = {
+    val kf = idsDf.select(col(idsDf.columns.head).cast("long").as("_ts_id"))
+      .distinct()
+    val p = Tombstones.readStore(spark, s"$path/postings")
+    // semi-prune the postings to the banned docs BEFORE the distinct,
+    // so the dedup shuffles only takedown-sized rows, never the corpus
+    val dls = p.select(col(idCol).cast("long").as("_ts_id"), col("dl"))
+      .join(kf, Seq("_ts_id"), "left_semi")
+      .distinct() // one (id, dl) row per doc
+    val rows = kf.join(dls, Seq("_ts_id"), "left")
+      .select(col("_ts_id"),
+        coalesce(col("dl"), lit(0L)).cast("long").as("_ts_dl"))
+    Tombstones.addFrame(spark, path, rows, payloadCol = "_ts_dl")
+    // an append can COMMIT a banned doc's postings between the dl
+    // recovery scan above and the ledger write (it read the ledger
+    // before the takedown landed, so the ingest guard let the doc
+    // through) — the id is masked at probe time either way, but its
+    // recorded dl would stay 0 and the corpus totals would keep
+    // counting it. One corrective re-scan AFTER the ledger commit
+    // closes that window for any append that finished before now;
+    // an append still in flight past this point is healed by the
+    // next reconcileStats (maintenance) or rebuild — takedowns and
+    // appends are otherwise single-writer-ordered, like every
+    // maintenance path here.
+    reconcileStats(spark, path, idCol)
+    ()
+  }
 
   /** Re-derive the recorded length of banned ids whose ledger payload
     * is 0 but whose postings EXIST — the footprint of an append that
@@ -320,9 +342,16 @@ object Bm25 {
     * the ids. Returns partitions rewritten.
     */
   def purgeIndex(spark: SparkSession, path: String,
-      idCol: String): Int =
+      idCol: String): Int = {
+    // heal the stats FIRST (r13 advice): if a takedown's dl recovery
+    // raced an append (ledger payload stuck at 0), the postings about
+    // to be destroyed are the only remaining evidence of that doc's
+    // length — reconcile while they still exist, or readStats
+    // overcounts n/sdl/avgdl until a full rebuild
+    reconcileStats(spark, path, idCol)
     Tombstones.purgePartitions(spark, path, s"$path/postings", "tb",
       idCol, Seq(idCol, "term"))
+  }
 
   /** Per-term-bucket small-file compaction of an appended index —
     * delegates to [[LogCompactor]] over the `tb=` layout. Answers are

@@ -163,6 +163,16 @@ object ProductQuantizer {
       path: String, ids: Seq[Long]): Unit =
     Tombstones.add(spark, path, ids)
 
+  /** Frame-based [[takedownStore]] — the [[Forget]] orchestrator's
+    * scale path: the id frame rides [[Tombstones.addFrame]]'s
+    * distributed anti-join, nothing materializes on the driver.
+    */
+  def takedownStoreFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, idsDf: org.apache.spark.sql.DataFrame): Unit =
+    Tombstones.addFrame(spark, path,
+      idsDf.select(org.apache.spark.sql.functions
+        .col(idsDf.columns.head).cast("long").as("_ts_id")))
+
   /** Physical disposal of tombstoned codes — bucket-pruned rewrite,
     * same recipe (and same row identity) as [[VectorIndex.purgeIvf]].
     */

@@ -57,6 +57,15 @@ object SignatureStore {
   def takedown(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
     Tombstones.add(spark, path, ids)
 
+  /** Frame-based [[takedown]] — the [[Forget]] orchestrator's scale
+    * path: the id frame rides [[Tombstones.addFrame]]'s distributed
+    * anti-join, nothing materializes on the driver.
+    */
+  def takedownFrame(spark: SparkSession, path: String,
+      idsDf: DataFrame): Unit =
+    Tombstones.addFrame(spark, path,
+      idsDf.select(col(idsDf.columns.head).cast("long").as("_ts_id")))
+
   def load(spark: SparkSession, path: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // a store purged down to zero surviving signatures has no data
@@ -183,6 +192,14 @@ object SignatureStore {
   def takedownBanded(
       spark: SparkSession, table: String, ids: Seq[Long]): Unit =
     Tombstones.add(spark, tableLocation(spark, table), ids)
+
+  /** Frame-based [[takedownBanded]] — same scale path as
+    * [[takedownFrame]], ledgered under the table's location.
+    */
+  def takedownBandedFrame(spark: SparkSession, table: String,
+      idsDf: DataFrame): Unit =
+    Tombstones.addFrame(spark, tableLocation(spark, table),
+      idsDf.select(col(idsDf.columns.head).cast("long").as("_ts_id")))
 
   def bucketedNearDups(
       spark: SparkSession,

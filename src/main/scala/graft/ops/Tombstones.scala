@@ -93,17 +93,38 @@ object Tombstones {
       payloadCol: String = "_ts_n"): Unit =
     if (newIds.nonEmpty) {
       import spark.implicits._
-      val fresh = newIds.distinct
-        .map(i => (i, payload.getOrElse(i, 0L)))
-        .toDF("_ts_id", payloadCol)
-      val toWrite = boundedIds(spark, path, MaskBroadcastMaxBytes) match {
-        case None => fresh
-        case Some(existing) =>
-          fresh.join(existing, Seq("_ts_id"), "left_anti")
-      }
-      Fs.stagedAppend(toWrite.coalesce(1), None, dir(path))
-      ()
+      addFrame(spark, path,
+        newIds.distinct.map(i => (i, payload.getOrElse(i, 0L)))
+          .toDF("_ts_id", payloadCol),
+        payloadCol)
     }
+
+  /** Frame-based [[add]] — the takedown entry point for id sets that
+    * never materialize on the driver (the [[Forget]] orchestrator's
+    * scale path: a court-ordered 10M-id takedown arrives as a staged
+    * parquet frame, not a Seq). `rows` carries `_ts_id` (bigint) plus
+    * optionally `payloadCol`; duplicates fold to max-payload per id,
+    * already-banned ids drop via the same DISTRIBUTED anti-join as the
+    * Seq path, and the write is one staged append. Everything stays a
+    * join — no collect anywhere, so the call is O(takedown batch) in
+    * cluster work and O(1) on the driver regardless of id volume.
+    */
+  def addFrame(spark: SparkSession, path: String, rows: DataFrame,
+      payloadCol: String = "_ts_n"): Unit = {
+    val shaped =
+      (if (rows.columns.contains(payloadCol)) rows
+       else rows.withColumn(payloadCol, lit(0L)))
+        .select(col("_ts_id").cast("long").as("_ts_id"),
+          col(payloadCol).cast("long").as(payloadCol))
+        .groupBy("_ts_id").agg(max(payloadCol).as(payloadCol))
+    val toWrite = boundedIds(spark, path, MaskBroadcastMaxBytes) match {
+      case None => shaped
+      case Some(existing) =>
+        shaped.join(existing, Seq("_ts_id"), "left_anti")
+    }
+    Fs.stagedAppend(toWrite.coalesce(1), None, dir(path))
+    ()
+  }
 
   /** Append pre-shaped ledger rows verbatim (no anti-join) — the
     * CORRECTIVE path: [[Bm25.reconcileStats]] re-records a banned id's
@@ -344,6 +365,25 @@ object Tombstones {
     }
   }
 
+  /** Test hook: invoked after [[readStore]]'s marker listing and before
+    * it opens the listed files — the exact window a concurrent healer's
+    * roll-forward can move a staged file out from under the gate.
+    * Production value is a no-op.
+    */
+  private[ops] var onGateList: () => Unit = () => ()
+
+  /** True when `t`'s cause chain is a vanished-file failure — the
+    * footprint of a concurrent healer finishing between the gate's
+    * listing and its file opens (plan-time footer reads / existence
+    * checks), never of a data error.
+    */
+  private def isVanishedFile(t: Throwable): Boolean = t != null && (
+    t.isInstanceOf[java.io.FileNotFoundException] ||
+    (t.getMessage != null &&
+      (t.getMessage.contains("PATH_NOT_FOUND") ||
+        t.getMessage.contains("does not exist"))) ||
+    isVanishedFile(t.getCause))
+
   /** The GATE every probing read of a purge-maintained store goes
     * through. No marker (the always case outside an active or crashed
     * purge): the plain directory scan — byte-identical plan, partition
@@ -354,10 +394,33 @@ object Tombstones {
     * visible data files minus the markers' old lists. Every file holds
     * each surviving row exactly once at every protocol step, so the
     * union is exact mid-purge and after a crash at any point.
+    *
+    * Retry-clean against concurrent healers (r13 verdict hygiene item):
+    * a roll-forward finishing between the marker listing and the file
+    * opens moves staged files out from under the pinned plan — a window
+    * the gate itself created, so the gate absorbs it with a bounded
+    * internal retry that RECOMPUTES the marker listing (the
+    * [[graft.streaming.LogStreamPipeline.readConsistent]] recipe; after
+    * a completed heal the relisting finds no marker and returns the
+    * plain scan). The residual — a heal landing between a returned
+    * plan and its EXECUTION — equals the pre-existing exposure every
+    * directory-scan reader has against any concurrent compaction,
+    * documented in the protocol note above.
     */
   def readStore(spark: SparkSession, dataDir: String): DataFrame = {
+    var last: Throwable = null
+    (0 until 3).foreach { _ =>
+      try return readStoreOnce(spark, dataDir)
+      catch { case t: Throwable if isVanishedFile(t) => last = t }
+    }
+    throw last
+  }
+
+  private def readStoreOnce(
+      spark: SparkSession, dataDir: String): DataFrame = {
     val pending = listMarkers(spark, dataDir)
     if (pending.isEmpty) return spark.read.parquet(dataDir)
+    onGateList()
     val fs = Fs(spark, dataDir)
     // staged survivors first (see ordering note above)
     val stagedLegs = pending.flatMap { p =>
@@ -396,8 +459,7 @@ object Tombstones {
   def purgePartitions(spark: SparkSession, ledgerPath: String,
       dataDir: String, partCol: String, idCol: String,
       uniqueKey: Seq[String]): Int = {
-    healPurges(spark, dataDir)
-    sweepUncommitted(spark, dataDir)
+    healAndSweep(spark, dataDir)
     ids(spark, ledgerPath) match {
       case None => 0
       case Some(_) =>
@@ -422,8 +484,7 @@ object Tombstones {
     */
   def purgeFlat(spark: SparkSession, ledgerPath: String,
       dataDir: String, idCol: String, uniqueKey: Seq[String]): Int = {
-    healPurges(spark, dataDir)
-    sweepUncommitted(spark, dataDir)
+    healAndSweep(spark, dataDir)
     ids(spark, ledgerPath) match {
       case None => 0
       case Some(_) =>
@@ -447,6 +508,28 @@ object Tombstones {
   private def purgeOne(spark: SparkSession, ledgerPath: String,
       dataDir: String, partDirName: String, idCol: String,
       uniqueKey: Seq[String]): Unit = {
+    rewriteCommitted(spark, dataDir, partDirName, old =>
+      mask(spark, ledgerPath,
+        spark.read.parquet(old: _*).dropDuplicates(uniqueKey), idCol))
+    ()
+  }
+
+  /** The marker-commit protocol itself, factored out of the
+    * ledger-driven purge so OTHER partition rewrites ride the same
+    * commit point and the same [[readStore]] gate — [[LogForget]]'s
+    * custom-id purges over the log pipeline's `date=/batch=` and
+    * `date=/src=` layouts, and its rollup RE-FOLD (where the
+    * replacement is recomputed from another store, not filtered from
+    * the old files). `replacement` receives the pinned old-file list
+    * and returns the frame that replaces the partition's contents;
+    * `partDirName` empty means the store root is the one partition.
+    * Underscore-prefixed files (`_FOLDED` fold markers and the like)
+    * are never listed as old, so they survive the swap in place.
+    * Returns false when the partition held no data files.
+    */
+  private[ops] def rewriteCommitted(spark: SparkSession, dataDir: String,
+      partDirName: String,
+      replacement: Seq[String] => DataFrame): Boolean = {
     val token = java.util.UUID.randomUUID.toString
     val pDir =
       if (partDirName.isEmpty) dataDir else s"$dataDir/$partDirName"
@@ -454,16 +537,23 @@ object Tombstones {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath)
-    if (old.isEmpty) return
-    val survivors = spark.read.parquet(old.map(_.toString): _*)
-      .dropDuplicates(uniqueKey)
+    if (old.isEmpty) return false
     val stagePDir =
       if (partDirName.isEmpty) s"$dataDir/$StagePrefix$token"
       else s"$dataDir/$StagePrefix$token/$partDirName"
-    mask(spark, ledgerPath, survivors, idCol)
+    replacement(old.map(_.toString))
       .write.mode("overwrite").parquet(stagePDir)
     writeMarker(spark, dataDir, token, partDirName, old.map(_.getName))
     completePurge(spark, dataDir,
       PendingPurge(token, partDirName, old.map(_.getName)))
+    true
+  }
+
+  /** Maintainer preamble shared by every committed-rewrite entry point:
+    * roll crashed purges forward, then sweep pre-commit staging debris.
+    */
+  private[ops] def healAndSweep(spark: SparkSession, dataDir: String): Unit = {
+    healPurges(spark, dataDir)
+    sweepUncommitted(spark, dataDir)
   }
 }

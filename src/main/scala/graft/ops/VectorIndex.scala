@@ -107,6 +107,15 @@ object VectorIndex {
       ids: Seq[Long]): Unit =
     Tombstones.add(spark, path, ids)
 
+  /** Frame-based [[takedownIvf]] — the [[Forget]] orchestrator's scale
+    * path: the id frame rides [[Tombstones.addFrame]]'s distributed
+    * anti-join, nothing materializes on the driver.
+    */
+  def takedownIvfFrame(spark: SparkSession, path: String,
+      idsDf: DataFrame): Unit =
+    Tombstones.addFrame(spark, path,
+      idsDf.select(col(idsDf.columns.head).cast("long").as("_ts_id")))
+
   /** Physically dispose of tombstoned rows — a BUCKET-PRUNED rewrite,
     * never a rebuild ([[Tombstones.purgePartitions]]; vec_id is the
     * store's row identity, which makes a crashed purge converge on

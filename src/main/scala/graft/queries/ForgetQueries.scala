@@ -58,8 +58,12 @@ object ForgetQueries {
         val bm25T = Forget.bm25Target(s, s"$b/bm25", "doc_id")
         val sigsT = Forget.signatureTarget(s, s"$b/sigs")
         // the crash: the signature store's takedown dies BEFORE doing
-        // any work — primary and BM25 have acked, sigs has not
-        val crash = Forget.Target(sigsT.name,
+        // any work — primary and BM25 have acked, sigs has not. The
+        // crashing stand-in records the REAL store's registry
+        // coordinates (the process-loss story: closures die, the
+        // ledger's kind/path rows survive).
+        val crash = new Forget.Target(sigsT.name, sigsT.kind,
+          sigsT.path, sigsT.arg,
           _ => throw new RuntimeException("injected crash"))
         try Forget.forget(s, ledger, "takedown-89-5", banned,
           Seq(primaryT, bm25T, crash))

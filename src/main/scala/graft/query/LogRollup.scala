@@ -120,6 +120,23 @@ object LogRollup {
         max(col("max_us")).as("max_us"),
         hll_union_agg(col("custom_sketch")).as("custom_sketch"))
 
+  /** Recompute the partial rows of ONE (date, src) partition from
+    * already-shredded rows — the re-fold step of
+    * [[graft.ops.LogForget.refoldRollup]]: forgetting a custom_id must
+    * SUBTRACT its contribution from the aggregates (counts, sums, the
+    * HLL sketch), which only a recompute over the surviving shred rows
+    * can do exactly. `shredded` is the partition's raw rows (no
+    * date/src columns — those live in the directory name); the result
+    * is shaped exactly like the partition's files (model + aggregate
+    * states, one row per model).
+    */
+  private[graft] def partialsOfSlice(shredded: DataFrame, date: String,
+      src: String): DataFrame =
+    partials(shredded
+        .withColumn("date", lit(date).cast("date"))
+        .withColumn("src", lit(src)))
+      .drop("date", "src")
+
   /** Full (re)build: delete + roll up everything. */
   def build(spark: SparkSession, logDir: String, rollupDir: String): Unit = {
     Fs.delete(spark, rollupDir)

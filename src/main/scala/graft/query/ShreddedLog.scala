@@ -214,6 +214,20 @@ object ShreddedLog {
     out.result()
   }
 
+  /** This store's own fold horizon: the highest batch id absorbed into
+    * a COMMITTED (`_FOLDED`-marked) `src=gen-<N>c` generation, −1 when
+    * none — the lowest batch id a snapshot reader can still pin.
+    * Shared by [[readAsOf]] / [[LogRollup.read]]'s refusals and by
+    * [[graft.streaming.LogStreamPipeline.readConsistent]]'s clamp (the
+    * r13 advice fix: the clamp must honor the BINDING store's horizon,
+    * which is not always the log's).
+    */
+  private[graft] def foldHorizon(spark: SparkSession,
+      storeDir: String): Long =
+    committedGenSrcs(spark, storeDir)
+      .map(_.stripPrefix("gen-").stripSuffix("c").toLong - 1)
+      .foldLeft(-1L)(math.max)
+
   /** The typed view PINNED at a streaming batch id: only rows from
     * `src=batch-<k>` partitions with `k <= upToBatch` — the shred leg
     * of [[graft.streaming.LogStreamPipeline.readConsistent]]'s

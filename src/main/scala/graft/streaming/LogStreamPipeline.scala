@@ -403,7 +403,7 @@ object LogStreamPipeline {
   /** Drop the cached fold horizons (test hook for suites that reuse
     * paths across simulated process restarts).
     */
-  private[streaming] def invalidateHorizonCache(): Unit =
+  private[graft] def invalidateHorizonCache(): Unit =
     foldHorizon.clear()
 
   def tick(batch: DataFrame, batchId: Long, logDir: String,
@@ -461,11 +461,11 @@ object LogStreamPipeline {
   def readConsistent(spark: SparkSession, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String,
       grain: Seq[String] = Seq("model")): ConsistentView = {
-    // bounded internal retry: the clamp is computed from the LOG's
-    // horizon, but a fold can advance the shred/rollup horizons between
-    // that listing and their own readers' checks — their refusal then
-    // means "the horizon moved again", so recompute and re-pin. Each
-    // retry strictly raises the pin, and horizons only advance at fold
+    // bounded internal retry: the clamp is computed from all three
+    // stores' fold horizons, but a fold can advance any of them between
+    // those listings and the readers' own checks — a refusal then means
+    // "the horizon moved again", so recompute and re-pin. Each retry
+    // strictly raises the pin, and horizons only advance at fold
     // cadence, so one retry is the realistic worst case.
     var lastRefusal: IllegalArgumentException = null
     (0 until 5).foreach { _ =>
@@ -482,7 +482,17 @@ object LogStreamPipeline {
   private def pinView(spark: SparkSession, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String,
       grain: Seq[String]): ConsistentView = {
-    val horizon = maxFolded(spark, logDir)
+    // clamp to the MAX of all three stores' fold horizons (r13 advice):
+    // the log fold runs first in tick(), so the log horizon normally
+    // binds — but a tick that crashed between the log fold and the
+    // store folds on a PREVIOUS cadence, then resumed, can leave the
+    // shred/rollup horizons ahead; pinning only to the log's would make
+    // every retry recompute the identical too-low pin and rethrow the
+    // stores' refusal, silently breaking the "clamped, not refused"
+    // contract exactly when the binding horizon is a non-log store
+    val horizon = math.max(maxFolded(spark, logDir),
+      math.max(graft.query.ShreddedLog.foldHorizon(spark, shredDir),
+        graft.query.ShreddedLog.foldHorizon(spark, rollupDir)))
     val pin = math.max(batchId, horizon)
     // MARKER-GATED dir list, not a raw glob: a crashed fold attempt
     // leaves a marker-less `batch=<N>c` dir whose partial data a glob

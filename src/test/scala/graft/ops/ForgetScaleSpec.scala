@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The forget request pin's ENFORCED scale contract (r13 verdict wrong
+  * #1 — third recurrence of the documented-not-enforced pattern, after
+  * ClusteredStore.LiteralKeyMax (r11) and Tombstones.add (r12)): past
+  * [[Forget.RequestPinMaxIds]] the id set pins as a staged parquet
+  * FRAME keyed by request — never one giant array cell — and every
+  * consumer (the targets' id frame, replay, the resubmission check)
+  * reads it as a distributed scan, never a driver collect/explode.
+  */
+class ForgetScaleSpec extends SparkSpec {
+
+  test("a 2M-id request pins as a staged frame (empty request-row " +
+    "array), the target receives a FILE-SCAN plan (no driver " +
+    "materialization), replay converges from the frame, and answers " +
+    "equal the small path's") {
+    val n = 2L * 1000 * 1000
+    assert(n > Forget.RequestPinMaxIds)
+    val ledger = java.nio.file.Files.createTempDirectory("fgs1").toString
+    val ids = spark.range(0, n).select(col("id").as("_fg_id"))
+
+    var plans = Vector.empty[String]
+    var counts = Vector.empty[Long]
+    val probe = new Forget.Target("probe", Forget.KindAdhoc, "", "",
+      df => {
+        plans :+= df.queryExecution.executedPlan.toString
+        counts :+= df.count()
+      })
+    val crash = new Forget.Target("late", Forget.KindAdhoc, "", "",
+      _ => throw new RuntimeException("injected crash"))
+
+    intercept[RuntimeException] {
+      Forget.forgetFrame(spark, ledger, "big", Some(ids),
+        Seq(probe, crash))
+    }
+
+    // the pin is a FRAME under _ids/, not one array cell
+    assert(graft.core.Fs.nonEmptyDir(spark, s"$ledger/_ids"),
+      "past RequestPinMaxIds the ids must stage as a parquet frame")
+    val reqRow = spark.read.parquet(ledger)
+      .filter(col("_fg_phase") === "request")
+    assert(reqRow.select(size(col("_fg_ids"))).head().getInt(0) === 0,
+      "the request row must NOT carry the giant array")
+    assert(reqRow.select("_fg_staged").head().getBoolean(0))
+
+    // the target's id frame is a distributed scan of the staged pin
+    assert(plans.head.contains("Scan parquet") ||
+      plans.head.contains("FileScan"),
+      s"expected a file scan of the staged pin, got:\n${plans.head}")
+    assert(!plans.head.contains("LocalTableScan"),
+      "a LocalTableScan means the ids went through the driver")
+    assert(counts.head === n)
+
+    // replay (registry-free pending check + caller targets) converges
+    // from the staged frame — acked probe does not re-run
+    val late = new Forget.Target("late", Forget.KindAdhoc, "", "",
+      df => counts :+= df.count())
+    assert(Forget.replay(spark, ledger, Seq(probe, late)) === 1)
+    assert(counts === Vector(n, n))
+    assert(plans.size === 1, "the acked store must not re-run")
+
+    // resubmission equality check runs DISTRIBUTED and still refuses a
+    // different set
+    intercept[IllegalArgumentException] {
+      Forget.forgetFrame(spark, ledger, "big",
+        Some(spark.range(0, n - 1).select(col("id").as("_fg_id"))),
+        Seq(probe, late))
+    }
+    Forget.forgetFrame(spark, ledger, "big", Some(ids), Seq(probe, late))
+  }
+
+  test("the small path is unchanged: an inline request row, identical " +
+    "propagation semantics") {
+    val ledger = java.nio.file.Files.createTempDirectory("fgs2").toString
+    var got: Seq[Long] = Nil
+    val t = Forget.Target.adhoc("t")(ids => got = ids)
+    Forget.forget(spark, ledger, "small", Seq(3L, 1L, 2L), Seq(t))
+    assert(got.sorted === Seq(1L, 2L, 3L))
+    assert(!graft.core.Fs.exists(spark, s"$ledger/_ids"),
+      "small requests must not stage a frame")
+    val reqRow = spark.read.parquet(ledger)
+      .filter(col("_fg_phase") === "request")
+    assert(reqRow.select(size(col("_fg_ids"))).head().getInt(0) === 3)
+  }
+}
