@@ -109,9 +109,11 @@ object LogForget {
     val all = spark.read.option("basePath", storeDir).parquet(storeDir)
       .select(col("custom_id").cast("string").as("custom_id"),
         col("date"), col(partCol).cast("string").as("_lf_p"))
-      .filter(col("date").isNotNull)
     val hits = all.join(k, all("custom_id") === k("_lf_cid"), "left_semi")
-      .select(date_format(col("date"), "yyyy-MM-dd").as("_d"),
+      // null event dates land in Hive's default partition — a banned
+      // row there must purge like any other
+      .select(coalesce(date_format(col("date"), "yyyy-MM-dd"),
+          lit("__HIVE_DEFAULT_PARTITION__")).as("_d"),
         col("_lf_p"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
@@ -152,10 +154,10 @@ object LogForget {
     val shred = spark.read.option("basePath", shredDir).parquet(shredDir)
       .select(col("custom_id").cast("string").as("custom_id"),
         col("date"), col("src").cast("string").as("_lf_p"))
-      .filter(col("date").isNotNull)
     val hits = shred.join(k, shred("custom_id") === k("_lf_cid"),
         "left_semi")
-      .select(date_format(col("date"), "yyyy-MM-dd").as("_d"),
+      .select(coalesce(date_format(col("date"), "yyyy-MM-dd"),
+          lit("__HIVE_DEFAULT_PARTITION__")).as("_d"),
         col("_lf_p"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
@@ -167,8 +169,10 @@ object LogForget {
         else spark.read.parquet(srcFiles: _*)
           .join(k, col("custom_id").cast("string") === k("_lf_cid"),
             "left_anti")
+      val dOpt =
+        if (d == "__HIVE_DEFAULT_PARTITION__") None else Some(d)
       Tombstones.rewriteCommitted(spark, s"$rollupDir/date=$d",
-        s"src=$s", _ => LogRollup.partialsOfSlice(survivors, d, s))
+        s"src=$s", _ => LogRollup.partialsOfSlice(survivors, dOpt, s))
     }
     hits.size
   }

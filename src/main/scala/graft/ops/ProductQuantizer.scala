@@ -181,6 +181,25 @@ object ProductQuantizer {
     Tombstones.purgePartitions(spark, path, path, "bucket", "vec_id",
       Seq("vec_id"))
 
+  /** Per-bucket small-file compaction of an appended IVF-PQ store —
+    * the ONE maintenance entry point, and (r13 verdict item: every
+    * store's maintenance tick must heal, so no store relies on a PROBE
+    * to converge a crashed purge) it runs the same preamble pair as
+    * [[Bm25.compactIndex]] / [[VectorIndex.compactIvf]]: complete any
+    * crashed marker-committed purge first (compacting a half-swapped
+    * partition would adopt files a pending marker still governs), then
+    * fold the forget ledger's accumulated takedown files.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[LogCompactor.CompactionReport] = {
+    Tombstones.healPurges(spark, path)
+    Tombstones.compact(spark, path)
+    LogCompactor.compact(spark, path, targetFileBytes,
+      partitionPrefix = "bucket=")
+  }
+
   /** Append a vector batch to a materialized IVF-PQ store — the 100 TB
     * shape is append-only ingestion, not nightly rebuilds. New rows are
     * bucket-assigned and encoded against the FROZEN models map-side

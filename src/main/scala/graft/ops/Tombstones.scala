@@ -420,12 +420,15 @@ object Tombstones {
       spark: SparkSession, dataDir: String): DataFrame = {
     val pending = listMarkers(spark, dataDir)
     if (pending.isEmpty) return spark.read.parquet(dataDir)
-    onGateList()
     val fs = Fs(spark, dataDir)
     // staged survivors first (see ordering note above)
-    val stagedLegs = pending.flatMap { p =>
+    val stagedFiles = pending.map { p =>
       val stRoot = s"$dataDir/$StagePrefix${p.token}"
-      val files = Fs.listDataFiles(spark, stRoot)
+      (stRoot, Fs.listDataFiles(spark, stRoot))
+    }
+    onGateList() // test hook: the healer-race window (files listed,
+    //              not yet opened)
+    val stagedLegs = stagedFiles.flatMap { case (stRoot, files) =>
       if (files.isEmpty) None
       else Some(spark.read.option("basePath", stRoot).parquet(files: _*))
     }

@@ -132,5 +132,151 @@ object ForgetQueries {
               FROM d WHERE len(w) >= 3)
             ORDER BY store"""))
 
-  val all: Seq[Q] = Seq(forgetReplay)
+  /** Oracle check for the LOG-pipeline forget (r13 verdict missing #1):
+    * a real streamed log (three ticks, one compacted `_FOLDED`
+    * generation) built from the events table with known per-custom-id
+    * token contributions; one `forget(custom_ids)` across the rollup
+    * re-fold, the detail purge, and the shred purge, CRASHED at the
+    * shred store (rollup and detail acked); mid-crash evidence pinned
+    * with a poisoned-count tripwire; then a REGISTRY-FREE
+    * `Forget.replay(ledgerDir)` — no caller closures — converges the
+    * shred purge. Every leg hash-matches DuckDB recomputing the same
+    * counts and token sums over the COMPLEMENT event set: detail row
+    * counts + parsed payload token sums, shredded typed sums, and the
+    * rollup's re-folded aggregates (subtraction, not masking).
+    */
+  val forgetLog = Q(
+    "q_forget_log",
+    (s, dir) => {
+      val base = memo("forgetlog", dir) { b =>
+        val ev = tbl(s, dir, "events")
+          .withColumn("eid", col("event_id").cast("long"))
+          .withColumn("in_tok",
+            coalesce(get_json_object(col("props"), "$.k").cast("long"),
+              lit(0L)))
+          .withColumn("out_tok", pmod(col("eid") * 13, lit(97L)))
+        val rows = ev.select(
+          timestamp_micros(tsMicros).as("timestamp"),
+          concat(lit("run-"), col("eid")).as("run_id"),
+          lit("").as("parent_run_id"),
+          col("user_id").cast("string").as("custom_id"),
+          col("event_type"),
+          lit("""{"job":"forget"}""").as("logger_metadata"),
+          to_json(struct(
+            col("event_type"),
+            struct(
+              concat(lit("m"), pmod(col("eid"), lit(3L))).as("model"),
+              struct(
+                col("in_tok").as("input_tokens"),
+                col("out_tok").as("output_tokens"),
+                (col("in_tok") + col("out_tok")).as("total_tokens"))
+                .as("usage_metadata")).as("data"))).as("payload"),
+          pmod(col("eid"), lit(3L)).as("slice"))
+        val (log, shred, roll) = (s"$b/log", s"$b/shred", s"$b/roll")
+        (0 until 3).foreach { k =>
+          graft.streaming.LogStreamPipeline.tick(
+            rows.filter(col("slice") === k).drop("slice"),
+            k.toLong, log, shred, roll, compactEvery = 2)
+        }
+        val banned = ev.filter(pmod(col("user_id"), lit(31L)) === 4)
+          .select("user_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val ledger = s"$b/ledger"
+        val Seq(rollT, detailT, shredT) =
+          Forget.logTargets(s, log, shred, roll)
+        // the crash: the SHRED purge dies before doing any work —
+        // rollup re-fold and detail purge have acked, shred has not.
+        // The stand-in records the real store's registry coordinates
+        // (the process-loss story: closures die, the ledger survives).
+        val crash = new Forget.Target(shredT.name, shredT.kind,
+          shredT.path, shredT.arg,
+          _ => throw new RuntimeException("injected crash"))
+        try Forget.forget(s, ledger, "gdpr-31-4", banned,
+          Seq(rollT, detailT, crash))
+        catch {
+          case e: RuntimeException if e.getMessage == "injected crash" =>
+        }
+        // pin the mid-crash evidence: the shred store still serves
+        // EVERY banned row (deterministic counts the oracle recomputes)
+        // while the ledger names exactly one store unacked. If the ack
+        // protocol ever missed the crash, poison the counts so the
+        // oracle hash FAILS rather than silently passing.
+        import s.implicits._
+        val pending = Forget.status(s, ledger,
+            Seq(rollT.name, detailT.name, shredT.name))
+          .filter(!col("acked")).count()
+        val crashVisible = banned.isEmpty || pending == 1L
+        // typed-empty-safe read (the empty Sunday batch: a zero-event
+        // sweep leaves a store with no data files)
+        val shredLive = graft.query.ShreddedLog.read(s, shred)
+        val (nBefore, nBannedBefore) =
+          if (crashVisible)
+            (shredLive.count(),
+              shredLive.filter(
+                pmod(col("custom_id").cast("long"), lit(31L)) === 4)
+                .count())
+          else (-1000000L, -1000000L)
+        Seq(("shred_before_replay", nBefore, nBannedBefore))
+          .toDF("store", "n_rows", "tok")
+          .write.mode("overwrite").parquet(s"$b/before")
+        // process loss: a REGISTRY-FREE replay from the ledger dir
+        // alone reconstructs the shred target and converges
+        Forget.replay(s, ledger)
+        ()
+      }
+      val detail = {
+        import s.implicits._
+        // a zero-event sweep leaves no data files — serve the typed
+        // zero leg instead of crashing schema inference
+        if (graft.core.Fs.listDataFiles(s, s"$base/log").isEmpty)
+          Seq(("log_detail", 0L, 0L)).toDF("store", "n_rows", "tok")
+        else s.read.parquet(s"$base/log")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            coalesce(sum(get_json_object(col("payload"),
+                "$.data.usage_metadata.input_tokens").cast("long")),
+              lit(0L)).cast("long").as("tok"))
+          .select(lit("log_detail").as("store"), col("n_rows"),
+            col("tok"))
+      }
+      val shredF = graft.query.ShreddedLog.read(s, s"$base/shred")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(col("input_tokens")), lit(0L)).cast("long")
+            .as("tok"))
+        .select(lit("shred").as("store"), col("n_rows"), col("tok"))
+      val rollF = graft.query.LogRollup.read(s, s"$base/roll",
+          Seq("model"))
+        .agg(coalesce(sum(col("n_events")), lit(0L)).cast("long")
+            .as("n_rows"),
+          coalesce(sum(col("tot_tokens")), lit(0L)).cast("long")
+            .as("tok"))
+        .select(lit("rollup").as("store"), col("n_rows"), col("tok"))
+      detail.unionByName(rollF).unionByName(shredF)
+        .unionByName(s.read.parquet(s"$base/before"))
+        .orderBy("store")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS eid, user_id,
+                     COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0) AS in_tok,
+                     (CAST(event_id AS BIGINT) * 13) % 97 AS out_tok
+              FROM events),
+            c AS (SELECT * FROM e
+                  WHERE user_id IS NULL OR user_id % 31 <> 4)
+            SELECT * FROM (
+              SELECT 'log_detail' AS store,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(in_tok) AS BIGINT) AS tok FROM c
+              UNION ALL
+              SELECT 'rollup', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok + out_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred_before_replay', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN user_id % 31 = 4 THEN 1 ELSE 0
+                       END) AS BIGINT) FROM e)
+            ORDER BY store"""))
+
+  val all: Seq[Q] = Seq(forgetReplay, forgetLog)
 }

@@ -130,10 +130,14 @@ object LogRollup {
     * is shaped exactly like the partition's files (model + aggregate
     * states, one row per model).
     */
-  private[graft] def partialsOfSlice(shredded: DataFrame, date: String,
-      src: String): DataFrame =
+  private[graft] def partialsOfSlice(shredded: DataFrame,
+      date: Option[String], src: String): DataFrame =
     partials(shredded
-        .withColumn("date", lit(date).cast("date"))
+        .withColumn("date",
+          // None = Hive's default partition (null event dates) — a
+          // string cast of the sentinel would throw under ANSI
+          date.map(d => lit(d).cast("date"))
+            .getOrElse(lit(null).cast("date")))
         .withColumn("src", lit(src)))
       .drop("date", "src")
 
