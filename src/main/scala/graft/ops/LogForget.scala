@@ -81,6 +81,26 @@ object LogForget {
     Fs.list(spark, storeDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
 
+  /** Roll crashed log-store purges forward across every date partition
+    * of a `date=`-laid-out store — the heal entry the CONSISTENCY
+    * paths run before trusting the raw directory state
+    * ([[graft.streaming.LogStreamPipeline.readConsistent]] before
+    * pinning a snapshot, and the tick's fold cadence before folding a
+    * source dir a crashed purge left half-swapped). The always case
+    * (no marker anywhere) costs one name filter on a listing; healing
+    * is idempotent and commutes with concurrent healers, the same
+    * any-reader contract as [[Tombstones.healPurges]]. Returns markers
+    * processed.
+    */
+  def healStore(spark: SparkSession, storeDir: String): Int =
+    dateDirs(spark, storeDir).map { d =>
+      val p = d.getPath.toString
+      if (Fs.list(spark, p).exists(
+          _.getPath.getName.startsWith(Tombstones.MarkerPrefix)))
+        Tombstones.healPurges(spark, p)
+      else 0
+    }.sum
+
   /** Physically remove every detail-log row of the given custom ids —
     * partition-pruned marker-committed rewrites over the landed
     * `date=/batch=` layout. Returns partitions rewritten.

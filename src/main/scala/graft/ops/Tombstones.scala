@@ -250,7 +250,7 @@ object Tombstones {
   // into that one pre-existing transient.
   // --------------------------------------------------------------------
 
-  private val MarkerPrefix = "_PURGE."
+  private[graft] val MarkerPrefix = "_PURGE."
   private val StagePrefix = ".purge."
   private val TokenLen = 36 // UUID string length
 

@@ -420,6 +420,13 @@ object LogStreamPipeline {
       LogRollup.appendBatch(b, batchId, rollupDir)
     } finally { b.unpersist(); () }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // a crashed LogForget purge leaves a partially-swapped partition
+      // behind its _PURGE marker — roll it forward BEFORE any fold
+      // reads that partition as a source (heal is a name filter on a
+      // listing in the always case, and idempotent otherwise)
+      graft.ops.LogForget.healStore(spark, logDir)
+      graft.ops.LogForget.healStore(spark, shredDir)
+      graft.ops.LogForget.healStore(spark, rollupDir)
       compactLanded(spark, logDir, batchId, targetFileBytes)
       foldSrcStore(spark, shredDir, batchId, targetFileBytes, identity)
       foldSrcStore(spark, rollupDir, batchId, targetFileBytes,
@@ -482,6 +489,14 @@ object LogStreamPipeline {
   private def pinView(spark: SparkSession, batchId: Long, logDir: String,
       shredDir: String, rollupDir: String,
       grain: Seq[String]): ConsistentView = {
+    // the consistency-promising reader must never see a partition a
+    // crashed LogForget purge left half-swapped — heal first (the one
+    // deliberately MUTATING step in this reader: idempotent,
+    // commutes with concurrent healers, and free when no marker
+    // exists, which is the always case)
+    graft.ops.LogForget.healStore(spark, logDir)
+    graft.ops.LogForget.healStore(spark, shredDir)
+    graft.ops.LogForget.healStore(spark, rollupDir)
     // clamp to the MAX of all three stores' fold horizons (r13 advice):
     // the log fold runs first in tick(), so the log horizon normally
     // binds — but a tick that crashed between the log fold and the

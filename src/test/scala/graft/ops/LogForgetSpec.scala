@@ -96,6 +96,60 @@ class LogForgetSpec extends SparkSpec {
     assert(served(roll) === served(rollC))
   }
 
+  test("a crashed log purge cannot leak a half-swapped partition into " +
+    "the consistency paths: readConsistent heals the marker before " +
+    "pinning, and the tick's fold cadence heals before folding the " +
+    "partition as a source") {
+    import spark.implicits._
+    val all = entries(36, i => s"${i % 3}")
+    val (log, shred, roll) = mkStores("lf3", all, ticks = 3)
+
+    // fabricate a crashed purge of custom_id "1" in one detail
+    // partition: staged survivors + _PURGE marker, old files untouched
+    val d = graft.core.Fs.list(spark, log)
+      .filter(_.getPath.getName.startsWith("date=")).head.getPath
+    val batchDir = graft.core.Fs.list(spark, d.toString)
+      .filter(_.getPath.getName.matches("batch=[0-9]+")).head
+      .getPath.getName
+    val totalBefore = spark.read.parquet(log).count()
+    val inPart = spark.read.parquet(s"$d/$batchDir")
+    val dropped = inPart.filter(col("custom_id") === "1").count()
+    assert(dropped > 0, "fixture partition holds no banned rows")
+    PurgeFixtures.fabricateCrashedRewrite(spark, d.toString, batchDir,
+      old => old.filter(col("custom_id") =!= "1"))
+    assert(graft.core.Fs.list(spark, d.toString)
+      .exists(_.getPath.getName.startsWith("_PURGE.")))
+
+    // the consistent reader heals first, then pins — exact rows, no
+    // torn partition, marker gone
+    val view = graft.streaming.LogStreamPipeline.readConsistent(
+      spark, 2L, log, shred, roll)
+    assert(view.log.count() === totalBefore - dropped)
+    assert(!graft.core.Fs.list(spark, d.toString)
+      .exists(_.getPath.getName.startsWith("_PURGE.")),
+      "readConsistent must have rolled the crashed purge forward")
+
+    // same discipline at the fold cadence: fabricate another crash,
+    // then a tick whose compactEvery fires — the fold must not absorb
+    // a half-swapped source
+    val batchDir2 = graft.core.Fs.list(spark, d.toString)
+      .filter(_.getPath.getName.matches("batch=[0-9]+")).head
+      .getPath.getName
+    val dropped2 = spark.read.parquet(s"$d/$batchDir2")
+      .filter(col("custom_id") === "2").count()
+    PurgeFixtures.fabricateCrashedRewrite(spark, d.toString, batchDir2,
+      old => old.filter(col("custom_id") =!= "2"))
+    graft.streaming.LogStreamPipeline.tick(
+      all.filter(pmod(hash(col("run_id")), lit(3)) === 0).limit(0),
+      4L, log, shred, roll, compactEvery = 4)
+    assert(!graft.core.Fs.list(spark, d.toString)
+      .exists(n => n.getPath.getName.startsWith("_PURGE.") ||
+        n.getPath.getName.startsWith(".purge.")),
+      "the fold cadence must heal before folding")
+    assert(spark.read.parquet(log).count() ===
+      totalBefore - dropped - dropped2)
+  }
+
   test("orchestrated forget with an injected crash between the " +
     "rollup re-fold and the shred purge: the ledger names the " +
     "unfinished stores, registry-free replay converges, detail " +

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,35 +16,14 @@ import graft.core.Fs
 class MaintenanceHealSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Drive the purge protocol by hand to its commit point on a FLAT
-    * store (or one `partDir` of a partitioned one) and stop — the exact
-    * on-disk crash state: masked survivors staged under the dot-dir,
-    * marker present, old files untouched.
+  /** Crash state = masked survivors staged, marker present, old files
+    * untouched (shared recipe in [[PurgeFixtures]]).
     */
   private def fabricateCrashedPurge(dataDir: String, ledgerPath: String,
-      partDirName: String, uniqueKey: String, idCol: String): Unit = {
-    val pDir =
-      if (partDirName.isEmpty) dataDir else s"$dataDir/$partDirName"
-    val old = Fs.list(spark, pDir)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getPath)
-    assert(old.nonEmpty, "fixture partition has no data files")
-    val token = java.util.UUID.randomUUID.toString
-    val stagePDir =
-      if (partDirName.isEmpty) s"$dataDir/.purge.$token"
-      else s"$dataDir/.purge.$token/$partDirName"
-    Tombstones.mask(spark, ledgerPath,
-        spark.read.parquet(old.map(_.toString): _*)
-          .dropDuplicates(uniqueKey),
-        idCol)
-      .write.mode("overwrite").parquet(stagePDir)
-    val fs = Fs(spark, dataDir)
-    val marker = new Path(dataDir, s"_PURGE.$token.$partDirName")
-    val out = fs.create(marker, false)
-    try out.write(old.map(_.getName).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+      partDirName: String, uniqueKey: String, idCol: String): Unit =
+    PurgeFixtures.fabricateCrashedRewrite(spark, dataDir, partDirName,
+      old => Tombstones.mask(spark, ledgerPath,
+        old.dropDuplicates(uniqueKey), idCol))
 
   private def sigDocs: DataFrame =
     (0 until 40).map(i => (i.toLong,
