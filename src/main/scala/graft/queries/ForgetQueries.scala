@@ -278,5 +278,279 @@ object ForgetQueries {
                        END) AS BIGINT) FROM e)
             ORDER BY store"""))
 
-  val all: Seq[Q] = Seq(forgetReplay, forgetLog)
+  /** Oracle check for the STRING id domain (r14 verdict missing #1 —
+    * the reference's `custom_id` is an arbitrary string,
+    * `tagging.py:85-98`, `tests/test_core.py:224-240`): the same
+    * three-store streamed log keyed on NON-NUMERIC custom ids
+    * (`user_<k>` — a bigint pin would parse every one of them to null),
+    * one `forgetStrings` across rollup re-fold + detail purge + shred
+    * purge, CRASHED at the shred store, mid-crash evidence pinned with
+    * a poisoned-count tripwire, then a REGISTRY-FREE
+    * `Forget.replay(ledgerDir)` — the arbitrary-string request rides
+    * the exact crash-replayable ledger the bigint domain gets.
+    */
+  val forgetString = Q(
+    "q_forget_string",
+    (s, dir) => {
+      val base = memo("forgetstring", dir) { b =>
+        val ev = tbl(s, dir, "events")
+          .withColumn("eid", col("event_id").cast("long"))
+          .withColumn("in_tok",
+            coalesce(get_json_object(col("props"), "$.k").cast("long"),
+              lit(0L)))
+          .withColumn("out_tok", pmod(col("eid") * 13, lit(97L)))
+        val rows = ev.select(
+          timestamp_micros(tsMicros).as("timestamp"),
+          concat(lit("run-"), col("eid")).as("run_id"),
+          lit("").as("parent_run_id"),
+          // NON-NUMERIC custom ids: the reference's arbitrary-string
+          // shape ("user_123"); NULL user_ids stay null on both engines
+          concat(lit("user_"), col("user_id")).as("custom_id"),
+          col("event_type"),
+          lit("""{"job":"forget"}""").as("logger_metadata"),
+          to_json(struct(
+            col("event_type"),
+            struct(
+              concat(lit("m"), pmod(col("eid"), lit(3L))).as("model"),
+              struct(
+                col("in_tok").as("input_tokens"),
+                col("out_tok").as("output_tokens"),
+                (col("in_tok") + col("out_tok")).as("total_tokens"))
+                .as("usage_metadata")).as("data"))).as("payload"),
+          pmod(col("eid"), lit(3L)).as("slice"))
+        val (log, shred, roll) = (s"$b/log", s"$b/shred", s"$b/roll")
+        (0 until 3).foreach { k =>
+          graft.streaming.LogStreamPipeline.tick(
+            rows.filter(col("slice") === k).drop("slice"),
+            k.toLong, log, shred, roll, compactEvery = 2)
+        }
+        val banned = ev.filter(pmod(col("user_id"), lit(29L)) === 7)
+          .select(concat(lit("user_"), col("user_id")).as("cid"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val ledger = s"$b/ledger"
+        val Seq(rollT, detailT, shredT) =
+          Forget.logTargets(s, log, shred, roll)
+        val crash = new Forget.Target(shredT.name, shredT.kind,
+          shredT.path, shredT.arg, shredT.domain,
+          _ => throw new RuntimeException("injected crash"))
+        try Forget.forgetStrings(s, ledger, "gdpr-29-7-str", banned,
+          Seq(rollT, detailT, crash))
+        catch {
+          case e: RuntimeException if e.getMessage == "injected crash" =>
+        }
+        import s.implicits._
+        val pending = Forget.status(s, ledger,
+            Seq(rollT.name, detailT.name, shredT.name))
+          .filter(!col("acked")).count()
+        val crashVisible = banned.isEmpty || pending == 1L
+        val shredLive = graft.query.ShreddedLog.read(s, shred)
+        val (nBefore, nBannedBefore) =
+          if (crashVisible)
+            (shredLive.count(),
+              shredLive.filter(
+                pmod(regexp_extract(col("custom_id"), "^user_(\\d+)$", 1)
+                  .cast("long"), lit(29L)) === 7).count())
+          else (-1000000L, -1000000L)
+        Seq(("shred_before_replay", nBefore, nBannedBefore))
+          .toDF("store", "n_rows", "tok")
+          .write.mode("overwrite").parquet(s"$b/before")
+        // process loss: registry-free replay — the string-domain pin
+        // reconstructs the shred target and converges
+        Forget.replay(s, ledger)
+        ()
+      }
+      legsOverLog(s, base)
+    },
+    Some("""WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS eid, user_id,
+                     COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0) AS in_tok,
+                     (CAST(event_id AS BIGINT) * 13) % 97 AS out_tok
+              FROM events),
+            c AS (SELECT * FROM e
+                  WHERE user_id IS NULL OR user_id % 29 <> 7)
+            SELECT * FROM (
+              SELECT 'log_detail' AS store,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(in_tok) AS BIGINT) AS tok FROM c
+              UNION ALL
+              SELECT 'rollup', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok + out_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred_before_replay', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN user_id % 29 = 7 THEN 1 ELSE 0
+                       END) AS BIGINT) FROM e)
+            ORDER BY store"""))
+
+  /** Oracle check for RUN-SCOPED forget (r14 verdict missing #2 —
+    * "delete this run and its descendants", the reference's
+    * run-hierarchy shape, `tests/test_enhanced_logging.py:322-388`):
+    * events form 9-run trees (root → 4 children → 4 grandchildren,
+    * keyed by eid block); banned roots expand through
+    * [[graft.ops.LogForget.expandRunSubtree]] BEFORE the ledger pins
+    * the set (the detail purge destroys the parent-pointer evidence a
+    * replay-time expansion would need), the expansion itself is a
+    * hash-checked leg, and the run-keyed purge crashes at the shred
+    * store then converges via registry-free replay.
+    */
+  val forgetRun = Q(
+    "q_forget_run",
+    (s, dir) => {
+      val base = memo("forgetrun", dir) { b =>
+        val ev = tbl(s, dir, "events")
+          .withColumn("eid", col("event_id").cast("long"))
+          .withColumn("in_tok",
+            coalesce(get_json_object(col("props"), "$.k").cast("long"),
+              lit(0L)))
+          .withColumn("out_tok", pmod(col("eid") * 13, lit(97L)))
+          // 9-run blocks: r=0 root; r=1..4 children of the root;
+          // r=5..8 grandchildren (child of block-run r-4)
+          .withColumn("blk", floor(col("eid") / 9))
+          .withColumn("r", pmod(col("eid"), lit(9L)))
+        val rows = ev.select(
+          timestamp_micros(tsMicros).as("timestamp"),
+          concat(lit("run-"), col("eid")).as("run_id"),
+          when(col("r") === 0, lit(""))
+            .when(col("r") <= 4, concat(lit("run-"), col("blk") * 9))
+            .otherwise(concat(lit("run-"),
+              col("blk") * 9 + col("r") - 4)).as("parent_run_id"),
+          col("user_id").cast("string").as("custom_id"),
+          col("event_type"),
+          lit("""{"job":"forget"}""").as("logger_metadata"),
+          to_json(struct(
+            col("event_type"),
+            struct(
+              concat(lit("m"), pmod(col("eid"), lit(3L))).as("model"),
+              struct(
+                col("in_tok").as("input_tokens"),
+                col("out_tok").as("output_tokens"),
+                (col("in_tok") + col("out_tok")).as("total_tokens"))
+                .as("usage_metadata")).as("data"))).as("payload"),
+          pmod(col("eid"), lit(3L)).as("slice"))
+        val (log, shred, roll) = (s"$b/log", s"$b/shred", s"$b/roll")
+        (0 until 3).foreach { k =>
+          graft.streaming.LogStreamPipeline.tick(
+            rows.filter(col("slice") === k).drop("slice"),
+            k.toLong, log, shred, roll, compactEvery = 2)
+        }
+        // ban whole TREES: every block with blk % 7 == 3, by its root
+        val roots = ev.filter(pmod(col("blk"), lit(7L)) === 3 &&
+            col("r") === 0)
+          .select(concat(lit("run-"), col("eid")).as("root")).distinct()
+        // EXPANSION BEFORE THE PIN — and pin the expansion's size as a
+        // hash-checked leg (the oracle recomputes the expected closure
+        // arithmetically, so a narrowed or inflated expansion fails the
+        // row instead of silently purging the wrong set)
+        val expanded = graft.ops.LogForget
+          .expandRunSubtree(s, log, roots).persist()
+        import s.implicits._
+        Seq(("expanded", expanded.count(),
+            roots.count()))
+          .toDF("store", "n_rows", "tok")
+          .write.mode("overwrite").parquet(s"$b/expanded")
+        val ledger = s"$b/ledger"
+        val Seq(rollT, detailT, shredT) =
+          Forget.logRunTargets(s, log, shred, roll)
+        val crash = new Forget.Target(shredT.name, shredT.kind,
+          shredT.path, shredT.arg, shredT.domain,
+          _ => throw new RuntimeException("injected crash"))
+        try Forget.forgetFrame(s, ledger, "gdpr-blk-7-3",
+          Some(expanded), Seq(rollT, detailT, crash), Forget.DomString)
+        catch {
+          case e: RuntimeException if e.getMessage == "injected crash" =>
+        }
+        val pending = Forget.status(s, ledger,
+            Seq(rollT.name, detailT.name, shredT.name))
+          .filter(!col("acked")).count()
+        val hadBanned = expanded.limit(1).count() > 0
+        val crashVisible = !hadBanned || pending == 1L
+        val shredLive = graft.query.ShreddedLog.read(s, shred)
+        val (nBefore, nBannedBefore) =
+          if (crashVisible)
+            (shredLive.count(),
+              shredLive.join(expanded,
+                shredLive("run_id") === expanded("_fg_id"), "left_semi")
+                .count())
+          else (-1000000L, -1000000L)
+        expanded.unpersist()
+        Seq(("shred_before_replay", nBefore, nBannedBefore))
+          .toDF("store", "n_rows", "tok")
+          .write.mode("overwrite").parquet(s"$b/before")
+        // process loss: registry-free replay rebuilds the RUN-keyed
+        // targets from the ledger's closed-enum registry rows
+        Forget.replay(s, ledger)
+        ()
+      }
+      legsOverLog(s, base)
+        .unionByName(s.read.parquet(s"$base/expanded"))
+        .orderBy("store")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS eid,
+                     COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), 0) AS in_tok,
+                     (CAST(event_id AS BIGINT) * 13) % 97 AS out_tok
+              FROM events),
+            c AS (SELECT * FROM e WHERE (eid // 9) % 7 <> 3)
+            SELECT * FROM (
+              SELECT 'log_detail' AS store,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(in_tok) AS BIGINT) AS tok FROM c
+              UNION ALL
+              SELECT 'rollup', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok + out_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(in_tok) AS BIGINT) FROM c
+              UNION ALL
+              SELECT 'shred_before_replay', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN (eid // 9) % 7 = 3 THEN 1
+                       ELSE 0 END) AS BIGINT) FROM e
+              UNION ALL
+              SELECT 'expanded', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN eid % 9 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM e WHERE (eid // 9) % 7 = 3)
+            ORDER BY store"""))
+
+  /** The three log-store result legs shared by the forget-log oracles:
+    * detail row count + parsed payload token sums, the shredded typed
+    * sums, and the rollup's re-folded aggregates — each typed-zero-safe
+    * when a zero-event sweep leaves a store without data files.
+    */
+  private def legsOverLog(s: org.apache.spark.sql.SparkSession,
+      base: String): org.apache.spark.sql.DataFrame = {
+    val detail = {
+      import s.implicits._
+      if (graft.core.Fs.listDataFiles(s, s"$base/log").isEmpty)
+        Seq(("log_detail", 0L, 0L)).toDF("store", "n_rows", "tok")
+      else s.read.parquet(s"$base/log")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(get_json_object(col("payload"),
+              "$.data.usage_metadata.input_tokens").cast("long")),
+            lit(0L)).cast("long").as("tok"))
+        .select(lit("log_detail").as("store"), col("n_rows"),
+          col("tok"))
+    }
+    val shredF = graft.query.ShreddedLog.read(s, s"$base/shred")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("input_tokens")), lit(0L)).cast("long")
+          .as("tok"))
+      .select(lit("shred").as("store"), col("n_rows"), col("tok"))
+    val rollF = graft.query.LogRollup.read(s, s"$base/roll",
+        Seq("model"))
+      .agg(coalesce(sum(col("n_events")), lit(0L)).cast("long")
+          .as("n_rows"),
+        coalesce(sum(col("tot_tokens")), lit(0L)).cast("long")
+          .as("tok"))
+      .select(lit("rollup").as("store"), col("n_rows"), col("tok"))
+    detail.unionByName(rollF).unionByName(shredF)
+      .unionByName(s.read.parquet(s"$base/before"))
+      .orderBy("store")
+  }
+
+  val all: Seq[Q] = Seq(forgetReplay, forgetLog, forgetString, forgetRun)
 }

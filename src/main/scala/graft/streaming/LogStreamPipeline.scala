@@ -84,16 +84,16 @@ object LogStreamPipeline {
     * torn copy can never trigger them. Underscore-prefixed, so parquet
     * globs never read it as data.
     */
-  private val FoldMarker = "_FOLDED"
+  private[graft] val FoldMarker = "_FOLDED"
 
   private def dateDirs(spark: SparkSession, logDir: String) =
     Fs.list(spark, logDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
 
-  private def folded(spark: SparkSession, genDir: String): Boolean =
+  private[graft] def folded(spark: SparkSession, genDir: String): Boolean =
     Fs.exists(spark, s"$genDir/$FoldMarker")
 
-  private def markFolded(spark: SparkSession, genDir: String): Unit = {
+  private[graft] def markFolded(spark: SparkSession, genDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$genDir/$FoldMarker")
     Fs(spark, genDir).create(p, true).close()
   }

@@ -78,4 +78,142 @@ class BandedPurgeSpec extends SparkSpec {
     SignatureStore.buildBanded(docs, table, numBuckets = 4)
     assert(SignatureStore.purgeBanded(spark, table) === 0L)
   }
+
+  test("purgeBandedPruned: only the bucket files holding banned rows " +
+    "are rewritten (unaffected files byte-untouched), survivor files " +
+    "keep their source's bucket-id suffix so the shuffle-free join " +
+    "survives, answers equal the complement, ledger stays in force") {
+    val table = "banded_purge_pruned"
+    SignatureStore.buildBanded(docs, table, numBuckets = 4)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).toString
+    val before = graft.core.Fs.list(spark, loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSet
+    // the banned doc's band rows live in a SUBSET of the bucket files
+    val hitFiles = spark.table(table)
+      .withColumn("_f", input_file_name())
+      .filter(col("doc_id") === 7L)
+      .select("_f").distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).getName).toSet
+    assert(hitFiles.nonEmpty && hitFiles.size < before.size,
+      "fixture must leave at least one unaffected bucket file")
+
+    SignatureStore.takedownBanded(spark, table, Seq(7L))
+    val removed = SignatureStore.purgeBandedPruned(spark, table)
+    assert(removed > 0L)
+
+    val after = graft.core.Fs.list(spark, loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSet
+    // unaffected files: identical name+len+mtime (never rewritten)
+    assert(before.filterNot(f => hitFiles(f._1)).subsetOf(after),
+      "an unaffected bucket file was rewritten — work must stay ∝ hits")
+    // hit files replaced by survivor files carrying the same suffix
+    assert(after.forall(f => !hitFiles(f._1)),
+      "source hit files must be deleted after the swap")
+    val bucketOf = (n: String) => n.substring(n.lastIndexOf("_"))
+    assert(hitFiles.map(bucketOf)
+        .subsetOf(after.map(f => bucketOf(f._1)) ++
+          // an all-banned source file legitimately leaves no survivor
+          before.map(f => bucketOf(f._1))),
+      "survivor files must carry their source's bucket-id suffix")
+    assert(spark.read.parquet(loc).filter(col("doc_id") === 7L)
+      .count() === 0L, "banned rows must be PHYSICALLY gone")
+    assert(graft.core.Fs.exists(spark, s"$loc/_tombstones"),
+      "the pruned purge keeps the ledger in force (purgeFlat contract)")
+
+    // the bucketed join still plans no store-side shuffle, and answers
+    // equal a complement rebuild (fresh side: the surviving corpus)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fresh = docs.filter(col("doc_id") =!= 7L)
+      val joined = SignatureStore.bucketedNearDups(spark, table, fresh)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        "store scan lost its bucketing after the pruned purge:\n" +
+          plan.take(3000))
+      val twin = "banded_purge_pruned_twin"
+      SignatureStore.buildBanded(fresh, twin, numBuckets = 4)
+      val key = (df: DataFrame) => df.select("ai", "bi").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = key(joined)
+      assert(a === key(SignatureStore.bucketedNearDups(spark, twin,
+        fresh)))
+      assert(a.nonEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // idempotent: banned rows already gone → no hit files → no work
+    assert(SignatureStore.purgeBandedPruned(spark, table) === 0L)
+  }
+
+  test("a crashed pruned purge (marker committed, swap unfinished) " +
+    "heals forward on the next read: the plan replays idempotently, " +
+    "including delete-only lines for all-banned source files") {
+    val table = "banded_purge_heal"
+    SignatureStore.buildBanded(docs, table, numBuckets = 4)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).toString
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // fabricate the exact crash footprint BY HAND: pick one real
+    // bucket file, stage its survivors (doc 5 banned), commit the
+    // marker — and crash before any rename/delete ran
+    val victim = graft.core.Fs.list(spark, loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+      .find(p => spark.read.parquet(p.toString)
+        .filter(col("doc_id") === 5L).count() > 0).get
+    val expect = spark.read.parquet(victim.toString)
+      .filter(col("doc_id") =!= 5L).count()
+    val victimBanned = spark.read.parquet(victim.toString)
+      .filter(col("doc_id") === 5L).count()
+    val totalBanned = spark.read.parquet(loc)
+      .filter(col("doc_id") === 5L).count()
+    val token = "fabricated-crash"
+    spark.read.parquet(victim.toString).filter(col("doc_id") =!= 5L)
+      .coalesce(1).write.parquet(s"$loc/.purgeb-stage-$token/0")
+    val stagedPart = graft.core.Fs
+      .listDataFiles(spark, s"$loc/.purgeb-stage-$token/0")
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).head
+    val suffix = victim.getName.substring(victim.getName.lastIndexOf("_"))
+    val finalName = s"part-purged-$token-0$suffix"
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$loc/_PURGEB.$token"), false)
+    // a second, delete-only line for a file that no longer exists
+    // (the all-banned shape) must replay as a no-op
+    out.write((s"${victim.getName}\t0/$stagedPart\t$finalName\n" +
+      "already-gone-file.parquet\t\t").getBytes("UTF-8"))
+    out.close()
+
+    // the read path heals first: banned rows gone, survivors exact,
+    // marker and stage swept, bucketing intact
+    SignatureStore.takedownBanded(spark, table, Seq(5L))
+    val pairs = SignatureStore.bucketedNearDups(spark, table,
+      docs.filter(col("doc_id") =!= 5L))
+    pairs.collect()
+    assert(!graft.core.Fs.list(spark, loc)
+      .exists(f => f.getPath.getName.startsWith("_PURGEB.") ||
+        f.getPath.getName.startsWith(".purgeb-")),
+      "heal must retire the marker and the stage dir")
+    assert(!graft.core.Fs.exists(spark, victim.toString),
+      "heal must finish deleting the source file")
+    assert(graft.core.Fs.exists(spark, s"$loc/$finalName"))
+    assert(spark.read.parquet(s"$loc/$finalName").count() === expect)
+    // exactly the crashed plan's scope was disposed: the victim file's
+    // banned rows are gone, other files' banned rows remain (masked by
+    // the still-in-force ledger) until their own purge runs
+    assert(spark.read.parquet(loc).filter(col("doc_id") === 5L)
+      .count() === totalBanned - victimBanned)
+    assert(victimBanned > 0)
+    // healing is idempotent under a second call
+    SignatureStore.healBandedPurge(spark, table)
+    assert(spark.read.parquet(s"$loc/$finalName").count() === expect)
+  }
 }

@@ -29,6 +29,7 @@ class ForgetScaleSpec extends SparkSpec {
       df => {
         plans :+= df.queryExecution.executedPlan.toString
         counts :+= df.count()
+        -1L
       })
     val crash = new Forget.Target("late", Forget.KindAdhoc, "", "",
       _ => throw new RuntimeException("injected crash"))
@@ -58,7 +59,7 @@ class ForgetScaleSpec extends SparkSpec {
     // replay (registry-free pending check + caller targets) converges
     // from the staged frame — acked probe does not re-run
     val late = new Forget.Target("late", Forget.KindAdhoc, "", "",
-      df => counts :+= df.count())
+      df => { counts :+= df.count(); -1L })
     assert(Forget.replay(spark, ledger, Seq(probe, late)) === 1)
     assert(counts === Vector(n, n))
     assert(plans.size === 1, "the acked store must not re-run")

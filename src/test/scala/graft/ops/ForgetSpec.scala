@@ -162,11 +162,11 @@ class ForgetSpec extends SparkSpec {
     // fabricate the exact race footprint: a second request row under
     // the same reqId with a different id set and an EARLIER seq — the
     // interleaving where the other racer's clock won
-    Seq(("raced", "request", "", "", "", "", -1, Seq(77L, 78L), false,
-        0L, "00000000-racer"))
+    Seq(("raced", "request", "", "", "", "", -1, Seq("77", "78"),
+        "bigint", false, -1L, 0L, "00000000-racer"))
       .toDF("_fg_req", "_fg_phase", "_fg_store", "_fg_kind", "_fg_path",
-        "_fg_arg", "_fg_ord", "_fg_ids", "_fg_staged", "_fg_seq",
-        "_fg_tie")
+        "_fg_arg", "_fg_ord", "_fg_ids", "_fg_dom", "_fg_staged",
+        "_fg_hits", "_fg_seq", "_fg_tie")
       .coalesce(1).write.mode("append").parquet(ledger)
 
     assert(Forget.replay(spark, ledger, Seq(a)) === 1)
