@@ -30,6 +30,14 @@ object Verify {
       "/tmp/graft_shred_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     sys.props("graft.rollup.dir") =
       "/tmp/graft_rollup_log_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    // r15: the streaming-tick fixture was the ONE fixture dir not
+    // namespaced by scale factor — two concurrent Verify sweeps at
+    // different SFs raced each other's delete/rebuild of
+    // /tmp/graft_rollup_stream_* and one read a torn mixture
+    // (observed as a longdoc-gate q_rollup_stream hash mismatch while
+    // a sf0.1 sweep ran alongside)
+    sys.props("graft.rollupstream.dir") =
+      "/tmp/graft_rollup_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

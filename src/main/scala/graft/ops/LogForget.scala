@@ -357,4 +357,25 @@ object LogForget {
           "in parent pointers?")
     acc
   }
+
+  /** One-call run-scoped forget: expand the root set to its descendant
+    * closure, then drive the three run-keyed log targets through the
+    * crash-replayable [[Forget]] ledger (string domain). The expansion
+    * runs HERE, before the ledger pins the id set — after the detail
+    * purge the parent pointers are gone, so the pinned set (not a
+    * re-expansion) is what any replay converges on. Re-invoking with
+    * the same `reqId` after a crash replays only the unfinished
+    * stores; `Forget.replay(spark, ledgerDir)` does the same without
+    * this caller.
+    */
+  def forgetRunSubtree(spark: SparkSession, ledgerDir: String,
+      reqId: String, roots: Seq[String], logDir: String,
+      shredDir: String, rollupDir: String): Unit = {
+    import spark.implicits._
+    Forget.forgetFrame(spark, ledgerDir, reqId,
+      if (roots.isEmpty) None
+      else Some(expandRunSubtree(spark, logDir, roots.toDF("_fg_id"))),
+      Forget.logRunTargets(spark, logDir, shredDir, rollupDir),
+      Forget.DomString)
+  }
 }

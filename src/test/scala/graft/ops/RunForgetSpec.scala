@@ -158,6 +158,24 @@ class RunForgetSpec extends SparkSpec {
       "run-scoped re-fold must subtract the subtree exactly")
   }
 
+  test("forgetRunSubtree: the one-call entry expands roots and drives " +
+    "all three run-keyed targets through the ledger") {
+    val all = entries(27)
+    val (log, shred, roll) = mkStores("rf4", all)
+    val ledger = java.nio.file.Files.createTempDirectory("rf4l").toString
+    LogForget.forgetRunSubtree(spark, ledger, "req-run-0",
+      Seq("run-0", "run-18"), log, shred, roll)
+    val banned = Set("run-0", "run-1", "run-2", "run-18", "run-19",
+      "run-20")
+    assert(rawCol(log, "run_id").intersect(banned) === Set.empty)
+    assert(rawCol(shred, "run_id").intersect(banned) === Set.empty)
+    assert(Forget.status(spark, ledger,
+        Forget.logRunTargets(spark, log, shred, roll).map(_.name))
+      .filter(!col("acked")).count() === 0)
+    // a crash-replay caller without closures converges the same request
+    assert(Forget.replay(spark, ledger) === 0)
+  }
+
   test("re-fold under a crashed tick's misaligned layouts (shred " +
     "folded to gen-Nc, rollup still pre-fold): the re-fold REALIGNS " +
     "the date partition — completes the fold with the banned rows " +
