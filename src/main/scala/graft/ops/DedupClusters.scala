@@ -55,25 +55,32 @@ object DedupClusters {
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("nbr_label"))
+      // the pre-round label rides along as `old` so the convergence
+      // check is an observed metric on the checkpoint's own job — the
+      // previous shape re-joined `next` against `labels` and ran a
+      // count() per round: one extra join + action every iteration
       val hopped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("hl"), col("label").as("old"))
       // (b) jump: label := min(label, label[label]). Every label is a node
       // id (initialized to ids, updated only by mins over ids), so the
       // label frame itself is the id→label mapping; the left join misses
       // only for self-labels already at their fixpoint.
-      val mapping = hopped.select(col("id").as("lid"),
-        col("label").as("llabel"))
+      val mapping = hopped.select(col("id").as("lid"), col("hl").as("llabel"))
+      val obs = org.apache.spark.sql.Observation(s"_cc_changed_$iter")
       val next = hopped
-        .join(mapping, col("label") === col("lid"), "left")
+        .join(mapping, col("hl") === col("lid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("llabel"), col("label")))
-            .as("label"))
+          least(col("hl"), coalesce(col("llabel"), col("hl")))
+            .as("label"), col("old"))
+        .observe(obs,
+          sum(when(col("label") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = obs.get.get("changed").collect {
+        case n: java.lang.Long => n.longValue }.getOrElse(0L)
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

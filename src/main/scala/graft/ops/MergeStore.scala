@@ -79,21 +79,32 @@ object MergeStore {
         col("w.is_delete").as("is_delete") +:
         payload.map(c => col(s"w.$c").as(c)): _*)
 
-    val winner = lww(changes
-      .withColumn("kb", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))))
+    val withKb = changes
+      .withColumn("kb", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
 
-    val buckets = winner.select("kb").distinct().as[Long].collect()
+    // Touched buckets from the RAW change batch, not from the LWW winner
+    // frame: the distinct kb set is identical (kb is a function of the
+    // key), but this probe job is a kb-only partial aggregate (map-side
+    // combine, ≤ nBuckets rows shuffled) instead of a full LWW aggregate
+    // that shuffles every payload column just to be discarded.
+    val buckets = withKb.select("kb").distinct().as[Long].collect()
       .sorted.toSeq
     if (buckets.isEmpty) return buckets
 
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LWW is associative and idempotent, so the stored rows and the raw
+    // change batch fold in ONE aggregate — the old shape pre-reduced the
+    // batch (lww(changes)) and then re-aggregated the union
+    // (lww(stored ∪ winner)): two chained exchanges where one suffices.
+    // Map-side partial aggregation performs the batch pre-reduction for
+    // free inside the single shuffle.
     val merged =
-      if (!fs.exists(new Path(path))) winner
+      if (!fs.exists(new Path(path))) lww(withKb)
       else lww(spark.read.parquet(path)
         .filter(col("kb").isin(buckets: _*))
         .select(ordered.map(col): _*)
-        .unionByName(winner.select(ordered.map(col): _*)))
+        .unionByName(withKb.select(ordered.map(col): _*)))
 
     // overwrite exactly the touched partition dirs (a bucket whose rows
     // all disappeared — possible only via purge — deletes explicitly;

@@ -84,49 +84,78 @@ object RunTree {
       when(isRoot, col(idCol).cast("string"))
         .otherwise(lit(null).cast("string")).as("_root")) ++
       (if (withPath) Seq(col(idCol).cast("string").as("_path")) else Nil)
-    var cur = nodes.select(initCols: _*).localCheckpoint()
+    // The unresolved count rides each checkpoint's own job as an
+    // observed metric, so the loop needs no separate probe action: the
+    // old `filter(_anc).isEmpty` per round cost one extra full pass over
+    // the node set (⌈log₂ depth⌉ + 1 extra jobs per resolve).
+    var obsSeq = 0
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      obsSeq += 1
+      val obs = org.apache.spark.sql.Observation(s"_rt_pending_$obsSeq")
+      val out = df.observe(obs,
+        sum(when(col("_anc").isNotNull, 1L).otherwise(0L)).as("p"))
+        .localCheckpoint()
+      val pending = obs.get.get("p").collect {
+        case n: java.lang.Long => n.longValue }.getOrElse(0L)
+      (out, pending)
+    }
+    var (cur, pending) = checkpointCounted(nodes.select(initCols: _*))
 
     // Invariants kept by every round: _depth = edges from _anc to _id;
     // _path = ids from (just below _anc) to _id; _anc null ⇒ resolved,
     // with _root set and _path the full root→node path.
+    //
+    // Resolved rows leave the loop frame: they can never change again,
+    // so re-shuffling them through every remaining round's join is pure
+    // waste (at scale most nodes resolve in the early rounds — every
+    // node within 2^r edges of its root is settled after round r). They
+    // must stay VISIBLE as jump targets — an unresolved node's pointer
+    // may land on a resolved node — so the join's build side is the full
+    // mapping (settled ∪ pending) while the probe side shrinks to the
+    // pending rows only.
+    var settled = List.empty[DataFrame]
     var iters = 0
-    while (!cur.filter(col("_anc").isNotNull).isEmpty) {
+    while (pending > 0) {
       iters += 1
       if (iters > maxIters)
         throw new IllegalStateException(
           s"RunTree.resolve: unresolved chains after $maxIters rounds — " +
             "cycle in parent pointers?")
+      val todo = cur.filter(col("_anc").isNotNull)
+      settled ::= cur.filter(col("_anc").isNull)
       val ancCols = Seq(
         col("_id").as("_aid"), col("_anc").as("_aanc"),
         col("_depth").as("_adepth"), col("_root").as("_aroot")) ++
         (if (withPath) Seq(col("_path").as("_apath")) else Nil)
-      val anc = cur.select(ancCols: _*)
+      val anc = (settled :+ todo).reduce(_.unionByName(_))
+        .select(ancCols: _*)
+      // every probe row has _anc non-null, so the old resolved-row
+      // passthrough branches (`when(_anc.isNull, …)`) reduce away
       val jumpCols = Seq(
         col("_id"),
-        when(col("_anc").isNull || col("_aid").isNull,
-          lit(null).cast("string"))
+        when(col("_aid").isNull, lit(null).cast("string"))
           .otherwise(col("_aanc")).as("_anc2"),
-        when(col("_anc").isNull || col("_aid").isNull, col("_depth"))
+        when(col("_aid").isNull, col("_depth"))
           .otherwise(col("_depth") + col("_adepth")).as("_depth2"),
-        when(col("_anc").isNull, col("_root"))
-          .when(col("_aid").isNull, col("_anc")) // dangling parent
+        when(col("_aid").isNull, col("_anc")) // dangling parent
           .otherwise(col("_aroot")).as("_root2")) ++
         (if (withPath) Seq(
-          when(col("_anc").isNull, col("_path"))
-            .when(col("_aid").isNull,
-              concat_ws(sep, col("_anc"), col("_path")))
+          when(col("_aid").isNull,
+            concat_ws(sep, col("_anc"), col("_path")))
             .otherwise(concat_ws(sep, col("_apath"), col("_path")))
             .as("_path2")) else Nil)
-      cur = cur.join(anc, cur("_anc") === anc("_aid"), "left")
+      val next = todo.join(anc, todo("_anc") === anc("_aid"), "left")
         .select(jumpCols: _*)
         .withColumnsRenamed(Map("_anc2" -> "_anc", "_depth2" -> "_depth",
           "_root2" -> "_root", "_path2" -> "_path"))
-        .localCheckpoint()
+      val cp = checkpointCounted(next)
+      cur = cp._1
+      pending = cp._2
     }
     val outCols = Seq(col("_id").as(idCol), col("_root").as("root_id"),
       col("_depth").as("depth")) ++
       (if (withPath) Seq(col("_path").as("path")) else Nil)
-    cur.select(outCols: _*)
+    (settled :+ cur).reduce(_.unionByName(_)).select(outCols: _*)
   }
 
   /** Per-root rollup of a resolved tree: tree size, max depth, and leaf

@@ -36,10 +36,19 @@ object SemanticDedup {
       idCol: String,
       threshold: Double,
       maxPairs: Long = SkewGuard.DefaultMaxQuadraticPairs): DataFrame = {
-    SkewGuard.requirePairBound(assigned, Seq("bucket"), maxPairs)
-    val a = assigned.select(col("bucket"), col(idCol).as("__ai"),
+    // `assigned` is consumed FOUR times (the pair-bound gate, both pair
+    // sides, the final keep-mark join), and for every caller it embeds
+    // the cluster assignment — n × k centroid dot products in the
+    // projection. Unpersisted, that map work (and the corpus scan under
+    // it) re-runs per consumer: four assignment passes where one
+    // suffices. Persist is intra-query state; the session's
+    // clearCache()/unpersist discipline frees it after the run.
+    val cached = assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SkewGuard.requirePairBound(cached, Seq("bucket"), maxPairs)
+    val a = cached.select(col("bucket"), col(idCol).as("__ai"),
       col("v").as("__av"), col("nrm").as("__an"))
-    val b = assigned.select(col("bucket").as("__bbucket"),
+    val b = cached.select(col("bucket").as("__bbucket"),
       col(idCol).as("__bi"), col("v").as("__bv"), col("nrm").as("__bn"))
     val dropped = a.join(b,
         col("bucket") === col("__bbucket") && col("__bi") < col("__ai"))
@@ -47,7 +56,7 @@ object SemanticDedup {
         / sqrt(col("__an") * col("__bn")) >= threshold)
       .select(col("__ai").as(idCol)).distinct()
       .withColumn("__dropped", lit(1))
-    assigned.select(col(idCol), col("bucket"))
+    cached.select(col(idCol), col("bucket"))
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("bucket"),
         col("__dropped").isNull.as("kept"))

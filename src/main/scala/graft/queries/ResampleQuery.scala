@@ -34,13 +34,20 @@ object ResampleQuery {
         .select(col("event_id"), col("user_id"), col("value"),
           tsMicros.as("tus"))
         .filter(col("user_id").isNotNull && col("tus").isNotNull)
-      // one observation per (user, instant): highest event_id wins
-      val obs = ev
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("user_id", "tus")
-            .orderBy(col("event_id").desc)))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("tus"), col("value"))
+      // one observation per (user, instant): highest event_id wins.
+      // Shape: an explicit user_id exchange + LWW aggregate instead of a
+      // (user_id, tus)-partitioned row_number window — clustering by a
+      // subset of the grouping keys satisfies the aggregate's
+      // distribution, the winner rule (max event_id; event_id is unique,
+      // so the struct max never compares `value`) is identical, partial
+      // map-side aggregation pre-reduces the shuffle, and the output
+      // stays hash(user_id)-partitioned, which is exactly the
+      // distribution the as-of join requires of its right side — the
+      // window shape paid a second exchange there.
+      val obs = ev.repartition(col("user_id"))
+        .groupBy("user_id", "tus")
+        .agg(max(struct(col("event_id"), col("value"))).as("w"))
+        .select(col("user_id"), col("tus"), col("w.value").as("value"))
       // FLOOR division, not `div` (truncate-toward-zero): the DuckDB
       // oracle's `//` floors, and the two diverge on negative (pre-1970)
       // microsecond timestamps. `tus - pmod(tus, d)` is an exact multiple
