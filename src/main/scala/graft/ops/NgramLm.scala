@@ -53,6 +53,15 @@ object NgramLm {
   /** Train: bigram counts, per-context totals, vocabulary size. */
   def train(docs: DataFrame, idCol: String, textCol: String): Model = {
     val pe = pairs(docs, idCol, textCol)
+    // Measured and deliberately NOT cached (r15 optimization pass): the
+    // `bigrams`/`contexts` broadcasts are two exchanges whose shared
+    // scan→explode→aggregate subtree runs twice, and persisting `big` to
+    // share it was tried — it LOST (~17% on q_lm_perplexity at sf0.1):
+    // on natural text the distinct-bigram frame is close to pair-count
+    // sized, so the cache write+read costs more than the second columnar
+    // scan + map-side-combined shuffle it saves. At 100 TB the model is
+    // capped (top-B bigrams) BEFORE broadcast, which re-bounds this
+    // frame; revisit the cache only together with that cap.
     val big = pe.groupBy("u", "v").agg(count(lit(1)).as("c"))
     val ctx = big.groupBy("u").agg(sum("c").as("cu"))
     val voc = docs.filter(col(textCol).isNotNull)

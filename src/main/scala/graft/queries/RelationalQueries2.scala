@@ -73,13 +73,20 @@ object RelationalQueries2 {
           col("value"), tsMicros.as("tus"))
       val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "tus")
+      // one purchase per (user, instant), highest event_id wins — same
+      // LWW-aggregate shape as q_resample_ffill: the explicit user_id
+      // exchange serves BOTH the (user_id, tus) dedup (clustering by a
+      // key subset satisfies the aggregate) and the native as-of join's
+      // right-side distribution, where the window form paid a second
+      // exchange; event_id is unique, so the struct max never compares
+      // `value` and the winner is identical
       val purchases = events.filter(col("event_type") === "purchase")
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id", "tus").orderBy(col("event_id").desc)))
-        .filter(col("__rn") === 1)
+        .repartition(col("user_id"))
+        .groupBy("user_id", "tus")
+        .agg(max(struct(col("event_id"), col("value"))).as("w"))
         .select(col("user_id"), col("tus"),
-          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+          col("w.event_id").as("purchase_id"),
+          col("w.value").as("purchase_value"))
       graft.plans.AsOfJoinNative.asOf(clicks, purchases,
         key = "user_id", ts = "tus",
         rightCols = Seq("purchase_id", "purchase_value"))
