@@ -328,34 +328,49 @@ object LogForget {
     val r = roots.select(col(roots.columns.head).cast("string")
       .as("_fg_id")).na.drop().distinct()
     if (Fs.listDataFiles(spark, logDir).isEmpty) return r
+    // persisted: unpersisted, every BFS level re-ran the FULL log scan
+    // + the edge distinct — work ∝ depth × corpus instead of ∝ corpus.
+    // Freed before returning (the result rides its own checkpoints).
     val edges = spark.read.option("basePath", logDir).parquet(logDir)
       .select(col("run_id").cast("string").as("_rt_id"),
         col("parent_run_id").cast("string").as("_rt_parent"))
       .filter(col("_rt_parent").isNotNull && col("_rt_parent") =!= "")
       .distinct()
-    var acc = r.localCheckpoint()
-    var frontier = acc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the accumulator is a LIST of per-level checkpoints consumed as a
+    // lazy union — the old shape re-materialized the whole accumulated
+    // set every level (O(depth × |subtree|) checkpoint writes); the
+    // growth probe rides each level's own checkpoint as an observed
+    // metric instead of a separate count job
+    var parts = List(r.localCheckpoint())
+    var frontier = parts.head
     var depth = 0
     var grew = true
     while (grew && depth < maxDepth) {
+      val acc = parts.reduce(_.unionByName(_))
+      val obs = org.apache.spark.sql.Observation(s"_rs_grew_$depth")
       val children = edges
         .join(frontier, edges("_rt_parent") === frontier("_fg_id"),
           "left_semi")
         .select(col("_rt_id").as("_fg_id"))
         .join(acc, Seq("_fg_id"), "left_anti")
-        .distinct().localCheckpoint()
-      grew = children.limit(1).count() > 0
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      grew = obs.get.get("n").collect {
+        case n: java.lang.Long => n.longValue }.getOrElse(0L) > 0
       if (grew) {
-        acc = acc.unionByName(children).localCheckpoint()
+        parts ::= children
         frontier = children
       }
       depth += 1
     }
+    edges.unpersist()
     if (grew && depth >= maxDepth)
       throw new IllegalStateException(
         s"expandRunSubtree: tree deeper than $maxDepth levels — cycle " +
           "in parent pointers?")
-    acc
+    parts.reduce(_.unionByName(_))
   }
 
   /** One-call run-scoped forget: expand the root set to its descendant

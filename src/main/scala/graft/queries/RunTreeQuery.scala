@@ -63,6 +63,13 @@ object RunTreeQuery {
       if (prev != dir) writeLog(s, dir, logDir)
       dir
     })
+    // Measured and deliberately NOT persisted (r15 optimization pass):
+    // both queries do consume this frame twice (resolve + the
+    // parents/self join), but caching the distinct cost q_run_tree_rollup
+    // +47% in a quiet back-to-back A/B (1.77 → 2.60 s at sf0.1) — the
+    // parquet re-scan + re-distinct is cheaper than the cache
+    // materialization plus the stats-blind join planning downstream of
+    // an InMemoryRelation.
     graft.query.LogTable.read(s, logDir).df
       .select("run_id", "parent_run_id").distinct()
   }
